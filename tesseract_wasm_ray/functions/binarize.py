@@ -52,6 +52,16 @@ def binarize(img: np.ndarray) -> np.ndarray:
     # Degenerate page (uniform): no ink.
     if gray.min() == gray.max():
         return np.zeros_like(ink)
+    # Bimodality check: a real ink/background split leaves a sparsely
+    # populated band between the two class means; a unimodal page (blank
+    # with sensor noise) does not — treat it as blank rather than
+    # hallucinating ink.
+    m0 = float(gray[ink].mean()) if ink.any() else 0.0
+    m1 = float(gray[~ink].mean()) if (~ink).any() else 255.0
+    lo, hi = m0 + 0.3 * (m1 - m0), m1 - 0.3 * (m1 - m0)
+    mid = (gray >= lo) & (gray <= hi)
+    if mid.mean() > 0.05:
+        return np.zeros_like(ink)
     if ink.mean() > 0.5:
         ink = ~ink
     return ink

@@ -50,7 +50,8 @@ def detect_orientation(
         upright = derotate(ink, r)
         _, _, score = recognize_page(upright, model)
         scores.append(score)
-    order = np.argsort(scores)[::-1]
+    # Stable sort so ties prefer the smaller rotation deterministically.
+    order = np.argsort(-np.asarray(scores), kind="stable")
     best, second = order[0], order[1]
     if scores[best] <= 0.0:
         return 0, 0.0

@@ -172,3 +172,10 @@ class OCREngine:
 
     def derotated_ink(self, rotation: int) -> np.ndarray:
         return derotate(self._check_image(), rotation)
+
+    def load_ink(self, ink: np.ndarray) -> None:
+        """Load an already-binarized page (e.g. a derotated ink mask),
+        skipping the Otsu pass. Resets lazy results like load_image."""
+        self.clear_image()
+        self._image = None
+        self._ink = np.ascontiguousarray(ink, dtype=bool)

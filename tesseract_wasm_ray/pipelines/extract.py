@@ -1,0 +1,280 @@
+"""The flagship extraction pipeline (SURVEY.md §3.5).
+
+``config -> read documents -> explode spans -> [text branch: boilerplate
+strip] ⊕ [media branch: OCR actor pool over the media table -> hash join
+on media_ref] -> reassemble per doc_id -> validate / write + manifest``
+
+Ray-Data-first shape:
+
+- every stage is a ``map_batches`` over Arrow batches (zero-copy);
+- the OCR stage is a fixed actor pool holding the warm glyph model
+  (the reference's worker-per-engine model, SURVEY.md §2.3);
+- recognition runs over the *media table* before any join, so pixel
+  payloads never enter a shuffle — only (media_ref, text) pairs do;
+- the media_ref join uses ``Dataset.join`` (hash-partitioned) by
+  default — scale-correct for 10^12-row corpora; a broadcast strategy
+  (ray.put of a dict) is available when the media side is known-small;
+- reassembly is the single wide shuffle, on a crc32 doc_id bucket key
+  (stages/reassemble.py), which doubles as the resume partition
+  (stages/manifest.py).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .. import MODEL_VERSION
+from ..schema import DOCUMENTS_SCHEMA
+from ..sources import read_documents, read_media
+from ..stages.explode import explode_spans, only_kind
+from ..stages.manifest import (
+    append_manifest,
+    completed_buckets,
+    config_fingerprint,
+    write_bucket_atomic,
+)
+from ..stages.ocr_actor import OcrActor
+from ..stages.reassemble import add_bucket_column, stitch_bucket
+from ..stages.strip import strip_text_spans
+from ..state.glyph_model import GlyphModel
+
+
+@dataclass
+class ExtractConfig:
+    ocr_concurrency: int = 8
+    ocr_batch_size: int = 64
+    num_buckets: int = 64
+    join_strategy: str = "hash"  # "hash" | "broadcast"
+    join_partitions: int = 32
+    emit_boxes: bool = False
+    model_blob: bytes = field(default_factory=lambda: GlyphModel.build().to_bytes(), repr=False)
+
+    def fingerprint_dict(self) -> dict:
+        return {
+            "model_version": MODEL_VERSION,
+            "num_buckets": self.num_buckets,
+        }
+
+
+def ocr_media(media_path: str, cfg: ExtractConfig, emit_boxes: bool | None = None) -> rd.Dataset:
+    """media table -> per-page OCR results (actor-pool stage)."""
+    media = read_media(media_path)
+    return media.map_batches(
+        OcrActor,
+        fn_constructor_kwargs={
+            "model_blob": cfg.model_blob,
+            "emit_boxes": cfg.emit_boxes if emit_boxes is None else emit_boxes,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=cfg.ocr_batch_size,
+        concurrency=cfg.ocr_concurrency,
+        num_cpus=1,
+    )
+
+
+def _join_media_text(media_rows: rd.Dataset, ocr_text: rd.Dataset, cfg: ExtractConfig) -> rd.Dataset:
+    """(doc_id, offset, kind, media_ref) ⋈ (media_ref, rec_text) -> span rows
+    with recognized text."""
+    if cfg.join_strategy == "broadcast":
+        # Small media side: ship the ref->text dict through the object
+        # store once (ray.put), look up per batch. No shuffle.
+        table: dict[str, str] = {}
+        for b in ocr_text.iter_batches(batch_format="pyarrow", batch_size=65536):
+            table.update(zip(b["media_ref"].to_pylist(), b["rec_text"].to_pylist()))
+        lookup_ref = ray.put(table)
+
+        def lookup(batch: pa.Table) -> pa.Table:
+            table = ray.get(lookup_ref)
+            texts = pa.array(
+                [table.get(r, "") for r in batch.column("media_ref").to_pylist()],
+                pa.string(),
+            )
+            i = batch.schema.get_field_index("text")
+            return batch.set_column(i, "text", texts)
+
+        return media_rows.map_batches(lookup, batch_format="pyarrow")
+
+    # Aggregator actors default to 1 whole CPU each; fractional
+    # reservations keep a small-CPU session (tests, laptops) from
+    # starving the map stages while still scaling out on big nodes.
+    joined = media_rows.join(
+        ocr_text,
+        join_type="inner",
+        num_partitions=cfg.join_partitions,
+        on=("media_ref",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("text")
+        batch = batch.set_column(i, "text", batch.column("rec_text"))
+        return batch.drop_columns(["rec_text"])
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _span_rows(docs_path: str, media_path: str, cfg: ExtractConfig) -> rd.Dataset:
+    docs = read_documents(docs_path)
+    spans = docs.map_batches(explode_spans, batch_format="pyarrow", zero_copy_batch=True)
+    text_rows = spans.map_batches(only_kind("text"), batch_format="pyarrow").map_batches(
+        strip_text_spans, batch_format="pyarrow"
+    )
+    media_rows = spans.map_batches(only_kind("media_ref"), batch_format="pyarrow")
+    ocr_text = ocr_media(media_path, cfg, emit_boxes=False).map_batches(
+        lambda b: b.select(["media_ref", "text"]).rename_columns(["media_ref", "rec_text"]),
+        batch_format="pyarrow",
+    )
+    media_with_text = _join_media_text(media_rows, ocr_text, cfg)
+    return text_rows.union(media_with_text)
+
+
+def run_extract(
+    docs_path: str,
+    media_path: str,
+    cfg: ExtractConfig | None = None,
+    out_dir: str | None = None,
+    resume: bool = True,
+) -> rd.Dataset | list[dict]:
+    """Run the flagship extraction.
+
+    Without ``out_dir``: returns the reassembled documents Dataset
+    (lazy; caller consumes it).
+
+    With ``out_dir``: writes one parquet per bucket (atomic) + manifest
+    rows with lineage and metrics; returns the new manifest rows.  With
+    ``resume=True``, buckets already recorded in the manifest under the
+    same config fingerprint are skipped *before* the shuffle.
+    """
+    cfg = cfg or ExtractConfig()
+    rows = _span_rows(docs_path, media_path, cfg)
+    bucketed = rows.map_batches(add_bucket_column(cfg.num_buckets), batch_format="pyarrow")
+
+    if out_dir is None:
+        return bucketed.groupby("bucket").map_groups(
+            lambda g: stitch_bucket(g.drop_columns(["bucket"])),
+            batch_format="pyarrow",
+        )
+
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    fp = config_fingerprint(cfg.fingerprint_dict())
+    done = completed_buckets(out_dir, fp) if resume else set()
+    if done:
+        import pyarrow.compute as pc
+
+        skip = pa.array(sorted(done), pa.int32())
+        bucketed = bucketed.map_batches(
+            lambda b: b.filter(pc.invert(pc.is_in(b.column("bucket"), value_set=skip))),
+            batch_format="pyarrow",
+        )
+    input_files = sorted(
+        [docs_path, media_path]
+    )  # at Lance scale: fragment ids / file lists per bucket
+
+    def stitch_and_write(group: pa.Table) -> pa.Table:
+        t0 = time.monotonic()
+        bucket = int(group.column("bucket")[0].as_py())
+        table = stitch_bucket(group.drop_columns(["bucket"]))
+        name = write_bucket_atomic(out_dir, bucket, table)
+        n_spans = int(sum(len(s) for s in table.column("spans").to_pylist()))
+        row = {
+            "partition_id": bucket,
+            "config_fingerprint": fp,
+            "model_version": MODEL_VERSION,
+            "input_files": input_files,
+            "n_docs": table.num_rows,
+            "n_spans": n_spans,
+            "n_words": -1,
+            "wall_ms": (time.monotonic() - t0) * 1000.0,
+            "output_file": name,
+        }
+        from ..schema import MANIFEST_SCHEMA
+
+        return pa.Table.from_pylist([row], schema=MANIFEST_SCHEMA)
+
+    manifest_rows = (
+        bucketed.groupby("bucket")
+        .map_groups(stitch_and_write, batch_format="pyarrow")
+        .take_all()
+    )  # manifest rows are tiny (one per bucket) — safe to materialize
+    append_manifest(out_dir, manifest_rows)
+    return manifest_rows
+
+
+def _span_seq_hashes(side: str):
+    """(doc_id, spans) -> (doc_id, side, seq_hash) where seq_hash is a
+    canonical digest of the (kind, text, media_ref, order) sequence."""
+    import hashlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        hashes = []
+        for spans in batch.column("spans").to_pylist():
+            spans = sorted(spans, key=lambda s: s["offset"])
+            h = hashlib.sha1()
+            for s in spans:
+                h.update(
+                    f"{s['kind']}\x1f{s['text']}\x1f{s['media_ref']}\x1e".encode()
+                )
+            hashes.append(h.hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "side": pa.array([side] * len(doc_ids), pa.string()),
+                "seq_hash": pa.array(hashes, pa.string()),
+            }
+        )
+
+    return fn
+
+
+def validate_against_golden(result: rd.Dataset, golden_path: str) -> dict:
+    """Span-sequence equality gate: (kind, text, media_ref, order) per doc
+    (BASELINE.json north_rule).  Returns counts; mismatches==0 is the gate.
+
+    Implemented as a union + bucket-groupby compare over tiny
+    (doc_id, seq_hash) rows — a task-based shuffle with no persistent
+    aggregator actors, so it composes with actor-pool stages on any CPU
+    budget and only digests (never span payloads) move in the shuffle.
+    """
+    golden = rd.read_parquet(golden_path)
+    tagged = result.map_batches(_span_seq_hashes("r"), batch_format="pyarrow").union(
+        golden.map_batches(_span_seq_hashes("g"), batch_format="pyarrow")
+    )
+
+    def compare(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = group.to_pandas()
+        piv = df.pivot_table(
+            index="doc_id", columns="side", values="seq_hash", aggfunc="first"
+        )
+        r = piv["r"] if "r" in piv else pd.Series(index=piv.index, dtype=object)
+        g = piv["g"] if "g" in piv else pd.Series(index=piv.index, dtype=object)
+        missing = int(r.isna().sum() + g.isna().sum())
+        both = r.notna() & g.notna()
+        ok = int((r[both] == g[both]).sum())
+        mismatch = int(both.sum()) - ok
+        return pa.Table.from_pylist(
+            [{"ok": ok, "mismatch": mismatch, "missing": missing}]
+        )
+
+    bucketed = tagged.map_batches(add_bucket_column(16), batch_format="pyarrow")
+    counts = (
+        bucketed.groupby("bucket")
+        .map_groups(compare, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )
+    return {
+        "docs_ok": int(counts["ok"]),
+        "docs_mismatched": int(counts["mismatch"]),
+        "docs_missing": int(counts["missing"]),
+    }

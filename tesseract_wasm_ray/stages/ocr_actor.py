@@ -1,0 +1,86 @@
+"""OcrActor — the stateful OCR stage (actor pool for map_batches).
+
+The Ray-native equivalent of the reference's worker-held engine: one
+warm engine + loaded model per worker
+(/root/reference/src/worker.ts:14-20, src/node-worker.js:46-53; pool
+advice at examples/node-server/ocr-server.js:48-51).  Model load happens
+ONCE per actor in ``__init__`` (ST2, SURVEY.md §2.3); each ``__call__``
+processes one Arrow batch of media rows.
+
+Per row: decode raw pixels -> binarize -> detect orientation ->
+derotate -> layout + recognition (all vectorized numpy inside the
+kernel) -> text / word boxes / line boxes / orientation columns.
+
+Wire as::
+
+    media.map_batches(OcrActor, fn_constructor_kwargs={"model_blob": blob},
+                      batch_format="pyarrow", zero_copy_batch=True,
+                      batch_size=cfg.ocr_batch_size,
+                      concurrency=cfg.ocr_concurrency, num_cpus=1)
+
+Skew note (SURVEY.md §4.2): media pages are recognized *before* any
+per-document grouping, one row at a time inside the batch, so a
+media-heavy document never makes a straggler partition — its pages
+spread across the whole actor pool; only small text structs shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..engine import OCREngine
+from ..schema import OCR_RESULT_SCHEMA
+from ..state.glyph_model import GlyphModel
+
+
+def _rect_dict(r) -> dict:
+    return {"left": r.left, "top": r.top, "right": r.right, "bottom": r.bottom}
+
+
+def _item_dict(it) -> dict:
+    return {
+        "rect": _rect_dict(it.rect),
+        "flags": it.flags,
+        "confidence": it.confidence,
+        "text": it.text,
+    }
+
+
+class OcrActor:
+    def __init__(self, model_blob: bytes | None = None, emit_boxes: bool = True):
+        model = GlyphModel.from_bytes(model_blob) if model_blob else GlyphModel.build()
+        self.engine = OCREngine()
+        self.engine.load_model(model)
+        self.emit_boxes = emit_boxes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths = batch.column("width").to_numpy()
+        heights = batch.column("height").to_numpy()
+        channels = batch.column("channels").to_numpy()
+        pixels = batch.column("pixels")
+        rows = []
+        eng = self.engine
+        for j in range(batch.num_rows):
+            w, h, c = int(widths[j]), int(heights[j]), int(channels[j])
+            buf = pixels[j].as_buffer()
+            img = np.frombuffer(buf, dtype=np.uint8)
+            img = img.reshape((h, w) if c == 1 else (h, w, 4))
+            eng.load_image(img)
+            o = eng.get_orientation()
+            if o["rotation"]:
+                eng.load_ink(eng.derotated_ink(o["rotation"]))
+            words = eng.get_text_boxes("word")
+            lines = eng.get_text_boxes("line")
+            text = eng.get_text()
+            rows.append(
+                {
+                    "media_ref": batch.column("media_ref")[j].as_py(),
+                    "text": text,
+                    "words": [_item_dict(x) for x in words] if self.emit_boxes else [],
+                    "lines": [_item_dict(x) for x in lines] if self.emit_boxes else [],
+                    "orientation": o,
+                    "n_words": len([x for x in words if x.text]),
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=OCR_RESULT_SCHEMA)

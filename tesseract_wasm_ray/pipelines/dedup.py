@@ -1,0 +1,505 @@
+"""Deduplication pipelines over a documents-style table.
+
+Five dedup families (driver brief: first-class training-data operators):
+
+- :func:`exact_dedup` — md5-of-text hash-partition + keep-min-id;
+- :func:`minhash_lsh_dedup` — word-shingle MinHash -> banded LSH buckets
+  -> signature-Jaccard verify vs the bucket representative;
+- :func:`simhash_dedup` — 64-bit SimHash -> pigeonhole block buckets ->
+  hamming-distance verify;
+- :func:`ngram_jaccard_dedup` — MinHash-LSH candidates -> EXACT word
+  n-gram Jaccard verification via pair joins back to the text;
+- :func:`embedding_neardup` — random-hyperplane sign-LSH buckets ->
+  exact cosine verify.
+
+Scale shape (100 TB): every family is
+``map_batches (sketch, vectorized) -> groupby(bucket) (the one
+all-to-all, moving only small sketch rows — never full text except in
+the exact-Jaccard verify joins, which move only candidate PAIRS) ->
+left_anti join of the tiny dup-id set against the corpus``.  "Keep"
+semantics are deterministic: the surviving row of a duplicate group is
+the one with the minimum id.
+
+Buckets are crc32-stable across processes (stages/reassemble.py
+pattern), so re-runs produce identical partitions.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.sketch import (
+    hamming_distance,
+    lsh_band_keys,
+    minhash_signatures,
+    shingle_hashes,
+    signature_jaccard,
+    simhash,
+    simhash_blocks,
+)
+
+
+
+def _single_chunk(col):
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
+    return col
+
+
+def _crc_bucket_i64(keys: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Stable bucket of an int64 key array (arithmetic, vectorized)."""
+    with np.errstate(over="ignore"):
+        mixed = (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+    return (mixed % np.uint64(num_buckets)).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def keep_min_by(
+    ds: rd.Dataset, key_col: str, order_col: str, num_buckets: int = 64
+) -> rd.Dataset:
+    """Keep, per distinct ``key_col`` value, the single row with the
+    minimum ``order_col``.  Hash-bucket the key (bounded group count),
+    one vectorized sort + boundary-take per bucket."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col)
+        if pa.types.is_integer(keys.type):
+            b = _crc_bucket_i64(
+                keys.to_numpy(zero_copy_only=False).astype(np.int64), num_buckets
+            )
+        else:
+            enc = _single_chunk(pc.dictionary_encode(keys))
+            lut = np.array(
+                [zlib.crc32(str(v).encode()) % num_buckets for v in enc.dictionary.to_pylist()],
+                dtype=np.int32,
+            )
+            b = lut[enc.indices.to_numpy(zero_copy_only=False)] if len(lut) else np.empty(0, np.int32)
+        return batch.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def first_per_key(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["__bucket"]).sort_by(
+            [(key_col, "ascending"), (order_col, "ascending")]
+        )
+        if t.num_rows == 0:
+            return t
+        keys = _single_chunk(t.column(key_col))
+        neq = pc.not_equal(keys.slice(1), keys.slice(0, len(keys) - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.flatnonzero(np.r_[True, neq])
+        return t.take(pa.array(starts, pa.int64()))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(first_per_key, batch_format="pyarrow")
+    )
+
+
+def exact_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Exact dedup on md5(text): one survivor (min id) per distinct text."""
+    import hashlib
+
+    def add_md5(b: pa.Table) -> pa.Table:
+        texts = _single_chunk(b.column(text_col)).to_pylist()
+        md5s = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+        return b.append_column("md5", pa.array(md5s, pa.string()))
+
+    with_md5 = ds.map_batches(add_md5, batch_format="pyarrow")
+    return keep_min_by(with_md5, "md5", id_col, num_buckets).drop_columns(["md5"])
+
+
+# ---------------------------------------------------------------------------
+# bucketed candidate machinery (MinHash / SimHash / embedding LSH)
+# ---------------------------------------------------------------------------
+
+
+def _dup_ids_from_buckets(
+    bucket_rows: rd.Dataset,
+    key_col: str,
+    id_col: str,
+    verify,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Generic LSH dup-finder.  ``bucket_rows`` has (key_col, id_col,
+    payload...).  Rows sharing a key are candidates; ``verify(group_tbl,
+    rep_idx, member_idx) -> bool mask`` confirms near-duplicates against
+    the group representative (min id).  Returns a Dataset of distinct
+    dup ids (column ``id_col``) — always excluding representatives, so
+    one survivor remains per confirmed group."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "__bucket", pa.array(_crc_bucket_i64(keys, num_buckets), pa.int32())
+        )
+
+    def find_dups(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["__bucket"]).sort_by(
+            [(key_col, "ascending"), (id_col, "ascending")]
+        )
+        n = t.num_rows
+        if n == 0:
+            return pa.table({id_col: pa.array([], t.column(id_col).type)})
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        new_grp = np.r_[True, keys[1:] != keys[:-1]]
+        grp_id = np.cumsum(new_grp) - 1
+        rep_idx = np.flatnonzero(new_grp)  # first (min-id) row per key group
+        member_idx = np.flatnonzero(~new_grp)
+        if len(member_idx) == 0:
+            return pa.table({id_col: pa.array([], t.column(id_col).type)})
+        rep_of_member = rep_idx[grp_id[member_idx]]
+        ok = verify(t, rep_of_member, member_idx)
+        dup_rows = member_idx[ok]
+        return pa.table({id_col: _single_chunk(t.column(id_col)).take(pa.array(dup_rows, pa.int64()))})
+
+    dups = (
+        bucket_rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(find_dups, batch_format="pyarrow")
+    )
+    # An id can be flagged by several bands/blocks — dedupe the dup list.
+    return keep_min_by(dups.map_batches(
+        lambda b: b.append_column("__one", pa.array(np.zeros(b.num_rows, np.int8))),
+        batch_format="pyarrow",
+    ), id_col, "__one").drop_columns(["__one"])
+
+
+def _sig_matrix(t: pa.Table, col: str) -> np.ndarray:
+    arr = _single_chunk(t.column(col))
+    k = arr.type.list_size
+    return np.asarray(arr.values, dtype=np.int64).reshape(-1, k).view(np.uint64)
+
+
+def minhash_band_rows(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> rd.Dataset:
+    """(id, band_key, sig) rows — ``bands`` rows per input row.  Only
+    ids + sketches leave the map stage; text stays columnar-pruned out."""
+    rows_per_band = k // bands
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        texts = _single_chunk(batch.column(text_col))
+        sh, par, n = shingle_hashes(texts, n=shingle_n)
+        sig = minhash_signatures(sh, par, n, k=k)
+        keys = lsh_band_keys(sig, bands, rows_per_band)  # (n, bands)
+        ids = batch.column(id_col)
+        out_ids = pc.take(ids, pa.array(np.repeat(np.arange(n), bands), pa.int64()))
+        sig_rep = np.repeat(sig.view(np.int64), bands, axis=0)
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(sig_rep.ravel(), pa.int64()), k
+        )
+        return pa.table(
+            {
+                id_col: _single_chunk(out_ids),
+                "band_key": pa.array(keys.ravel(), pa.int64()),
+                "sig": sig_col,
+            }
+        )
+
+    return ds.map_batches(sketch, batch_format="pyarrow")
+
+
+def minhash_lsh_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    num_buckets: int = 64,
+    join_partitions: int = 16,
+) -> rd.Dataset:
+    """MinHash+LSH near-dup removal: keep one survivor (min id) per
+    group of docs whose estimated shingle-Jaccard ≥ ``threshold``."""
+    band_rows = minhash_band_rows(ds, text_col, id_col, k, bands, shingle_n)
+
+    def verify(t: pa.Table, rep_idx: np.ndarray, member_idx: np.ndarray) -> np.ndarray:
+        sig = _sig_matrix(t, "sig")
+        return signature_jaccard(sig[member_idx], sig[rep_idx]) >= threshold
+
+    dup_ids = _dup_ids_from_buckets(band_rows, "band_key", id_col, verify, num_buckets)
+    return ds.join(
+        dup_ids,
+        join_type="left_anti",
+        num_partitions=join_partitions,
+        on=(id_col,),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+
+def simhash_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_buckets: int = 64,
+    join_partitions: int = 16,
+) -> rd.Dataset:
+    """SimHash near-dup removal: 4-block pigeonhole candidates (complete
+    for hamming ≤ 3), verified by exact hamming distance."""
+    n_blocks = 4
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        texts = _single_chunk(batch.column(text_col))
+        sig = simhash(texts)
+        blocks = simhash_blocks(sig, n_blocks)  # (n, 4)
+        n = len(sig)
+        # Namespace each block position so block i only matches block i.
+        keyed = blocks + (np.arange(n_blocks, dtype=np.int64) << 48)[None, :]
+        ids = pc.take(
+            batch.column(id_col), pa.array(np.repeat(np.arange(n), n_blocks), pa.int64())
+        )
+        return pa.table(
+            {
+                id_col: _single_chunk(ids),
+                "block_key": pa.array(keyed.ravel(), pa.int64()),
+                "sim": pa.array(np.repeat(sig.view(np.int64), n_blocks), pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(sketch, batch_format="pyarrow")
+
+    def verify(t: pa.Table, rep_idx: np.ndarray, member_idx: np.ndarray) -> np.ndarray:
+        sim = t.column("sim").to_numpy(zero_copy_only=False).view(np.uint64)
+        return hamming_distance(sim[member_idx], sim[rep_idx]) <= max_hamming
+
+    dup_ids = _dup_ids_from_buckets(rows, "block_key", id_col, verify, num_buckets)
+    return ds.join(
+        dup_ids,
+        join_type="left_anti",
+        num_partitions=join_partitions,
+        on=(id_col,),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+
+def ngram_jaccard_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    num_buckets: int = 64,
+    join_partitions: int = 16,
+) -> rd.Dataset:
+    """EXACT word n-gram Jaccard dedup.  Candidates come from MinHash
+    LSH (cheap, sketch-only shuffle); verification joins the candidate
+    PAIRS — a tiny dataset — back to the corpus text twice and computes
+    the exact shingle-set Jaccard per pair.  Only confirmed ids are
+    dropped (min-id survivor per pair group)."""
+    band_rows = minhash_band_rows(ds, text_col, id_col, k=64, bands=16, shingle_n=shingle_n)
+
+    # Candidate pairs (member, rep) with a permissive signature screen at
+    # half the final threshold — exactness comes from the verify step.
+    screen = threshold * 0.5
+
+    def verify(t: pa.Table, rep_idx: np.ndarray, member_idx: np.ndarray) -> np.ndarray:
+        sig = _sig_matrix(t, "sig")
+        return signature_jaccard(sig[member_idx], sig[rep_idx]) >= screen
+
+    def pairs_from_buckets(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["__bucket"]).sort_by(
+            [("band_key", "ascending"), (id_col, "ascending")]
+        )
+        keys = t.column("band_key").to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return pa.table(
+                {id_col: pa.array([], t.column(id_col).type),
+                 "rep_id": pa.array([], t.column(id_col).type)}
+            )
+        new_grp = np.r_[True, keys[1:] != keys[:-1]]
+        grp_id = np.cumsum(new_grp) - 1
+        rep_idx = np.flatnonzero(new_grp)
+        member_idx = np.flatnonzero(~new_grp)
+        if len(member_idx) == 0:
+            return pa.table(
+                {id_col: pa.array([], t.column(id_col).type),
+                 "rep_id": pa.array([], t.column(id_col).type)}
+            )
+        rep_of = rep_idx[grp_id[member_idx]]
+        ok = verify(t, rep_of, member_idx)
+        ids = _single_chunk(t.column(id_col))
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(member_idx[ok], pa.int64())),
+                "rep_id": ids.take(pa.array(rep_of[ok], pa.int64())),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = batch.column("band_key").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "__bucket", pa.array(_crc_bucket_i64(keys, num_buckets), pa.int32())
+        )
+
+    pairs = (
+        band_rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pairs_from_buckets, batch_format="pyarrow")
+    )
+    pairs = keep_min_by(pairs, id_col, "rep_id")  # one rep per member id
+
+    text_only = ds.map_batches(
+        lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
+    )
+    j1 = pairs.join(
+        text_only,
+        join_type="inner",
+        num_partitions=join_partitions,
+        on=(id_col,),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+    j1 = j1.map_batches(
+        lambda b: b.rename_columns(
+            [{text_col: "text_a"}.get(c, c) for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = j1.join(
+        text_only.map_batches(
+            lambda b: b.rename_columns([id_col + "_r", "text_b"]), batch_format="pyarrow"
+        ),
+        join_type="inner",
+        num_partitions=join_partitions,
+        on=("rep_id",),
+        right_on=(id_col + "_r",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def exact_jaccard(batch: pa.Table) -> pa.Table:
+        ha, pa_a, n = shingle_hashes(_single_chunk(batch.column("text_a")), shingle_n)
+        hb, pa_b, _ = shingle_hashes(_single_chunk(batch.column("text_b")), shingle_n)
+        jac = np.zeros(n)
+        for i in range(n):  # candidate pairs are few; set ops per pair
+            sa = set(ha[pa_a == i].tolist())
+            sb = set(hb[pa_b == i].tolist())
+            denom = len(sa | sb)
+            jac[i] = (len(sa & sb) / denom) if denom else 1.0
+        keep = pa.array(jac >= threshold)
+        return batch.filter(keep).select([id_col])
+
+    dup_ids = j2.map_batches(exact_jaccard, batch_format="pyarrow")
+    return ds.join(
+        dup_ids,
+        join_type="left_anti",
+        num_partitions=join_partitions,
+        on=(id_col,),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+
+def embedding_neardup(
+    ds: rd.Dataset,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    planes: int = 16,
+    seed: int = 11,
+    num_buckets: int = 64,
+    join_partitions: int = 16,
+) -> rd.Dataset:
+    """Embedding-cosine near-dup removal: random-hyperplane sign-LSH
+    buckets (``planes`` bits), exact cosine verify vs the bucket
+    representative.  The hyperplane matrix is seeded and rebuilt in
+    every task (tiny) — no state to ship."""
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        emb = _single_chunk(batch.column(emb_col))
+        n = len(emb)
+        dim = len(emb[0]) if n else 0
+        mat = np.asarray(emb.values, dtype=np.float64).reshape(n, dim) if n else np.zeros((0, 0))
+        rng = np.random.default_rng(seed)
+        planes_m = rng.standard_normal((dim, planes)) if dim else np.zeros((0, planes))
+        bits = (mat @ planes_m > 0).astype(np.uint64)
+        key = (bits << np.arange(planes, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        unit = mat / np.maximum(norms, 1e-12)[:, None]
+        return pa.table(
+            {
+                id_col: _single_chunk(batch.column(id_col)),
+                "plane_key": pa.array(key.view(np.int64), pa.int64()),
+                "unit": pa.FixedSizeListArray.from_arrays(
+                    pa.array(unit.ravel(), pa.float64()), dim
+                ),
+            }
+        )
+
+    rows = ds.map_batches(sketch, batch_format="pyarrow")
+
+    def verify(t: pa.Table, rep_idx: np.ndarray, member_idx: np.ndarray) -> np.ndarray:
+        unit = _single_chunk(t.column("unit"))
+        dim = unit.type.list_size
+        m = np.asarray(unit.values, dtype=np.float64).reshape(-1, dim)
+        cos = (m[member_idx] * m[rep_idx]).sum(axis=1)
+        return cos >= threshold
+
+    dup_ids = _dup_ids_from_buckets(rows, "plane_key", id_col, verify, num_buckets)
+
+    # pyarrow's hash join rejects nested payload columns — pack the
+    # embedding to binary across the anti-join, unpack after (vectorized
+    # buffer slicing; dtype/offsets preserved exactly).
+    emb_type = None
+
+    def pack(b: pa.Table) -> pa.Table:
+        emb = _single_chunk(b.column(emb_col))
+        vals = np.asarray(emb.values)
+        offs = np.asarray(emb.offsets, dtype=np.int64)
+        byts = [vals[offs[i] : offs[i + 1]].tobytes() for i in range(len(emb))]
+        i = b.schema.get_field_index(emb_col)
+        return b.remove_column(i).append_column("__emb", pa.array(byts, pa.binary()))
+
+    packed = ds.map_batches(pack, batch_format="pyarrow")
+    kept = packed.join(
+        dup_ids,
+        join_type="left_anti",
+        num_partitions=join_partitions,
+        on=(id_col,),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+    sample = ds.schema().base_schema
+    value_type = sample.field(emb_col).type.value_type
+    np_dtype = value_type.to_pandas_dtype()
+
+    def unpack(b: pa.Table) -> pa.Table:
+        byts = _single_chunk(b.column("__emb"))
+        bufs = [x.as_py() for x in byts]
+        itemsize = np.dtype(np_dtype).itemsize
+        lens = np.array([len(x) // itemsize for x in bufs], dtype=np.int32)
+        flat = (
+            np.frombuffer(b"".join(bufs), dtype=np_dtype)
+            if bufs
+            else np.empty(0, np_dtype)
+        )
+        offsets = np.r_[0, np.cumsum(lens)].astype(np.int32)
+        arr = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(flat, value_type)
+        )
+        i = b.schema.get_field_index("__emb")
+        return b.remove_column(i).append_column(emb_col, arr)
+
+    return kept.map_batches(unpack, batch_format="pyarrow")

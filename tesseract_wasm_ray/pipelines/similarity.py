@@ -1,0 +1,227 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`topk_cosine` — exact brute-force top-k: per-batch numpy matmul
+  against a broadcast query matrix (``ray.put`` once, read per task),
+  per-batch partial top-k, then a tiny distributed sort+limit merge.
+- :func:`ivf_topk` — IVF-style scale path: k-means coarse centroids fit
+  on a driver-side SAMPLE (small, bounded), per-batch cell assignment,
+  probe only the ``nprobe`` cells nearest the query.  Recall < 1.0 by
+  construction; the brute-force path is the correctness baseline.
+
+Both paths prune to (id, score) immediately — embeddings never enter
+the merge shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _single_chunk(col):
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
+    return col
+
+
+def _matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+    emb = _single_chunk(batch.column(emb_col))
+    n = len(emb)
+    if n == 0:
+        return np.zeros((0, 0))
+    if pa.types.is_fixed_size_list(emb.type):
+        dim = emb.type.list_size
+        return np.asarray(emb.values, dtype=np.float64).reshape(n, dim)
+    flat = np.asarray(emb.values, dtype=np.float64)
+    offs = np.asarray(emb.offsets)
+    dim = int(offs[1] - offs[0])
+    return flat.reshape(n, dim)
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1), 1e-12)[:, None]
+
+
+def topk_cosine(
+    ds: rd.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = None,
+) -> rd.Dataset:
+    """Exact cosine top-k of ``query`` over the embedding column.
+
+    Returns a k-row Dataset (id_col, ``cos_sim``) sorted best-first with
+    ascending-id tie-break.  ``round_to`` optionally rounds scores (for
+    cross-engine comparisons).  The query vector ships via ``ray.put``
+    once — never re-serialized per batch."""
+    q = _unit(np.asarray(query, dtype=np.float64).reshape(1, -1))[0]
+    q_ref = ray.put(q)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch, emb_col)
+        if m.shape[0] == 0:
+            return pa.table(
+                {id_col: pa.array([], batch.column(id_col).type),
+                 "cos_sim": pa.array([], pa.float64())}
+            )
+        qv = ray.get(q_ref)
+        cos = _unit(m) @ qv
+        kk = min(k, len(cos))
+        idx = np.argpartition(-cos, kk - 1)[:kk]
+        scores = cos[idx]
+        if round_to is not None:
+            scores = np.round(scores, round_to)
+        return pa.table(
+            {
+                id_col: _single_chunk(batch.column(id_col)).take(pa.array(idx, pa.int64())),
+                "cos_sim": pa.array(scores, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.sort(["cos_sim", id_col], descending=[True, False]).limit(k)
+
+
+def fit_centroids(
+    ds: rd.Dataset,
+    n_centroids: int = 16,
+    emb_col: str = "embedding",
+    sample_rows: int = 4096,
+    iters: int = 8,
+    seed: int = 5,
+) -> np.ndarray:
+    """K-means on a bounded sample (Lloyd's, seeded, driver-side — the
+    sample is small by construction; the corpus itself never
+    materializes).  -> (n_centroids, dim) unit-norm centroids."""
+    sample = ds.limit(sample_rows).to_arrow_refs()
+    tables = [ray.get(r) for r in sample]
+    m = np.concatenate(
+        [_matrix(pa.table(t.combine_chunks()), emb_col) for t in tables if t.num_rows]
+    )
+    m = _unit(m)
+    rng = np.random.default_rng(seed)
+    n_centroids = min(n_centroids, len(m))
+    cent = m[rng.choice(len(m), n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = (m @ cent.T).argmax(axis=1)
+        for c in range(n_centroids):
+            mask = assign == c
+            if mask.any():
+                cent[c] = m[mask].mean(axis=0)
+        cent = _unit(cent)
+    return cent
+
+
+def ivf_topk(
+    ds: rd.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+) -> rd.Dataset:
+    """IVF approximate top-k: score only rows whose nearest centroid is
+    among the ``nprobe`` centroids closest to the query.  Centroids ship
+    once via ``ray.put``."""
+    if centroids is None:
+        centroids = fit_centroids(ds, n_centroids, emb_col)
+    q = _unit(np.asarray(query, dtype=np.float64).reshape(1, -1))[0]
+    probe_cells = np.argsort(-(centroids @ q))[:nprobe]
+    cent_ref = ray.put(centroids)
+    probe_ref = ray.put(np.sort(probe_cells))
+    q_ref = ray.put(q)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch, emb_col)
+        empty = pa.table(
+            {id_col: pa.array([], batch.column(id_col).type),
+             "cos_sim": pa.array([], pa.float64())}
+        )
+        if m.shape[0] == 0:
+            return empty
+        cent = ray.get(cent_ref)
+        probes = ray.get(probe_ref)
+        u = _unit(m)
+        cells = (u @ cent.T).argmax(axis=1)
+        mask = np.isin(cells, probes)
+        if not mask.any():
+            return empty
+        cos = u[mask] @ ray.get(q_ref)
+        ids = _single_chunk(batch.column(id_col)).take(
+            pa.array(np.flatnonzero(mask), pa.int64())
+        )
+        kk = min(k, len(cos))
+        idx = np.argpartition(-cos, kk - 1)[:kk]
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(idx, pa.int64())),
+                "cos_sim": pa.array(cos[idx], pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.sort(["cos_sim", id_col], descending=[True, False]).limit(k)
+
+
+def knn_self_join(
+    ds: rd.Dataset,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_rows_broadcast: int = 100_000,
+) -> rd.Dataset:
+    """All-pairs k-NN (small-side broadcast strategy): the (id, unit
+    vector) matrix is materialized ONCE into the object store and each
+    batch matmuls against it.  Correct while the index side fits the
+    object store (guarded); at larger scale use IVF cells as the join
+    key instead."""
+    index_rows = []
+    total = 0
+    for b in ds.map_batches(
+        lambda t: pa.table({id_col: t.column(id_col),
+                            "u": pa.array(list(_unit(_matrix(t, emb_col))))}),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow", batch_size=8192):
+        total += b.num_rows
+        if total > max_rows_broadcast:
+            raise ValueError(
+                f"index side exceeds {max_rows_broadcast} rows; use IVF partitioning"
+            )
+        index_rows.append(b)
+    index = pa.concat_tables(index_rows)
+    ids = index.column(id_col).to_numpy(zero_copy_only=False)
+    mat = np.stack(index.column("u").to_numpy(zero_copy_only=False))
+    idx_ref = ray.put((ids, mat))
+
+    def nn(batch: pa.Table) -> pa.Table:
+        ids_all, m_all = ray.get(idx_ref)
+        m = _unit(_matrix(batch, emb_col))
+        sims = m @ m_all.T  # (b, N)
+        my_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out_src, out_nbr, out_sim = [], [], []
+        kk = min(k + 1, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        for i in range(len(my_ids)):
+            cand = top[i][ids_all[top[i]] != my_ids[i]][:k]
+            order = np.argsort(-sims[i][cand], kind="stable")
+            cand = cand[order]
+            out_src.extend([my_ids[i]] * len(cand))
+            out_nbr.extend(ids_all[cand].tolist())
+            out_sim.extend(sims[i][cand].tolist())
+        return pa.table(
+            {
+                id_col: pa.array(out_src, batch.column(id_col).type),
+                "neighbor_id": pa.array(out_nbr, batch.column(id_col).type),
+                "cos_sim": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(nn, batch_format="pyarrow")

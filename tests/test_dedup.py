@@ -1,0 +1,161 @@
+"""Sketch kernels + dedup pipelines: planted exact/near duplicates must
+be removed (min-id survivor), distinct docs must survive."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tesseract_wasm_ray.functions.sketch import (
+    hamming_distance,
+    minhash_signatures,
+    shingle_hashes,
+    signature_jaccard,
+    simhash,
+)
+
+WORDS = ["tok%d" % i for i in range(200)]
+
+
+def _text(rng, n=30):
+    return " ".join(rng.choice(WORDS, size=n))
+
+
+def _perturb(rng, text, n_edits=1):
+    toks = text.split()
+    for _ in range(n_edits):
+        toks[int(rng.integers(0, len(toks)))] = str(rng.choice(WORDS))
+    return " ".join(toks)
+
+
+def _corpus():
+    """60 distinct docs + planted dups: ids 1000/1001 exact copies of 0/1,
+    ids 2000/2001 near-copies (1-word edit) of 2/3."""
+    rng = np.random.default_rng(17)
+    texts = [_text(rng) for _ in range(60)]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    rows += [{"doc_id": 1000, "text": texts[0]}, {"doc_id": 1001, "text": texts[1]}]
+    rows += [
+        {"doc_id": 2000, "text": _perturb(rng, texts[2])},
+        {"doc_id": 2001, "text": _perturb(rng, texts[3])},
+    ]
+    return pa.Table.from_pylist(rows)
+
+
+# -- kernel-level ----------------------------------------------------------
+
+
+def test_shingle_hashes_counts_and_short_rows():
+    t = pa.table({"text": ["a b c d e", "a b", ""]})
+    h, p, n = shingle_hashes(t.column("text").combine_chunks(), n=3)
+    assert n == 3
+    # row0: 3 windows; row1 (<n tokens): 1 whole-row shingle; row2: 0
+    assert (p == 0).sum() == 3 and (p == 1).sum() == 1 and (p == 2).sum() == 0
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.default_rng(5)
+    a = _text(rng, 80)
+    b = _perturb(rng, a, n_edits=4)  # high overlap
+    c = _text(rng, 80)  # unrelated
+    t = pa.table({"text": [a, b, c]})
+    h, p, n = shingle_hashes(t.column("text").combine_chunks(), n=3)
+    sig = minhash_signatures(h, p, n, k=128)
+    est_ab = signature_jaccard(sig[0:1], sig[1:2])[0]
+    est_ac = signature_jaccard(sig[0:1], sig[2:3])[0]
+    sa = set(h[p == 0].tolist())
+    sb = set(h[p == 1].tolist())
+    true_ab = len(sa & sb) / len(sa | sb)
+    assert abs(est_ab - true_ab) < 0.15
+    assert est_ac < 0.1 < est_ab
+
+
+def test_simhash_hamming_orders_similarity():
+    rng = np.random.default_rng(9)
+    a = _text(rng, 60)
+    b = _perturb(rng, a, n_edits=2)
+    c = _text(rng, 60)
+    sigs = simhash(pa.table({"text": [a, b, c]}).column("text").combine_chunks())
+    d_ab = hamming_distance(sigs[0:1], sigs[1:2])[0]
+    d_ac = hamming_distance(sigs[0:1], sigs[2:3])[0]
+    assert d_ab < d_ac
+    assert d_ab <= 6
+
+
+# -- pipeline-level --------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(_corpus())
+
+
+def test_exact_dedup(corpus_ds):
+    from tesseract_wasm_ray.pipelines.dedup import exact_dedup
+
+    kept = set(exact_dedup(corpus_ds, num_buckets=8).to_pandas()["doc_id"])
+    assert 1000 not in kept and 1001 not in kept  # exact copies dropped
+    assert {0, 1, 2, 3, 2000, 2001} <= kept  # near-dups survive exact dedup
+    assert len(kept) == 62
+
+
+def test_minhash_lsh_dedup(corpus_ds):
+    from tesseract_wasm_ray.pipelines.dedup import minhash_lsh_dedup
+
+    kept = set(
+        minhash_lsh_dedup(
+            corpus_ds, threshold=0.7, num_buckets=8, join_partitions=4
+        ).to_pandas()["doc_id"]
+    )
+    assert {1000, 1001, 2000, 2001}.isdisjoint(kept)  # exact + near dropped
+    assert {0, 1, 2, 3} <= kept  # min-id survivors kept
+    assert len(kept) == 60
+
+
+def test_simhash_dedup(corpus_ds):
+    from tesseract_wasm_ray.pipelines.dedup import simhash_dedup
+
+    kept = set(
+        simhash_dedup(
+            corpus_ds, max_hamming=6, num_buckets=8, join_partitions=4
+        ).to_pandas()["doc_id"]
+    )
+    assert 1000 not in kept and 1001 not in kept
+    assert {0, 1} <= kept
+    assert len(kept) <= 62
+
+
+def test_ngram_jaccard_dedup_exact_verification(corpus_ds):
+    from tesseract_wasm_ray.pipelines.dedup import ngram_jaccard_dedup
+
+    kept = set(
+        ngram_jaccard_dedup(
+            corpus_ds, threshold=0.6, num_buckets=8, join_partitions=4
+        ).to_pandas()["doc_id"]
+    )
+    assert {1000, 1001, 2000, 2001}.isdisjoint(kept)
+    assert {0, 1, 2, 3} <= kept
+    assert len(kept) == 60
+
+
+def test_embedding_neardup(ray_session):
+    import ray.data as rd
+
+    from tesseract_wasm_ray.pipelines.dedup import embedding_neardup
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((40, 32))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(40)]
+    # near-dup of vec 0 (tiny perturbation), plus an exact copy of vec 1
+    rows.append({"vec_id": 500, "embedding": (base[0] + 0.001).tolist()})
+    rows.append({"vec_id": 501, "embedding": base[1].tolist()})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    kept = set(
+        embedding_neardup(
+            ds, threshold=0.98, num_buckets=8, join_partitions=4
+        ).to_pandas()["vec_id"]
+    )
+    assert 500 not in kept and 501 not in kept
+    assert {0, 1} <= kept
+    assert len(kept) == 40

@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself BEFORE importing this module:
+nothing here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``       — flagship interleaved-extraction pipeline on the
+                      deterministic synthetic corpus sized for sf0.001.
+- ``queries()``     — one callable per implemented operator/pipeline
+                      (SURVEY.md §2 + training-data operator suite);
+                      each takes an sf_dir and returns a Dataset /
+                      DataFrame / pyarrow Table.
+- ``oracle_sql()``  — DuckDB equivalents for the SQL-expressible subset
+                      (identical column names + rounding on both sides).
+                      OCR/extraction and sketch-based queries are
+                      non-SQL-expressible -> rows-only checks.
 """
 
 from __future__ import annotations
@@ -20,25 +22,20 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: interleaved docs -> explode -> strip ⊕ OCR ->
+    reassemble, on the sf0.001-scale synthetic corpus."""
+    from tesseract_wasm_ray.pipelines.queries import q_extract_flagship
+
+    return q_extract_flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from tesseract_wasm_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from tesseract_wasm_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

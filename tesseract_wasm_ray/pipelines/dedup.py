@@ -16,7 +16,9 @@ Scale shape (100 TB): every family is
 ``map_batches (sketch, vectorized) -> groupby(bucket) (the one
 all-to-all, moving only small sketch rows — never full text except in
 the exact-Jaccard verify joins, which move only candidate PAIRS) ->
-left_anti join of the tiny dup-id set against the corpus``.  "Keep"
+anti-join of the dup-id set against the corpus (broadcast is_in
+filter by default; bucketed shuffle filter for huge dup sets —
+``anti_join_ids``)``.  "Keep"
 semantics are deterministic: the surviving row of a duplicate group is
 the one with the minimum id.
 
@@ -136,6 +138,7 @@ def _dup_ids_from_buckets(
     id_col: str,
     verify,
     num_buckets: int = 64,
+    id_type: pa.DataType | None = None,
 ) -> rd.Dataset:
     """Generic LSH dup-finder.  ``bucket_rows`` has (key_col, id_col,
     payload...).  Rows sharing a key are candidates; ``verify(group_tbl,
@@ -175,10 +178,127 @@ def _dup_ids_from_buckets(
         .map_groups(find_dups, batch_format="pyarrow")
     )
     # An id can be flagged by several bands/blocks — dedupe the dup list.
-    return keep_min_by(dups.map_batches(
+    deduped = keep_min_by(dups.map_batches(
         lambda b: b.append_column("__one", pa.array(np.zeros(b.num_rows, np.int8))),
         batch_format="pyarrow",
     ), id_col, "__one").drop_columns(["__one"])
+    if id_type is not None:
+        # Empty groupby partitions emit 0-row blocks with an EMPTY
+        # schema, which breaks the downstream anti-join ("no match for
+        # FieldRef").  Normalize every block to the typed id schema and
+        # union a typed seed block so even an all-empty dataset joins.
+        def normalize(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or id_col not in b.column_names:
+                return pa.table({id_col: pa.array([], id_type)})
+            return b.select([id_col])
+
+        seed = rd.from_arrow(pa.table({id_col: pa.array([], id_type)}))
+        deduped = seed.union(deduped.map_batches(normalize, batch_format="pyarrow"))
+    return deduped
+
+
+def anti_join_ids(
+    ds: rd.Dataset,
+    dup_ids: rd.Dataset,
+    id_col: str,
+    strategy: str = "broadcast",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Drop corpus rows whose id appears in ``dup_ids``.
+
+    ``Dataset.join(join_type="left_anti")`` is unusable here: Ray
+    2.49's hash-join aggregator builds schema-less empty tables for
+    partitions that receive no right-side rows, and pyarrow then fails
+    with "No match for FieldRef" — any sparse dup set crashes.  Two
+    strategies of our own instead:
+
+    - ``broadcast`` (default): stream the dup-id column to the driver
+      (compact Arrow array — ids only, never payloads), ``ray.put`` it
+      once, and filter every batch with a vectorized ``is_in``.  No
+      corpus shuffle at all.  Right choice while the dup-id set fits in
+      memory (billions of int64 ids = GBs) — i.e. almost always.
+    - ``shuffle``: for dup sets too large to broadcast — null-pad the
+      dup ids to the corpus schema, union, hash-bucket by id, and filter
+      inside each bucket group.  One corpus-wide shuffle, same movement
+      a hash join would cost, but robust to empty partitions.
+    """
+    import ray
+
+    if strategy == "broadcast":
+        chunks = []
+        for b in dup_ids.iter_batches(batch_format="pyarrow", batch_size=65536):
+            if id_col in b.column_names and b.num_rows:
+                chunks.append(_single_chunk(b.column(id_col)))
+        dup_arr = (
+            pa.concat_arrays(chunks)
+            if chunks
+            else pa.array([], ds.schema().base_schema.field(id_col).type)
+        )
+        if len(dup_arr) == 0:
+            return ds
+        ref = ray.put(dup_arr)
+
+        def filt(batch: pa.Table) -> pa.Table:
+            dup = ray.get(ref)
+            mask = pc.invert(pc.is_in(batch.column(id_col), value_set=dup))
+            return batch.filter(mask)
+
+        return ds.map_batches(filt, batch_format="pyarrow")
+
+    if strategy != "shuffle":
+        raise ValueError(f"unknown anti-join strategy {strategy!r}")
+
+    schema = ds.schema().base_schema
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        return b.append_column("__dup", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def pad_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows if id_col in b.column_names else 0
+        cols = {}
+        for f in schema:
+            if f.name == id_col and n:
+                cols[f.name] = pc.cast(_single_chunk(b.column(id_col)), f.type)
+            else:
+                cols[f.name] = pa.nulls(n, f.type)
+        t = pa.table(cols)
+        return t.append_column("__dup", pa.array(np.ones(n, np.int8)))
+
+    both = ds.map_batches(tag_left, batch_format="pyarrow").union(
+        dup_ids.map_batches(pad_right, batch_format="pyarrow")
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = batch.column(id_col)
+        if pa.types.is_integer(keys.type):
+            bk = _crc_bucket_i64(
+                keys.to_numpy(zero_copy_only=False).astype(np.int64), num_buckets
+            )
+        else:
+            bk = np.array(
+                [zlib.crc32(str(v).encode()) % num_buckets for v in keys.to_pylist()],
+                dtype=np.int32,
+            )
+        return batch.append_column("__bucket", pa.array(bk, pa.int32()))
+
+    def filter_group(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["__bucket"])
+        is_dup = pc.equal(t.column("__dup"), 1)
+        dup_set = t.filter(is_dup).column(id_col)
+        keep = t.filter(pc.invert(is_dup))
+        if len(dup_set):
+            keep = keep.filter(
+                pc.invert(
+                    pc.is_in(keep.column(id_col), value_set=_single_chunk(dup_set))
+                )
+            )
+        return keep.drop_columns(["__dup"])
+
+    return (
+        both.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(filter_group, batch_format="pyarrow")
+    )
 
 
 def _sig_matrix(t: pa.Table, col: str) -> np.ndarray:
@@ -230,7 +350,8 @@ def minhash_lsh_dedup(
     bands: int = 16,
     shingle_n: int = 3,
     num_buckets: int = 64,
-    join_partitions: int = 16,
+    join_partitions: int = 16,  # kept for API compat; no longer used
+    anti_strategy: str = "broadcast",
 ) -> rd.Dataset:
     """MinHash+LSH near-dup removal: keep one survivor (min id) per
     group of docs whose estimated shingle-Jaccard ≥ ``threshold``."""
@@ -240,14 +361,11 @@ def minhash_lsh_dedup(
         sig = _sig_matrix(t, "sig")
         return signature_jaccard(sig[member_idx], sig[rep_idx]) >= threshold
 
-    dup_ids = _dup_ids_from_buckets(band_rows, "band_key", id_col, verify, num_buckets)
-    return ds.join(
-        dup_ids,
-        join_type="left_anti",
-        num_partitions=join_partitions,
-        on=(id_col,),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
+    id_type = ds.schema().base_schema.field(id_col).type
+    dup_ids = _dup_ids_from_buckets(
+        band_rows, "band_key", id_col, verify, num_buckets, id_type=id_type
     )
+    return anti_join_ids(ds, dup_ids, id_col, strategy=anti_strategy)
 
 
 def simhash_dedup(
@@ -256,7 +374,8 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     num_buckets: int = 64,
-    join_partitions: int = 16,
+    join_partitions: int = 16,  # kept for API compat; no longer used
+    anti_strategy: str = "broadcast",
 ) -> rd.Dataset:
     """SimHash near-dup removal: 4-block pigeonhole candidates (complete
     for hamming ≤ 3), verified by exact hamming distance."""
@@ -286,14 +405,11 @@ def simhash_dedup(
         sim = t.column("sim").to_numpy(zero_copy_only=False).view(np.uint64)
         return hamming_distance(sim[member_idx], sim[rep_idx]) <= max_hamming
 
-    dup_ids = _dup_ids_from_buckets(rows, "block_key", id_col, verify, num_buckets)
-    return ds.join(
-        dup_ids,
-        join_type="left_anti",
-        num_partitions=join_partitions,
-        on=(id_col,),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
+    id_type = ds.schema().base_schema.field(id_col).type
+    dup_ids = _dup_ids_from_buckets(
+        rows, "block_key", id_col, verify, num_buckets, id_type=id_type
     )
+    return anti_join_ids(ds, dup_ids, id_col, strategy=anti_strategy)
 
 
 def ngram_jaccard_dedup(
@@ -303,7 +419,8 @@ def ngram_jaccard_dedup(
     threshold: float = 0.8,
     shingle_n: int = 3,
     num_buckets: int = 64,
-    join_partitions: int = 16,
+    join_partitions: int = 16,  # kept for API compat; no longer used
+    anti_strategy: str = "broadcast",
 ) -> rd.Dataset:
     """EXACT word n-gram Jaccard dedup.  Candidates come from MinHash
     LSH (cheap, sketch-only shuffle); verification joins the candidate
@@ -362,36 +479,49 @@ def ngram_jaccard_dedup(
     )
     pairs = keep_min_by(pairs, id_col, "rep_id")  # one rep per member id
 
-    text_only = ds.map_batches(
-        lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
-    )
-    j1 = pairs.join(
-        text_only,
-        join_type="inner",
-        num_partitions=join_partitions,
-        on=(id_col,),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
-    )
-    j1 = j1.map_batches(
-        lambda b: b.rename_columns(
-            [{text_col: "text_a"}.get(c, c) for c in b.column_names]
-        ),
-        batch_format="pyarrow",
-    )
-    j2 = j1.join(
-        text_only.map_batches(
-            lambda b: b.rename_columns([id_col + "_r", "text_b"]), batch_format="pyarrow"
-        ),
-        join_type="inner",
-        num_partitions=join_partitions,
-        on=("rep_id",),
-        right_on=(id_col + "_r",),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
-    )
+    # Resolve candidate texts WITHOUT Dataset.join (broken for sparse
+    # sides in Ray 2.49 — see anti_join_ids): candidate pairs are few by
+    # construction (LSH screen), so collect the pair list, broadcast an
+    # id -> text dict for only the involved ids (ray.put once), and
+    # verify pairs distributedly with the dict lookup.
+    import ray
+
+    pair_chunks = [
+        b
+        for b in pairs.iter_batches(batch_format="pyarrow", batch_size=65536)
+        if b.num_rows and id_col in b.column_names
+    ]
+    if not pair_chunks:
+        return ds
+    pairs_tbl = pa.concat_tables(pair_chunks)
+    id_type = ds.schema().base_schema.field(id_col).type
+    involved = pa.concat_arrays(
+        [
+            pc.cast(_single_chunk(pairs_tbl.column(id_col)), id_type),
+            pc.cast(_single_chunk(pairs_tbl.column("rep_id")), id_type),
+        ]
+    ).unique()
+    inv_ref = ray.put(involved)
+
+    def pick_texts(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b.column(id_col), value_set=ray.get(inv_ref))
+        return b.filter(mask).select([id_col, text_col])
+
+    id_to_text: dict = {}
+    for b in ds.map_batches(pick_texts, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=65536
+    ):
+        id_to_text.update(zip(b[id_col].to_pylist(), b[text_col].to_pylist()))
+    text_ref = ray.put(id_to_text)
 
     def exact_jaccard(batch: pa.Table) -> pa.Table:
-        ha, pa_a, n = shingle_hashes(_single_chunk(batch.column("text_a")), shingle_n)
-        hb, pa_b, _ = shingle_hashes(_single_chunk(batch.column("text_b")), shingle_n)
+        lut = ray.get(text_ref)
+        a_ids = batch.column(id_col).to_pylist()
+        b_ids = batch.column("rep_id").to_pylist()
+        text_a = pa.array([lut.get(i, "") for i in a_ids], pa.string())
+        text_b = pa.array([lut.get(i, "") for i in b_ids], pa.string())
+        ha, pa_a, n = shingle_hashes(text_a, shingle_n)
+        hb, pa_b, _ = shingle_hashes(text_b, shingle_n)
         jac = np.zeros(n)
         for i in range(n):  # candidate pairs are few; set ops per pair
             sa = set(ha[pa_a == i].tolist())
@@ -401,14 +531,10 @@ def ngram_jaccard_dedup(
         keep = pa.array(jac >= threshold)
         return batch.filter(keep).select([id_col])
 
-    dup_ids = j2.map_batches(exact_jaccard, batch_format="pyarrow")
-    return ds.join(
-        dup_ids,
-        join_type="left_anti",
-        num_partitions=join_partitions,
-        on=(id_col,),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
+    dup_ids = rd.from_arrow(pairs_tbl).map_batches(
+        exact_jaccard, batch_format="pyarrow"
     )
+    return anti_join_ids(ds, dup_ids, id_col, strategy=anti_strategy)
 
 
 def embedding_neardup(
@@ -419,7 +545,8 @@ def embedding_neardup(
     planes: int = 16,
     seed: int = 11,
     num_buckets: int = 64,
-    join_partitions: int = 16,
+    join_partitions: int = 16,  # kept for API compat; no longer used
+    anti_strategy: str = "broadcast",
 ) -> rd.Dataset:
     """Embedding-cosine near-dup removal: random-hyperplane sign-LSH
     buckets (``planes`` bits), exact cosine verify vs the bucket
@@ -458,48 +585,10 @@ def embedding_neardup(
         cos = (m[member_idx] * m[rep_idx]).sum(axis=1)
         return cos >= threshold
 
-    dup_ids = _dup_ids_from_buckets(rows, "plane_key", id_col, verify, num_buckets)
-
-    # pyarrow's hash join rejects nested payload columns — pack the
-    # embedding to binary across the anti-join, unpack after (vectorized
-    # buffer slicing; dtype/offsets preserved exactly).
-    emb_type = None
-
-    def pack(b: pa.Table) -> pa.Table:
-        emb = _single_chunk(b.column(emb_col))
-        vals = np.asarray(emb.values)
-        offs = np.asarray(emb.offsets, dtype=np.int64)
-        byts = [vals[offs[i] : offs[i + 1]].tobytes() for i in range(len(emb))]
-        i = b.schema.get_field_index(emb_col)
-        return b.remove_column(i).append_column("__emb", pa.array(byts, pa.binary()))
-
-    packed = ds.map_batches(pack, batch_format="pyarrow")
-    kept = packed.join(
-        dup_ids,
-        join_type="left_anti",
-        num_partitions=join_partitions,
-        on=(id_col,),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
+    dup_ids = _dup_ids_from_buckets(
+        rows, "plane_key", id_col, verify, num_buckets,
+        id_type=ds.schema().base_schema.field(id_col).type,
     )
-    sample = ds.schema().base_schema
-    value_type = sample.field(emb_col).type.value_type
-    np_dtype = value_type.to_pandas_dtype()
-
-    def unpack(b: pa.Table) -> pa.Table:
-        byts = _single_chunk(b.column("__emb"))
-        bufs = [x.as_py() for x in byts]
-        itemsize = np.dtype(np_dtype).itemsize
-        lens = np.array([len(x) // itemsize for x in bufs], dtype=np.int32)
-        flat = (
-            np.frombuffer(b"".join(bufs), dtype=np_dtype)
-            if bufs
-            else np.empty(0, np_dtype)
-        )
-        offsets = np.r_[0, np.cumsum(lens)].astype(np.int32)
-        arr = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()), pa.array(flat, value_type)
-        )
-        i = b.schema.get_field_index("__emb")
-        return b.remove_column(i).append_column(emb_col, arr)
-
-    return kept.map_batches(unpack, batch_format="pyarrow")
+    # anti_join_ids (not Dataset.join): nested list payloads and sparse
+    # dup sets are both fine — broadcast is_in filter, no corpus shuffle.
+    return anti_join_ids(ds, dup_ids, id_col, strategy=anti_strategy)

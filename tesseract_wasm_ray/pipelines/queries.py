@@ -1,0 +1,625 @@
+"""Driver-contract query catalogue (__ray_entry__.queries()).
+
+One callable per implemented operator/pipeline (SURVEY.md §2 + the
+training-data operator suite).  Each takes ``sf_dir`` (a
+/root/testdata/sf* directory) and returns a Dataset / pandas DataFrame /
+pyarrow Table.  SQL-expressible queries have DuckDB oracles in
+ORACLE_SQL (column names match exactly; float aggregates are rounded
+identically on both sides).  OCR/extraction queries run over the
+deterministic synthetic interleaved corpus (fixtures.py) cached under
+/tmp/twr_fixtures — non-SQL-expressible, so they get rows-only checks;
+their values are deterministic, making the driver's value-hash stable
+across rounds.
+
+Ray is initialised by the caller (driver / bench / tests) — nothing
+here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Mean, Sum
+
+from ..fixtures import generate_corpus
+from ..functions.textstats import (
+    detect_language,
+    fingerprint,
+    text_quality,
+    token_count,
+)
+from .dedup import (
+    embedding_neardup,
+    exact_dedup,
+    keep_min_by,
+    minhash_lsh_dedup,
+    ngram_jaccard_dedup,
+    simhash_dedup,
+)
+from .extract import ExtractConfig, ocr_media, run_extract, validate_against_golden
+from .similarity import ivf_topk, knn_self_join, topk_cosine
+
+FIXTURE_ROOT = os.environ.get("TWR_FIXTURE_ROOT", "/tmp/twr_fixtures")
+
+# docs in the synthetic interleaved corpus per scale factor
+_CORPUS_DOCS = {"0.001": 200, "0.01": 500, "0.1": 5000}
+
+
+def sf_of(sf_dir: str) -> str:
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir.rstrip("/"))
+    return m.group(1) if m else "0.001"
+
+
+def corpus_for(sf_dir: str) -> dict[str, str]:
+    sf = sf_of(sf_dir)
+    n_docs = _CORPUS_DOCS.get(sf, max(200, int(float(sf) * 50_000)))
+    return generate_corpus(os.path.join(FIXTURE_ROOT, f"sf{sf}"), n_docs)
+
+
+def _docs(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _round(t: pa.Table, cols: dict[str, int]) -> pa.Table:
+    for c, nd in cols.items():
+        i = t.schema.get_field_index(c)
+        t = t.set_column(i, c, pc.round(pc.cast(t.column(c), pa.float64()), ndigits=nd))
+    return t
+
+
+def _rename(t: pa.Table, mapping: dict[str, str]) -> pa.Table:
+    return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+
+# ---------------------------------------------------------------------------
+# SQL-oracled queries (testdata tables)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_token_stats(sf_dir: str):
+    """Token counting (whitespace + BPE-ish regex) per document."""
+    return _docs(sf_dir).map_batches(
+        lambda b: token_count(b).select(["doc_id", "n_tokens", "n_bpe_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_doc_quality(sf_dir: str):
+    """Quality-scoring metrics per document (SQL-checkable subset)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = text_quality(b).select(
+            ["doc_id", "n_tokens", "n_distinct", "n_punct", "distinct_ratio", "mean_token_len"]
+        )
+        return _round(t, {"distinct_ratio": 6, "mean_token_len": 6})
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """md5 exact-dup fingerprints (DuckDB md5 parity)."""
+    return _docs(sf_dir).map_batches(
+        lambda b: fingerprint(b).select(["doc_id", "md5"]), batch_format="pyarrow"
+    )
+
+
+def q_lang_stats(sf_dir: str):
+    """Group-aggregate over the lang column."""
+    out = (
+        _docs(sf_dir)
+        .groupby("lang")
+        .aggregate(Count(), Sum("n_chars"), Mean("n_chars"))
+        .to_pandas()
+        .rename(
+            columns={
+                "count()": "n_docs",
+                "sum(n_chars)": "total_chars",
+                "mean(n_chars)": "avg_chars",
+            }
+        )
+    )
+    out["avg_chars"] = out["avg_chars"].round(4)
+    return out
+
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup: min doc_id survivor per distinct text."""
+    return exact_dedup(_docs(sf_dir), num_buckets=16).map_batches(
+        lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"
+    )
+
+
+def q_dedup_prefix(sf_dir: str):
+    """Clustered dedup on a 24-char text prefix (exercises real groups)."""
+    ds = _docs(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "pfx": pc.utf8_slice_codeunits(b.column("text"), 0, 24),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return keep_min_by(ds, "pfx", "doc_id", num_buckets=16)
+
+
+def q_events_by_type(sf_dir: str):
+    """Partial-aggregate rollup of the events stream."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    out = (
+        ds.groupby("event_type")
+        .aggregate(Count(), Sum("value"), Mean("value"))
+        .to_pandas()
+        .rename(
+            columns={
+                "count()": "n_events",
+                "sum(value)": "total_value",
+                "mean(value)": "avg_value",
+            }
+        )
+    )
+    out["total_value"] = out["total_value"].round(2)
+    out["avg_value"] = out["avg_value"].round(4)
+    return out
+
+
+def q_events_hourly(sf_dir: str):
+    """Hourly time-bucket counts (windowed aggregate, tumbling 1h)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        hours = pc.strftime(
+            pc.floor_temporal(b.column("ts"), unit="hour"), format="%Y-%m-%d %H:00:00"
+        )
+        return pa.table({"hour": hours})
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Count())
+        .map_batches(
+            lambda b: _rename(b, {"count()": "n_events"}), batch_format="pyarrow"
+        )
+    )
+
+
+def q_top_long_docs(sf_dir: str):
+    """Sort + limit: 10 longest documents (doc_id tie-break)."""
+    ds = _docs(sf_dir).map_batches(
+        lambda b: b.select(["doc_id", "n_chars"]), batch_format="pyarrow"
+    )
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+
+
+def q_emb_topk(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path)
+    import pyarrow.parquet as pq
+
+    t0 = pq.read_table(path, columns=["vec_id", "embedding"])
+    q = np.asarray(
+        t0.filter(pc.equal(t0.column("vec_id"), 0)).column("embedding")[0].as_py(),
+        dtype=np.float64,
+    )
+    return topk_cosine(ds, q, k=10, round_to=5)
+
+
+def q_tpch_q1(sf_dir: str):
+    """TPC-H Q1-style pricing rollup (group agg with map-side combine)."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    out = (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("l_quantity"), Sum("l_extendedprice"), Mean("l_quantity"), Count())
+        .to_pandas()
+        .rename(
+            columns={
+                "sum(l_quantity)": "sum_qty",
+                "sum(l_extendedprice)": "sum_base_price",
+                "mean(l_quantity)": "avg_qty",
+                "count()": "count_order",
+            }
+        )
+    )
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_base_price"] = out["sum_base_price"].round(2)
+    out["avg_qty"] = out["avg_qty"].round(4)
+    return out
+
+
+def q_mktsegment_orders(sf_dir: str):
+    """Distributed hash join orders ⋈ customer + rollup by segment."""
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    customer = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = orders.join(
+        customer,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+    out = (
+        joined.groupby("c_mktsegment")
+        .aggregate(Count(), Sum("o_totalprice"))
+        .to_pandas()
+        .rename(columns={"count()": "n_orders", "sum(o_totalprice)": "total_price"})
+    )
+    out["total_price"] = out["total_price"].round(2)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# extraction queries (synthetic interleaved corpus — rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def _extract_cfg() -> ExtractConfig:
+    return ExtractConfig(ocr_concurrency=4, ocr_batch_size=64, num_buckets=16, join_partitions=8)
+
+
+def q_extract_flagship(sf_dir: str):
+    """Full interleaved extraction; emits per-doc canonical span-sequence
+    hashes (deterministic -> stable value-hash across rounds)."""
+    paths = corpus_for(sf_dir)
+    result = run_extract(paths["documents"], paths["media"], _extract_cfg())
+
+    def seq_hash(b: pa.Table) -> pa.Table:
+        doc_ids, hashes, n_spans = [], [], []
+        for doc_id, spans in zip(b.column("doc_id").to_pylist(), b.column("spans").to_pylist()):
+            spans = sorted(spans, key=lambda s: s["offset"])
+            h = hashlib.sha1()
+            for s in spans:
+                h.update(f"{s['kind']}\x1f{s['text']}\x1f{s['media_ref']}\x1e".encode())
+            doc_ids.append(doc_id)
+            hashes.append(h.hexdigest())
+            n_spans.append(len(spans))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "seq_hash": pa.array(hashes, pa.string()),
+                "n_spans": pa.array(n_spans, pa.int32()),
+            }
+        )
+
+    return result.map_batches(seq_hash, batch_format="pyarrow")
+
+
+def q_extract_validate(sf_dir: str):
+    """Span-sequence equality gate vs golden (north rule): one row of
+    counts; docs_mismatched == 0 and docs_missing == 0 is the invariant."""
+    paths = corpus_for(sf_dir)
+    result = run_extract(paths["documents"], paths["media"], _extract_cfg())
+    counts = validate_against_golden(result, paths["golden_spans"])
+    return pa.Table.from_pylist([counts])
+
+
+def q_ocr_text(sf_dir: str):
+    """OCR actor pool over the media table -> page text + word count."""
+    paths = corpus_for(sf_dir)
+    return ocr_media(paths["media"], _extract_cfg()).map_batches(
+        lambda b: b.select(["media_ref", "text", "n_words"]), batch_format="pyarrow"
+    )
+
+
+def q_ocr_boxes(sf_dir: str):
+    """Word-level TextItems (rect/flags/confidence/text), flattened."""
+    paths = corpus_for(sf_dir)
+    ds = ocr_media(paths["media"], _extract_cfg(), emit_boxes=True)
+
+    def flatten(b: pa.Table) -> pa.Table:
+        rows = []
+        for ref, words in zip(b.column("media_ref").to_pylist(), b.column("words").to_pylist()):
+            for w in words:
+                rows.append(
+                    {
+                        "media_ref": ref,
+                        "text": w["text"],
+                        "left": w["rect"]["left"],
+                        "top": w["rect"]["top"],
+                        "right": w["rect"]["right"],
+                        "bottom": w["rect"]["bottom"],
+                        "flags": w["flags"],
+                        "confidence": round(w["confidence"], 4),
+                    }
+                )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("media_ref", pa.string()),
+                    ("text", pa.string()),
+                    ("left", pa.int32()),
+                    ("top", pa.int32()),
+                    ("right", pa.int32()),
+                    ("bottom", pa.int32()),
+                    ("flags", pa.int32()),
+                    ("confidence", pa.float64()),
+                ]
+            ),
+        )
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
+
+
+def q_orientation(sf_dir: str):
+    """Orientation detection per page (rotation ∈ {0,90,180,270})."""
+    paths = corpus_for(sf_dir)
+    ds = ocr_media(paths["media"], _extract_cfg())
+
+    def fn(b: pa.Table) -> pa.Table:
+        rot = pc.struct_field(b.column("orientation"), "rotation")
+        conf = pc.round(
+            pc.cast(pc.struct_field(b.column("orientation"), "confidence"), pa.float64()),
+            ndigits=4,
+        )
+        return pa.table(
+            {"media_ref": b.column("media_ref"), "rotation": rot, "confidence": conf}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_layout_boxes(sf_dir: str):
+    """Layout-only analysis (no model): box counts per page."""
+    from ..stages.ocr_actor import LayoutActor
+
+    paths = corpus_for(sf_dir)
+    media = rd.read_parquet(paths["media"])
+    return media.map_batches(
+        LayoutActor,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=64,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+def q_hocr(sf_dir: str):
+    """hOCR rendering: stable digest per page document."""
+    from ..functions.hocr import render_hocr  # noqa: F401  (rendered in actor)
+    from ..stages.ocr_actor import HocrActor
+
+    paths = corpus_for(sf_dir)
+    media = rd.read_parquet(paths["media"])
+    return media.map_batches(
+        HocrActor,
+        fn_constructor_kwargs={"model_blob": _extract_cfg().model_blob},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=64,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+def q_boilerplate_strip(sf_dir: str):
+    """DOM-heuristic boilerplate strip over text spans."""
+    from ..stages.explode import explode_spans, only_kind
+    from ..stages.strip import strip_text_spans
+
+    paths = corpus_for(sf_dir)
+    docs = rd.read_parquet(paths["documents"])
+    return (
+        docs.map_batches(explode_spans, batch_format="pyarrow")
+        .map_batches(only_kind("text"), batch_format="pyarrow")
+        .map_batches(strip_text_spans, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.select(["doc_id", "offset", "text"]), batch_format="pyarrow"
+        )
+    )
+
+
+def q_media_features(sf_dir: str):
+    """Raster feature extraction (multimodal stage) over synthetic media."""
+    from ..stages.multimodal import media_features
+
+    paths = corpus_for(sf_dir)
+    media = rd.read_parquet(paths["media"])
+    return media.map_batches(media_features, batch_format="pyarrow").map_batches(
+        lambda b: _round(b, {"mean_intensity": 4, "ink_density": 4, "aspect_ratio": 4}),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data ops on testdata tables (rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_dedup(sf_dir: str):
+    return minhash_lsh_dedup(
+        _docs(sf_dir), threshold=0.8, num_buckets=16, join_partitions=8
+    ).map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+
+
+def q_simhash_dedup(sf_dir: str):
+    return simhash_dedup(
+        _docs(sf_dir), max_hamming=3, num_buckets=16, join_partitions=8
+    ).map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+
+
+def q_ngram_jaccard_dedup(sf_dir: str):
+    return ngram_jaccard_dedup(
+        _docs(sf_dir), threshold=0.8, num_buckets=16, join_partitions=8
+    ).map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+
+
+def q_embedding_neardup(sf_dir: str):
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_neardup(
+        ds, threshold=0.98, num_buckets=16, join_partitions=8
+    ).map_batches(lambda b: b.select(["vec_id"]), batch_format="pyarrow")
+
+
+def q_langid(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        lambda b: _round(
+            detect_language(b).select(["doc_id", "lang_pred", "lang_score"]),
+            {"lang_score": 6},
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_rolling_fingerprint(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        lambda b: fingerprint(b).select(["doc_id", "rolling_hash"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_ivf_topk(sf_dir: str):
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path)
+    import pyarrow.parquet as pq
+
+    t0 = pq.read_table(path, columns=["vec_id", "embedding"])
+    q = np.asarray(
+        t0.filter(pc.equal(t0.column("vec_id"), 0)).column("embedding")[0].as_py(),
+        dtype=np.float64,
+    )
+    out = ivf_topk(ds, q, k=10, n_centroids=8, nprobe=4)
+    return out.map_batches(
+        lambda b: _round(b, {"cos_sim": 5}), batch_format="pyarrow"
+    )
+
+
+def q_knn_join(sf_dir: str):
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return knn_self_join(ds, k=3).map_batches(
+        lambda b: _round(b, {"cos_sim": 5}), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# catalogue + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    # SQL-oracled
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality": q_doc_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "lang_stats": q_lang_stats,
+    "exact_dedup": q_exact_dedup,
+    "dedup_prefix": q_dedup_prefix,
+    "events_by_type": q_events_by_type,
+    "events_hourly": q_events_hourly,
+    "top_long_docs": q_top_long_docs,
+    "emb_topk_cosine": q_emb_topk,
+    "tpch_q1": q_tpch_q1,
+    "mktsegment_orders": q_mktsegment_orders,
+    # extraction (rows-only)
+    "extract_flagship": q_extract_flagship,
+    "extract_validate": q_extract_validate,
+    "ocr_text": q_ocr_text,
+    "ocr_boxes": q_ocr_boxes,
+    "orientation_detect": q_orientation,
+    "layout_boxes": q_layout_boxes,
+    "hocr_render": q_hocr,
+    "boilerplate_strip": q_boilerplate_strip,
+    "media_features": q_media_features,
+    # training-data ops (rows-only)
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_dedup": q_simhash_dedup,
+    "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+    "embedding_neardup": q_embedding_neardup,
+    "langid": q_langid,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "ivf_topk_cosine": q_ivf_topk,
+    "knn_self_join": q_knn_join,
+}
+
+_TOK = r"\S+"
+_BPE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+ORACLE_SQL = {
+    "doc_token_stats": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_TOK}')) AS n_tokens,
+               len(regexp_extract_all(text, '{_BPE}')) AS n_bpe_tokens
+        FROM documents
+    """,
+    "doc_quality": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '{_TOK}') AS ts,
+                   len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) AS n_punct
+            FROM documents
+        )
+        SELECT doc_id,
+               len(ts) AS n_tokens,
+               len(list_distinct(ts)) AS n_distinct,
+               n_punct,
+               round(len(list_distinct(ts))::DOUBLE / greatest(len(ts), 1), 6) AS distinct_ratio,
+               round(list_aggregate(list_transform(ts, x -> len(x)::DOUBLE), 'sum')
+                     / greatest(len(ts), 1), 6) AS mean_token_len
+        FROM toks
+    """,
+    "doc_fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+    "lang_stats": """
+        SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+               round(avg(n_chars), 4) AS avg_chars
+        FROM documents GROUP BY lang
+    """,
+    "exact_dedup": """
+        SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+    """,
+    "dedup_prefix": """
+        SELECT min(doc_id) AS doc_id, substr(text, 1, 24) AS pfx
+        FROM documents GROUP BY pfx
+    """,
+    "events_by_type": """
+        SELECT event_type, count(*) AS n_events,
+               round(sum(value), 2) AS total_value,
+               round(avg(value), 4) AS avg_value
+        FROM events GROUP BY event_type
+    """,
+    "events_hourly": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+               count(*) AS n_events
+        FROM events GROUP BY 1
+    """,
+    "top_long_docs": """
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+    """,
+    "emb_topk_cosine": """
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[],
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 5) AS cos_sim
+        FROM embeddings e
+        ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
+    """,
+    "tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "mktsegment_orders": """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+}

@@ -84,3 +84,83 @@ class OcrActor:
                 }
             )
         return pa.Table.from_pylist(rows, schema=OCR_RESULT_SCHEMA)
+
+
+def _load_row(eng: OCREngine, batch: pa.Table, j: int) -> None:
+    w = int(batch.column("width")[j].as_py())
+    h = int(batch.column("height")[j].as_py())
+    c = int(batch.column("channels")[j].as_py())
+    img = np.frombuffer(batch.column("pixels")[j].as_buffer(), dtype=np.uint8)
+    eng.load_image(img.reshape((h, w) if c == 1 else (h, w, 4)))
+
+
+class LayoutActor:
+    """Layout-only stage: bounding boxes WITHOUT a model — mirrors the
+    reference's InitForAnalysePage path (/root/reference/src/lib.cpp:173-175,
+    test/ocr-engine-test.js:174-182).  Emits per-page box counts."""
+
+    def __init__(self):
+        self.engine = OCREngine()  # no model: layout works regardless
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for j in range(batch.num_rows):
+            _load_row(self.engine, batch, j)
+            words = self.engine.get_bounding_boxes("word")
+            lines = self.engine.get_bounding_boxes("line")
+            rows.append(
+                {
+                    "media_ref": batch.column("media_ref")[j].as_py(),
+                    "n_word_boxes": len(words),
+                    "n_line_boxes": len(lines),
+                }
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("media_ref", pa.string()),
+                    ("n_word_boxes", pa.int32()),
+                    ("n_line_boxes", pa.int32()),
+                ]
+            ),
+        )
+
+
+class HocrActor:
+    """hOCR rendering stage (K3, /root/reference/src/lib.cpp:216-240):
+    recognized page -> hOCR XHTML + stable md5 digest."""
+
+    def __init__(self, model_blob: bytes | None = None):
+        import hashlib
+
+        model = GlyphModel.from_bytes(model_blob) if model_blob else GlyphModel.build()
+        self.engine = OCREngine()
+        self.engine.load_model(model)
+        self._md5 = hashlib.md5
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for j in range(batch.num_rows):
+            _load_row(self.engine, batch, j)
+            o = self.engine.get_orientation()
+            if o["rotation"]:
+                self.engine.load_ink(self.engine.derotated_ink(o["rotation"]))
+            hocr = self.engine.get_hocr()
+            rows.append(
+                {
+                    "media_ref": batch.column("media_ref")[j].as_py(),
+                    "hocr": hocr,
+                    "hocr_md5": self._md5(hocr.encode()).hexdigest(),
+                }
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("media_ref", pa.string()),
+                    ("hocr", pa.string()),
+                    ("hocr_md5", pa.string()),
+                ]
+            ),
+        )

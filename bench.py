@@ -1,0 +1,216 @@
+#!/usr/bin/env python
+"""Benchmark runner (driver contract).
+
+Default: runs the headline interleaved-extraction pipeline plus a
+representative query set over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ..., "words_per_sec": ...}
+
+``--scaling``: runs the headline pipeline twice in FRESH subprocesses
+(num_cpus=8 then num_cpus=32) on the same input — the sandbox stand-in
+for the N vs 4N node criterion — and reports both throughputs plus
+scaling efficiency = T32 / (4 × T8).
+
+Synthetic-corpus generation is cached under /tmp/twr_fixtures and runs
+BEFORE timing starts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+# Queries timed in the default (non-scaling) run.  Extraction-family
+# queries run over the synthetic corpus; the rest over $GRAFT_SF_DIR
+# parquet tables.
+BENCH_QUERIES = [
+    "tpch_q1",
+    "events_by_type",
+    "events_hourly",
+    "mktsegment_orders",
+    "doc_quality",
+    "langid",
+    "exact_dedup",
+    "minhash_dedup",
+    "simhash_dedup",
+    "ngram_jaccard_dedup",
+    "embedding_neardup",
+    "emb_topk_cosine",
+    "knn_self_join",
+    "boilerplate_strip",
+    "ocr_text",
+]
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def _consume(res) -> int:
+    """Force execution; return row count."""
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.count()
+    return len(res)
+
+
+def headline(sf_dir: str, num_cpus: int) -> dict:
+    """Flagship extraction end-to-end: docs/sec + recognized words/sec.
+
+    The result stream is consumed by a per-batch counting stage (docs,
+    spans, recognized words) — nothing materializes on the driver."""
+    import pyarrow as pa
+
+    from tesseract_wasm_ray.pipelines.extract import ExtractConfig, run_extract
+    from tesseract_wasm_ray.pipelines.queries import corpus_for
+
+    paths = corpus_for(sf_dir)  # cached; built before timing
+    # CPU budget: OCR actors (1 cpu each) + join aggregators (0.25 cpu
+    # each) are LONG-LIVED reservations; the feeding map tasks need free
+    # CPUs or the pipeline deadlocks.  Always leave >=2 CPUs of slack.
+    join_partitions = max(8, num_cpus // 2)
+    agg_cpus = int(join_partitions * 0.25 + 0.999)
+    cfg = ExtractConfig(
+        ocr_concurrency=max(2, num_cpus - agg_cpus - 2),
+        ocr_batch_size=64,
+        num_buckets=max(32, num_cpus * 2),
+        join_partitions=join_partitions,
+    )
+    t0 = time.monotonic()
+    result = run_extract(paths["documents"], paths["media"], cfg)
+
+    def counts(b: pa.Table) -> pa.Table:
+        n_docs = b.num_rows
+        n_spans = n_words = 0
+        for spans in b.column("spans").to_pylist():
+            n_spans += len(spans)
+            for s in spans:
+                if s["kind"] == "media_ref":
+                    n_words += len(s["text"].split())
+        return pa.Table.from_pylist(
+            [{"docs": n_docs, "spans": n_spans, "words": n_words}]
+        )
+
+    import pandas as pd
+
+    totals = result.map_batches(counts, batch_format="pyarrow").to_pandas().sum()
+    wall = time.monotonic() - t0
+    return {
+        "wall_sec": round(wall, 3),
+        "docs": int(totals["docs"]),
+        "spans": int(totals["spans"]),
+        "words": int(totals["words"]),
+        "docs_per_sec": round(float(totals["docs"]) / wall, 2),
+        "words_per_sec": round(float(totals["words"]) / wall, 2),
+    }
+
+
+def run_default(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
+    _init_ray(num_cpus)
+    from tesseract_wasm_ray.pipelines.queries import QUERIES, sf_of
+
+    head = headline(sf_dir, num_cpus)
+    qtimes: dict[str, float] = {}
+    if not headline_only:
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name]
+            t0 = time.monotonic()
+            n = _consume(fn(sf_dir))
+            qtimes[name] = round(time.monotonic() - t0, 3)
+            print(f"[bench] {name}: {qtimes[name]}s ({n} rows)", file=sys.stderr)
+    out = {
+        "metric": "end-to-end extraction throughput (docs/sec + words/sec) "
+        "+ per-query wall times",
+        "value": head["wall_sec"],
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(sf_of(sf_dir)),
+        "num_cpus": num_cpus,
+        **head,
+    }
+    return out
+
+
+def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
+    """Same headline job, two fresh processes at different CPU budgets."""
+    results = {}
+    for n in (cpus_lo, cpus_hi):
+        cmd = [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--cpus",
+            str(n),
+            "--sf-dir",
+            sf_dir,
+            "--headline-only",
+        ]
+        print(f"[scaling] fresh process with num_cpus={n} ...", file=sys.stderr)
+        proc = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        results[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+    lo, hi = results[cpus_lo], results[cpus_hi]
+    ratio = cpus_hi / cpus_lo
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
+    from tesseract_wasm_ray.pipelines.queries import sf_of
+
+    return {
+        "metric": f"scaling efficiency {cpus_lo}->{cpus_hi} cpus "
+        "(sandbox stand-in for N->4N nodes)",
+        "value": round(eff, 4),
+        "unit": "efficiency",
+        "queries": {},
+        "sf": float(sf_of(sf_dir)),
+        "num_cpus": cpus_hi,
+        "docs_per_sec_lo": lo["docs_per_sec"],
+        "docs_per_sec_hi": hi["docs_per_sec"],
+        "words_per_sec_lo": lo["words_per_sec"],
+        "words_per_sec_hi": hi["words_per_sec"],
+        "wall_sec_lo": lo["wall_sec"],
+        "wall_sec_hi": hi["wall_sec"],
+        "scaling_efficiency": round(eff, 4),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    args = ap.parse_args()
+
+    if args.scaling:
+        out = run_scaling(args.sf_dir)
+    else:
+        out = run_default(args.sf_dir, args.cpus, headline_only=args.headline_only)
+    print(json.dumps(out))
+
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

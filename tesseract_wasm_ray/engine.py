@@ -170,6 +170,25 @@ class OCREngine:
         rotation, confidence = detect_orientation(ink, model)
         return {"rotation": rotation, "confidence": confidence}
 
+    def orient_and_recognize(self) -> dict:
+        """Detect orientation AND keep the winning rotation's page as the
+        current image with its recognition results primed — subsequent
+        get_text_boxes/get_text/get_hocr calls are cache hits.  The Ray
+        actor path uses this to avoid re-recognizing after derotation
+        (orientation already recognized every candidate it scored)."""
+        from .functions.orientation import detect_orientation_and_recognize
+
+        ink = self._check_image()
+        model = self._check_model()
+        rotation, confidence, upright, results = detect_orientation_and_recognize(
+            ink, model
+        )
+        self._image = None
+        self._ink = upright
+        self._layout = None
+        self._ocr = results
+        return {"rotation": rotation, "confidence": confidence}
+
     def derotated_ink(self, rotation: int) -> np.ndarray:
         return derotate(self._check_image(), rotation)
 

@@ -31,10 +31,17 @@ def _runs(mask: np.ndarray) -> list[tuple[int, int]]:
     """Maximal runs of True in a 1-D bool array as [start, end) pairs."""
     if mask.size == 0 or not mask.any():
         return []
-    padded = np.diff(np.r_[0, mask.view(np.int8), 0])
-    starts = np.flatnonzero(padded == 1)
-    ends = np.flatnonzero(padded == -1)
+    d = np.diff(mask.view(np.int8), prepend=np.int8(0), append=np.int8(0))
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)
     return list(zip(starts.tolist(), ends.tolist()))
+
+
+def _span(mask: np.ndarray) -> tuple[int, int]:
+    """[first_true, last_true+1) of a 1-D bool mask (assumes any True)."""
+    first = int(mask.argmax())
+    last = int(len(mask) - mask[::-1].argmax())
+    return first, last
 
 
 def segment_lines(ink: np.ndarray) -> list[Rect]:
@@ -43,9 +50,9 @@ def segment_lines(ink: np.ndarray) -> list[Rect]:
     out = []
     for y0, y1 in _runs(rows):
         cols = ink[y0:y1].any(axis=0)
-        cruns = _runs(cols)
-        if cruns:
-            out.append(Rect(cruns[0][0], int(y0), cruns[-1][1], int(y1)))
+        if cols.any():
+            x0, x1 = _span(cols)
+            out.append(Rect(x0, int(y0), x1, int(y1)))
     return out
 
 
@@ -77,11 +84,8 @@ def segment_words(ink: np.ndarray, line: Rect, scale: int | None = None) -> list
 
 
 def _word_rect(band: np.ndarray, line: Rect, x0: int, x1: int) -> Rect:
-    seg = band[:, x0:x1]
-    rrows = _runs(seg.any(axis=1))
-    top = line.top + rrows[0][0]
-    bottom = line.top + rrows[-1][1]
-    return Rect(line.left + x0, top, line.left + x1, bottom)
+    y0, y1 = _span(band[:, x0:x1].any(axis=1))
+    return Rect(line.left + x0, line.top + y0, line.left + x1, line.top + y1)
 
 
 def analyze_layout(ink: np.ndarray) -> tuple[list[Rect], list[list[Rect]]]:

@@ -35,29 +35,55 @@ def derotate(img: np.ndarray, rotation: int) -> np.ndarray:
     return np.rot90(img, k=(4 - rotation // 90) % 4)
 
 
-def detect_orientation(
-    ink: np.ndarray, model: GlyphModel
-) -> tuple[int, float]:
-    """-> (rotation, confidence in [0,1]).
+# A rotation whose mean glyph-match score reaches this is accepted
+# without scoring the remaining rotations.  Measured on the fixture
+# distribution: correct rotations score exactly 1.0 (min over 150 pages),
+# wrong rotations max 0.964 — the gap makes 0.995 a safe early exit.
+# Model-dependent: re-measure if the glyph bank changes.
+EARLY_EXIT_SCORE = 0.995
 
-    Blank pages return (0, 0.0), mirroring the reference's behavior of
-    returning a low-confidence default when no text is found.
+
+def detect_orientation_and_recognize(ink: np.ndarray, model: GlyphModel):
+    """-> (rotation, confidence, upright_ink, ocr_results).
+
+    Scores rotations in ROTATIONS order with an early exit at
+    EARLY_EXIT_SCORE, and returns the winning rotation's recognition
+    results so callers can reuse them instead of re-recognizing
+    (recognition is the per-page cost; this saves the 5th pass and, for
+    upright pages, passes 2-4 as well).
+
+    Blank pages return (0, 0.0, ink, blank_results), mirroring the
+    reference's low-confidence default when no text is found.
     """
     if not ink.any():
-        return 0, 0.0
-    scores = []
+        return 0, 0.0, ink, recognize_page(ink, model)
+    scores: list[float] = []
+    results = []
+    uprights = []
     for r in ROTATIONS:
         upright = derotate(ink, r)
-        _, _, score = recognize_page(upright, model)
-        scores.append(score)
-    # Stable sort so ties prefer the smaller rotation deterministically.
+        res = recognize_page(upright, model)
+        scores.append(res[2])
+        results.append(res)
+        uprights.append(upright)
+        if res[2] >= EARLY_EXIT_SCORE:
+            return r, float(res[2]), upright, res
+    # Full scan: stable sort so ties prefer the smaller rotation.
     order = np.argsort(-np.asarray(scores), kind="stable")
-    best, second = order[0], order[1]
+    best, second = int(order[0]), int(order[1])
     if scores[best] <= 0.0:
-        return 0, 0.0
+        return 0, 0.0, ink, recognize_page(ink, model)
     margin = scores[best] - scores[second]
     # Clean pages match their templates near-perfectly upright and poorly
     # rotated, so confidence ~= the absolute match quality; ties (margin
     # ~0) are ambiguous.
     confidence = float(scores[best]) if margin > 0.02 else float(margin)
-    return ROTATIONS[best], confidence
+    return ROTATIONS[best], confidence, uprights[best], results[best]
+
+
+def detect_orientation(
+    ink: np.ndarray, model: GlyphModel
+) -> tuple[int, float]:
+    """-> (rotation, confidence in [0,1])."""
+    rotation, confidence, _, _ = detect_orientation_and_recognize(ink, model)
+    return rotation, confidence

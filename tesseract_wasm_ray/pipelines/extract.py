@@ -11,9 +11,10 @@ Ray-Data-first shape:
   (the reference's worker-per-engine model, SURVEY.md §2.3);
 - recognition runs over the *media table* before any join, so pixel
   payloads never enter a shuffle — only (media_ref, text) pairs do;
-- the media_ref join uses ``Dataset.join`` (hash-partitioned) by
-  default — scale-correct for 10^12-row corpora; a broadcast strategy
-  (ray.put of a dict) is available when the media side is known-small;
+- the media_ref join defaults to a bucketed task-shuffle join
+  (see _join_media_text) — scale-correct for 10^12-row corpora and
+  robust on any CPU budget; Dataset.join and broadcast remain
+  selectable;
 - reassembly is the single wide shuffle, on a crc32 doc_id bucket key
   (stages/reassemble.py), which doubles as the resume partition
   (stages/manifest.py).
@@ -49,8 +50,14 @@ class ExtractConfig:
     ocr_concurrency: int = 8
     ocr_batch_size: int = 64
     num_buckets: int = 64
-    join_strategy: str = "hash"  # "hash" | "broadcast"
+    join_strategy: str = "bucket"  # "bucket" | "hash" | "broadcast"
     join_partitions: int = 32
+    # Blocks entering a sort shuffle are coalesced to this many first:
+    # hundreds of tiny blocks cost ~10ms of scheduling each in the sort
+    # (sample+map+merge per block), dominating small-row shuffles.  Size
+    # to ~0.5-1x the CPU count; raise with corpus size so blocks stay
+    # under the worker heap (rows here are small text structs).
+    coalesce_partitions: int = 16
     emit_boxes: bool = False
     model_blob: bytes = field(default_factory=lambda: GlyphModel.build().to_bytes(), repr=False)
 
@@ -80,7 +87,91 @@ def ocr_media(media_path: str, cfg: ExtractConfig, emit_boxes: bool | None = Non
 
 def _join_media_text(media_rows: rd.Dataset, ocr_text: rd.Dataset, cfg: ExtractConfig) -> rd.Dataset:
     """(doc_id, offset, kind, media_ref) ⋈ (media_ref, rec_text) -> span rows
-    with recognized text."""
+    with recognized text.
+
+    Strategies:
+
+    - ``bucket`` (default): union both sides tagged by kind, hash-bucket
+      on crc32(media_ref), fill text per bucket group with a vectorized
+      dictionary lookup.  Task-based sort shuffle — parallel across
+      buckets, no long-lived aggregator actors (Ray's hash-join
+      aggregator serializes on one actor and crashes on empty
+      partitions), and composable with the actor-pool stage on any CPU
+      budget.
+    - ``hash``: Ray ``Dataset.join`` (kept for comparison/benchmarks).
+    - ``broadcast``: ship a ref->text dict via ``ray.put`` — no shuffle;
+      right only when the media side fits the object store.
+    """
+    if cfg.join_strategy == "bucket":
+        import zlib
+
+        import numpy as np
+        import pyarrow.compute as pc
+
+        num_buckets = cfg.join_partitions * 4
+
+        def tag_and_bucket(kind_tag: str):
+            def fn(batch: pa.Table) -> pa.Table:
+                if kind_tag == "ocr":
+                    batch = pa.table(
+                        {
+                            "doc_id": pa.array([""] * batch.num_rows, pa.string()),
+                            "offset": pa.array(
+                                np.full(batch.num_rows, -1, np.int32), pa.int32()
+                            ),
+                            "kind": pa.array(["__ocr"] * batch.num_rows, pa.string()),
+                            "text": batch.column("rec_text"),
+                            "media_ref": batch.column("media_ref"),
+                        }
+                    )
+                enc = batch.column("media_ref").combine_chunks()
+                enc = pc.dictionary_encode(enc)
+                if isinstance(enc, pa.ChunkedArray):
+                    enc = enc.chunk(0) if enc.num_chunks else enc.combine_chunks()
+                lut = np.array(
+                    [
+                        zlib.crc32(v.encode()) % num_buckets
+                        for v in enc.dictionary.to_pylist()
+                    ],
+                    dtype=np.int32,
+                )
+                codes = enc.indices.to_numpy(zero_copy_only=False)
+                bk = lut[codes] if len(lut) else np.empty(0, np.int32)
+                return batch.append_column("__jb", pa.array(bk, pa.int32()))
+
+            return fn
+
+        both = (
+            media_rows.map_batches(tag_and_bucket("spans"), batch_format="pyarrow")
+            .union(ocr_text.map_batches(tag_and_bucket("ocr"), batch_format="pyarrow"))
+            .repartition(cfg.coalesce_partitions)
+        )
+
+        def fill_text(group: pa.Table) -> pa.Table:
+            t = group.drop_columns(["__jb"])
+            kind = t.column("kind")
+            is_ocr = pc.equal(kind, "__ocr").combine_chunks()
+            refs = pc.dictionary_encode(t.column("media_ref").combine_chunks())
+            if isinstance(refs, pa.ChunkedArray):
+                refs = refs.chunk(0) if refs.num_chunks else refs.combine_chunks()
+            codes = refs.indices.to_numpy(zero_copy_only=False)
+            mask = is_ocr.to_numpy(zero_copy_only=False)
+            texts = t.column("text").to_pylist()
+            lut = np.empty(len(refs.dictionary), dtype=object)
+            lut[codes[mask]] = [texts[i] for i in np.flatnonzero(mask)]
+            span_rows = t.filter(pc.invert(is_ocr))
+            span_codes = codes[~mask]
+            filled = pa.array(
+                [lut[c] if lut[c] is not None else "" for c in span_codes],
+                pa.string(),
+            )
+            i = span_rows.schema.get_field_index("text")
+            return span_rows.set_column(i, "text", filled)
+
+        return both.groupby("__jb", num_partitions=cfg.join_partitions).map_groups(
+            fill_text, batch_format="pyarrow"
+        )
+
     if cfg.join_strategy == "broadcast":
         # Small media side: ship the ref->text dict through the object
         # store once (ray.put), look up per batch. No shuffle.
@@ -152,11 +243,13 @@ def run_extract(
     same config fingerprint are skipped *before* the shuffle.
     """
     cfg = cfg or ExtractConfig()
-    rows = _span_rows(docs_path, media_path, cfg)
+    rows = _span_rows(docs_path, media_path, cfg).repartition(cfg.coalesce_partitions)
     bucketed = rows.map_batches(add_bucket_column(cfg.num_buckets), batch_format="pyarrow")
 
     if out_dir is None:
-        return bucketed.groupby("bucket").map_groups(
+        return bucketed.groupby(
+            "bucket", num_partitions=min(cfg.num_buckets, 64)
+        ).map_groups(
             lambda g: stitch_bucket(g.drop_columns(["bucket"])),
             batch_format="pyarrow",
         )
@@ -200,7 +293,7 @@ def run_extract(
         return pa.Table.from_pylist([row], schema=MANIFEST_SCHEMA)
 
     manifest_rows = (
-        bucketed.groupby("bucket")
+        bucketed.groupby("bucket", num_partitions=min(cfg.num_buckets, 64))
         .map_groups(stitch_and_write, batch_format="pyarrow")
         .take_all()
     )  # manifest rows are tiny (one per bucket) — safe to materialize
@@ -266,9 +359,11 @@ def validate_against_golden(result: rd.Dataset, golden_path: str) -> dict:
             [{"ok": ok, "mismatch": mismatch, "missing": missing}]
         )
 
-    bucketed = tagged.map_batches(add_bucket_column(16), batch_format="pyarrow")
+    bucketed = tagged.repartition(16).map_batches(
+        add_bucket_column(16), batch_format="pyarrow"
+    )
     counts = (
-        bucketed.groupby("bucket")
+        bucketed.groupby("bucket", num_partitions=16)
         .map_groups(compare, batch_format="pyarrow")
         .to_pandas()
         .sum()

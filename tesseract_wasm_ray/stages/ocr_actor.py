@@ -67,9 +67,7 @@ class OcrActor:
             img = np.frombuffer(buf, dtype=np.uint8)
             img = img.reshape((h, w) if c == 1 else (h, w, 4))
             eng.load_image(img)
-            o = eng.get_orientation()
-            if o["rotation"]:
-                eng.load_ink(eng.derotated_ink(o["rotation"]))
+            o = eng.orient_and_recognize()  # one pass: orientation + OCR cache
             words = eng.get_text_boxes("word")
             lines = eng.get_text_boxes("line")
             text = eng.get_text()
@@ -143,9 +141,7 @@ class HocrActor:
         rows = []
         for j in range(batch.num_rows):
             _load_row(self.engine, batch, j)
-            o = self.engine.get_orientation()
-            if o["rotation"]:
-                self.engine.load_ink(self.engine.derotated_ink(o["rotation"]))
+            self.engine.orient_and_recognize()
             hocr = self.engine.get_hocr()
             rows.append(
                 {

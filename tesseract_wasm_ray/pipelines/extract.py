@@ -48,6 +48,12 @@ from ..state.glyph_model import GlyphModel
 @dataclass
 class ExtractConfig:
     ocr_concurrency: int = 8
+    # Fractional reservation: the pool's logical claim is concurrency *
+    # ocr_num_cpus, leaving scheduler headroom for the feeding read /
+    # explode / strip tasks — a full-CPU pool starves its own input
+    # (measured: actors idle 80% while upstream crawls on the leftover
+    # cores).  The OS timeshares the real cores.
+    ocr_num_cpus: float = 0.5
     ocr_batch_size: int = 64
     num_buckets: int = 64
     join_strategy: str = "bucket"  # "bucket" | "hash" | "broadcast"
@@ -81,7 +87,7 @@ def ocr_media(media_path: str, cfg: ExtractConfig, emit_boxes: bool | None = Non
         zero_copy_batch=True,
         batch_size=cfg.ocr_batch_size,
         concurrency=cfg.ocr_concurrency,
-        num_cpus=1,
+        num_cpus=cfg.ocr_num_cpus,
     )
 
 
@@ -211,18 +217,106 @@ def _join_media_text(media_rows: rd.Dataset, ocr_text: rd.Dataset, cfg: ExtractC
 
 
 def _span_rows(docs_path: str, media_path: str, cfg: ExtractConfig) -> rd.Dataset:
+    """Single-pass span stream (docs are read + exploded exactly ONCE).
+
+    ``explode -> strip(text spans inline)`` produces one stream of span
+    rows; OCR results are padded to the same schema (kind="__ocr") and
+    unioned in; ONE bucket-groupby both resolves media text (media /
+    __ocr rows are co-bucketed by crc32(media_ref)) and passes text rows
+    through (spread by crc32(doc_id) so no bucket hotspots).  Branching
+    the explode into two consumers would duplicate the whole
+    read+explode subplan in Ray's plan (measured: 2x the docs scan).
+    """
+    import zlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    num_buckets = cfg.join_partitions * 4
+
+    def explode_and_strip(batch: pa.Table) -> pa.Table:
+        rows = explode_spans(batch)
+        kind = rows.column("kind")
+        is_text = pc.equal(kind, "text").to_numpy(zero_copy_only=False)
+        texts = rows.column("text").to_pylist()
+        from ..functions.boilerplate import strip_boilerplate
+
+        stripped = pa.array(
+            [
+                strip_boilerplate(t or "") if is_text[i] else (t or "")
+                for i, t in enumerate(texts)
+            ],
+            pa.string(),
+        )
+        i = rows.schema.get_field_index("text")
+        rows = rows.set_column(i, "text", stripped)
+        # Bucket: media rows by media_ref (co-locate with __ocr rows),
+        # text rows by doc_id (even spread; they only pass through).
+        keys = np.where(
+            is_text,
+            rows.column("doc_id").to_numpy(zero_copy_only=False),
+            rows.column("media_ref").to_numpy(zero_copy_only=False),
+        )
+        bk = np.fromiter(
+            (zlib.crc32(str(k).encode()) % num_buckets for k in keys),
+            dtype=np.int32,
+            count=len(keys),
+        )
+        return rows.append_column("__jb", pa.array(bk, pa.int32()))
+
+    def pad_ocr(batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        bk = np.fromiter(
+            (zlib.crc32(r.encode()) % num_buckets for r in refs),
+            dtype=np.int32,
+            count=len(refs),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array([""] * batch.num_rows, pa.string()),
+                "offset": pa.array(np.full(batch.num_rows, -1, np.int32), pa.int32()),
+                "kind": pa.array(["__ocr"] * batch.num_rows, pa.string()),
+                "text": batch.column("text").combine_chunks(),
+                "media_ref": batch.column("media_ref").combine_chunks(),
+                "__jb": pa.array(bk, pa.int32()),
+            }
+        )
+
+    def fill_text(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["__jb"])
+        kind = t.column("kind")
+        is_ocr = pc.equal(kind, "__ocr").combine_chunks()
+        is_media = pc.equal(kind, "media_ref").combine_chunks()
+        mask_ocr = is_ocr.to_numpy(zero_copy_only=False)
+        mask_media = is_media.to_numpy(zero_copy_only=False)
+        if not mask_media.any():
+            return t.filter(pc.invert(is_ocr))
+        refs = pc.dictionary_encode(t.column("media_ref").combine_chunks())
+        if isinstance(refs, pa.ChunkedArray):
+            refs = refs.chunk(0) if refs.num_chunks else refs.combine_chunks()
+        codes = refs.indices.to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        lut = np.empty(len(refs.dictionary), dtype=object)
+        lut[codes[mask_ocr]] = [texts[i] for i in np.flatnonzero(mask_ocr)]
+        new_texts = [
+            (lut[codes[i]] or "") if mask_media[i] else texts[i]
+            for i in np.flatnonzero(~mask_ocr)
+        ]
+        out = t.filter(pc.invert(is_ocr))
+        i = out.schema.get_field_index("text")
+        return out.set_column(i, "text", pa.array(new_texts, pa.string()))
+
     docs = read_documents(docs_path)
-    spans = docs.map_batches(explode_spans, batch_format="pyarrow", zero_copy_batch=True)
-    text_rows = spans.map_batches(only_kind("text"), batch_format="pyarrow").map_batches(
-        strip_text_spans, batch_format="pyarrow"
+    span_stream = docs.map_batches(
+        explode_and_strip, batch_format="pyarrow", zero_copy_batch=True
     )
-    media_rows = spans.map_batches(only_kind("media_ref"), batch_format="pyarrow")
-    ocr_text = ocr_media(media_path, cfg, emit_boxes=False).map_batches(
-        lambda b: b.select(["media_ref", "text"]).rename_columns(["media_ref", "rec_text"]),
-        batch_format="pyarrow",
+    ocr_rows = ocr_media(media_path, cfg, emit_boxes=False).map_batches(
+        lambda b: pad_ocr(b.select(["media_ref", "text"])), batch_format="pyarrow"
     )
-    media_with_text = _join_media_text(media_rows, ocr_text, cfg)
-    return text_rows.union(media_with_text)
+    both = span_stream.union(ocr_rows).repartition(cfg.coalesce_partitions)
+    return both.groupby("__jb", num_partitions=cfg.join_partitions).map_groups(
+        fill_text, batch_format="pyarrow"
+    )
 
 
 def run_extract(
@@ -243,7 +337,9 @@ def run_extract(
     same config fingerprint are skipped *before* the shuffle.
     """
     cfg = cfg or ExtractConfig()
-    rows = _span_rows(docs_path, media_path, cfg).repartition(cfg.coalesce_partitions)
+    # _span_rows output is already coalesced (one block per fill
+    # partition) — no repartition barrier needed before the reassembly.
+    rows = _span_rows(docs_path, media_path, cfg)
     bucketed = rows.map_batches(add_bucket_column(cfg.num_buckets), batch_format="pyarrow")
 
     if out_dir is None:

@@ -56,10 +56,12 @@ def sf_of(sf_dir: str) -> str:
     return m.group(1) if m else "0.001"
 
 
-def corpus_for(sf_dir: str) -> dict[str, str]:
+def corpus_for(sf_dir: str, n_docs: int | None = None) -> dict[str, str]:
     sf = sf_of(sf_dir)
-    n_docs = _CORPUS_DOCS.get(sf, max(200, int(float(sf) * 50_000)))
-    return generate_corpus(os.path.join(FIXTURE_ROOT, f"sf{sf}"), n_docs)
+    if n_docs is None:
+        n_docs = _CORPUS_DOCS.get(sf, max(200, int(float(sf) * 50_000)))
+        return generate_corpus(os.path.join(FIXTURE_ROOT, f"sf{sf}"), n_docs)
+    return generate_corpus(os.path.join(FIXTURE_ROOT, f"n{n_docs}"), n_docs)
 
 
 def _docs(sf_dir: str) -> rd.Dataset:
@@ -270,6 +272,9 @@ def q_mktsegment_orders(sf_dir: str):
 
 
 def _extract_cfg() -> ExtractConfig:
+    from ..tuning import apply_data_context_tuning
+
+    apply_data_context_tuning()
     return ExtractConfig(ocr_concurrency=4, ocr_batch_size=64, num_buckets=16, join_partitions=8)
 
 

@@ -1,0 +1,45 @@
+"""Driver-contract invariants: every oracle key has a query, entry()
+runs, and a sample of queries executes at sf0.001 with stable schemas."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_oracle_keys_subset_of_queries():
+    import __ray_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(o) >= 10  # SQL-oracled coverage floor
+
+
+def test_entry_runs(ray_session):
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    n = ds.count() if hasattr(ds, "count") else len(ds)
+    assert n > 0
+
+
+@pytest.mark.parametrize(
+    "name,cols",
+    [
+        ("doc_token_stats", {"doc_id", "n_tokens", "n_bpe_tokens"}),
+        ("exact_dedup", {"doc_id", "text"}),
+        ("top_long_docs", {"doc_id", "n_chars"}),
+        ("emb_topk_cosine", {"vec_id", "cos_sim"}),
+        ("tpch_q1", {"l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "avg_qty", "count_order"}),
+        ("orientation_detect", {"media_ref", "rotation", "confidence"}),
+        ("boilerplate_strip", {"doc_id", "offset", "text"}),
+    ],
+)
+def test_query_schema(ray_session, name, cols):
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    res = e.queries()[name](SF)
+    df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    assert set(df.columns) == cols
+    assert len(df) > 0

@@ -1,0 +1,71 @@
+"""CLI entry point — the shape a ``ray job submit`` run uses.
+
+North-star operational model: the extraction job is submitted to a
+fixed-size cluster as ``ray job submit -- python -m tesseract_wasm_ray.cli
+extract --docs ... --media ... --out ...``; resume is automatic via the
+output manifest (stages/manifest.py).  This module OWNS a Ray session
+(guarded init — the library itself never calls ray.init).
+
+Mirrors the reference's CLI entry (/root/reference/examples/node-cli/ocr.js:25-62):
+parse args -> init engine/model -> run -> print summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="tesseract_wasm_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("extract", help="run the flagship extraction pipeline")
+    ex.add_argument("--docs", required=True, help="documents table (parquet dir/file)")
+    ex.add_argument("--media", required=True, help="media table (parquet dir/file)")
+    ex.add_argument("--out", required=True, help="output directory (parquet + manifest)")
+    ex.add_argument("--golden", help="optional golden spans table: validate equality")
+    ex.add_argument("--no-resume", action="store_true")
+    ex.add_argument("--ocr-concurrency", type=int, default=8)
+    ex.add_argument("--num-buckets", type=int, default=64)
+
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from .tuning import apply_data_context_tuning
+
+    apply_data_context_tuning()
+
+    from .pipelines.extract import ExtractConfig, run_extract, validate_against_golden
+
+    cfg = ExtractConfig(
+        ocr_concurrency=args.ocr_concurrency, num_buckets=args.num_buckets
+    )
+    manifest_rows = run_extract(
+        args.docs, args.media, cfg, out_dir=args.out, resume=not args.no_resume
+    )
+    summary = {
+        "buckets_written": len(manifest_rows),
+        "docs": int(sum(r["n_docs"] for r in manifest_rows)),
+        "spans": int(sum(r["n_spans"] for r in manifest_rows)),
+        "out": args.out,
+    }
+    if args.golden:
+        import os
+
+        import ray.data as rd
+
+        files = [os.path.join(args.out, r["output_file"]) for r in manifest_rows]
+        result = rd.read_parquet(files)
+        summary["validation"] = validate_against_golden(result, args.golden)
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -54,7 +54,7 @@ class ExtractConfig:
     # (measured: actors idle 80% while upstream crawls on the leftover
     # cores).  The OS timeshares the real cores.
     ocr_num_cpus: float = 0.5
-    ocr_batch_size: int = 64
+    ocr_batch_size: int = 256
     num_buckets: int = 64
     join_strategy: str = "bucket"  # "bucket" | "hash" | "broadcast"
     join_partitions: int = 32
@@ -306,6 +306,9 @@ def _span_rows(docs_path: str, media_path: str, cfg: ExtractConfig) -> rd.Datase
         i = out.schema.get_field_index("text")
         return out.set_column(i, "text", pa.array(new_texts, pa.string()))
 
+    if cfg.join_strategy != "bucket":
+        return _span_rows_two_branch(docs_path, media_path, cfg)
+
     docs = read_documents(docs_path)
     span_stream = docs.map_batches(
         explode_and_strip, batch_format="pyarrow", zero_copy_batch=True
@@ -317,6 +320,25 @@ def _span_rows(docs_path: str, media_path: str, cfg: ExtractConfig) -> rd.Datase
     return both.groupby("__jb", num_partitions=cfg.join_partitions).map_groups(
         fill_text, batch_format="pyarrow"
     )
+
+
+def _span_rows_two_branch(docs_path: str, media_path: str, cfg: ExtractConfig) -> rd.Dataset:
+    """Legacy two-branch shape for join_strategy in {"hash", "broadcast"}
+    (_join_media_text).  Reads + explodes the docs twice (duplicated
+    subplan) — kept for comparison benchmarks and as the broadcast path
+    when the OCR-text side is known to fit the object store."""
+    docs = read_documents(docs_path)
+    spans = docs.map_batches(explode_spans, batch_format="pyarrow", zero_copy_batch=True)
+    text_rows = spans.map_batches(only_kind("text"), batch_format="pyarrow").map_batches(
+        strip_text_spans, batch_format="pyarrow"
+    )
+    media_rows = spans.map_batches(only_kind("media_ref"), batch_format="pyarrow")
+    ocr_text = ocr_media(media_path, cfg, emit_boxes=False).map_batches(
+        lambda b: b.select(["media_ref", "text"]).rename_columns(["media_ref", "rec_text"]),
+        batch_format="pyarrow",
+    )
+    media_with_text = _join_media_text(media_rows, ocr_text, cfg)
+    return text_rows.union(media_with_text)
 
 
 def run_extract(

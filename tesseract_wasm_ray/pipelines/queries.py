@@ -193,6 +193,61 @@ def q_events_hourly(sf_dir: str):
     )
 
 
+def q_user_sessions(sf_dir: str):
+    """Gap-based sessionization (streaming-window analogue): a session
+    breaks after >30 min of inactivity per user.  Hash-bucket users,
+    one vectorized pass per bucket (sorted diff + boundary count) —
+    the SQL oracle uses lag() OVER (PARTITION BY ...) windows."""
+    import zlib
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            bk = ((u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % np.uint64(16)
+        return b.append_column("__bucket", pa.array(bk.astype(np.int32), pa.int32()))
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    def sessions(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["__bucket"]).sort_by(
+            [("user_id", "ascending"), ("ts", "ascending")]
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "n_sessions": pa.array([], pa.int64()),
+                 "n_events": pa.array([], pa.int64())}
+            )
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        gap = np.r_[True, (ts[1:] - ts[:-1]) > GAP_US]
+        new_session = new_user | gap
+        starts = np.flatnonzero(new_user)
+        uids = u[starts]
+        seg = np.cumsum(new_user) - 1
+        n_sessions = np.bincount(seg, weights=new_session).astype(np.int64)
+        n_events = np.bincount(seg).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uids, pa.int64()),
+                "n_sessions": pa.array(n_sessions, pa.int64()),
+                "n_events": pa.array(n_events, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket", num_partitions=8)
+        .map_groups(sessions, batch_format="pyarrow")
+    )
+
+
 def q_top_long_docs(sf_dir: str):
     """Sort + limit: 10 longest documents (doc_id tie-break)."""
     ds = _docs(sf_dir).map_batches(
@@ -528,6 +583,7 @@ QUERIES = {
     "events_by_type": q_events_by_type,
     "events_hourly": q_events_hourly,
     "top_long_docs": q_top_long_docs,
+    "user_sessions": q_user_sessions,
     "emb_topk_cosine": q_emb_topk,
     "tpch_q1": q_tpch_q1,
     "mktsegment_orders": q_mktsegment_orders,
@@ -605,6 +661,18 @@ ORACLE_SQL = {
     "top_long_docs": """
         SELECT doc_id, n_chars FROM documents
         ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+    """,
+    "user_sessions": """
+        WITH d AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+        )
+        SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+        FROM d GROUP BY user_id
     """,
     "emb_topk_cosine": """
         SELECT e.vec_id,

@@ -10,9 +10,25 @@ from __future__ import annotations
 import ray.data as rd
 
 
+def _read_table(path: str, columns: list[str] | None) -> rd.Dataset:
+    """Lance when available + requested (the north rule's storage), else
+    parquet with the identical Arrow schema.  A ``.lance`` path uses
+    ``ray.data.read_lance`` (fragment-level lineage maps 1:1 onto the
+    manifest's per-bucket input ranges); this sandbox has no lance
+    wheel, so parquet is the tested path."""
+    if path.endswith(".lance"):
+        try:
+            return rd.read_lance(path, columns=columns)
+        except (AttributeError, ImportError) as e:  # pragma: no cover
+            raise RuntimeError(
+                "lance reader requested but pylance is not installed"
+            ) from e
+    return rd.read_parquet(path, columns=columns)
+
+
 def read_documents(path: str, columns: list[str] | None = None) -> rd.Dataset:
     """documents table: (doc_id: string, spans: list<struct<...>>)."""
-    return rd.read_parquet(path, columns=columns)
+    return _read_table(path, columns)
 
 
 def read_media(path: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -21,4 +37,4 @@ def read_media(path: str, columns: list[str] | None = None) -> rd.Dataset:
     ``pixels`` rows are wide (raw rasters); callers should keep
     ``batch_size`` small on stages consuming this (SURVEY.md §4.2).
     """
-    return rd.read_parquet(path, columns=columns)
+    return _read_table(path, columns)

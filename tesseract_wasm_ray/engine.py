@@ -45,7 +45,22 @@ class OCREngine:
         self._image: np.ndarray | None = None
         self._ink: np.ndarray | None = None
         self._variables: dict[str, str] = dict(variables or {})
+        self._progress_listeners: list = []
         self._reset_results()
+
+    # -- progress channel (/root/reference/src/ocr-engine.ts:84,
+    #    src/ocr-client.ts:254-262) ------------------------------------
+
+    def add_progress_listener(self, fn) -> None:
+        self._progress_listeners.append(fn)
+
+    def remove_progress_listener(self, fn) -> None:
+        if fn in self._progress_listeners:
+            self._progress_listeners.remove(fn)
+
+    def _emit_progress(self, pct: int) -> None:
+        for fn in self._progress_listeners:
+            fn(pct)
 
     # -- config variables (/root/reference/src/ocr-engine.ts:128-150) -----
 
@@ -116,7 +131,11 @@ class OCREngine:
         ink = self._check_image()
         model = self._check_model()
         if self._ocr is None:
-            self._ocr = recognize_page(ink, model)
+            self._ocr = recognize_page(ink, model, on_progress=self._emit_progress)
+        else:
+            # Cached result: report completion only ([100] — the
+            # reference's second-run behavior, test/ocr-engine-test.js:330-338).
+            self._emit_progress(100)
         return self._ocr
 
     # -- outputs -----------------------------------------------------------

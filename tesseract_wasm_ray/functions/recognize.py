@@ -66,18 +66,26 @@ def _word_cells(ink: np.ndarray, rect: Rect, scale: int) -> np.ndarray | None:
 
 
 def recognize_page(
-    ink: np.ndarray, model: GlyphModel
+    ink: np.ndarray, model: GlyphModel, on_progress=None
 ) -> tuple[list[TextItem], list[TextItem], float]:
     """-> (word items, line items, mean glyph match score).
 
     The mean match score over all glyph cells is also the orientation
     metric used by orientation.detect_orientation.
+
+    ``on_progress(pct)`` (0-100, monotone, always ending at 100) mirrors
+    the reference's progress channel (/root/reference/src/lib.cpp:79-98,
+    monotonicity test at test/ocr-engine-test.js:309-338).
     """
+    progress = on_progress or (lambda pct: None)
+    progress(0)
     lines, words_per_line = analyze_layout(ink)
     if not lines:
         # Reference quirk: one empty all-zero text box on blank pages.
         empty = TextItem(_EMPTY_RECT, 0, 0.0, "")
+        progress(100)
         return [empty], [empty], 0.0
+    progress(20)
 
     all_cells: list[np.ndarray] = []
     cell_counts: list[int] = []  # glyphs per word, parallel to flat word list
@@ -112,6 +120,7 @@ def recognize_page(
         per_line_words.setdefault(li, []).append(item)
         pos += n
 
+    progress(60)
     line_items: list[TextItem] = []
     for li, line in enumerate(lines):
         witems = per_line_words.get(li, [])
@@ -133,6 +142,7 @@ def recognize_page(
         )
 
     mean_score = float(score.mean()) if score.size else 0.0
+    progress(100)
     return word_items, line_items, mean_score
 
 

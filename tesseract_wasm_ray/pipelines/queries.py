@@ -486,6 +486,49 @@ def q_boilerplate_strip(sf_dir: str):
     )
 
 
+def q_media_decode(sf_dir: str):
+    """Multimodal decode -> resize plumbing: synthetic media rows recast
+    as (payload, codec) columns, decoded by the actor pool (raw path is
+    real; compressed codecs are stubbed per the driver brief), then
+    resized to 32x32 thumbnails."""
+    from ..stages.multimodal import decode_media, resize_nearest
+
+    paths = corpus_for(sf_dir)
+    media = rd.read_parquet(paths["media"])
+
+    def as_payload(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_ref": b.column("media_ref"),
+                "payload": b.column("pixels"),
+                "codec": pa.array(["raw"] * b.num_rows, pa.string()),
+                "width": b.column("width"),
+                "height": b.column("height"),
+                "channels": b.column("channels"),
+            }
+        )
+
+    decoded = decode_media(
+        media.map_batches(as_payload, batch_format="pyarrow"),
+        concurrency=2,
+        batch_size=32,
+    )
+    thumbs = decoded.map_batches(
+        lambda b: resize_nearest(b, 32, 32), batch_format="pyarrow"
+    )
+    return thumbs.map_batches(
+        lambda b: pa.table(
+            {
+                "media_ref": b.column("media_ref"),
+                "width": b.column("width"),
+                "height": b.column("height"),
+                "thumb_bytes": pc.binary_length(b.column("pixels")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_media_features(sf_dir: str):
     """Raster feature extraction (multimodal stage) over synthetic media."""
     from ..stages.multimodal import media_features
@@ -597,6 +640,7 @@ QUERIES = {
     "hocr_render": q_hocr,
     "boilerplate_strip": q_boilerplate_strip,
     "media_features": q_media_features,
+    "media_decode": q_media_decode,
     # training-data ops (rows-only)
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,

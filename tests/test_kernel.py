@@ -142,3 +142,31 @@ def test_hocr_contains_bbox_and_conf():
     first = eng.get_text_boxes("word")[0]
     r = first.rect
     assert f"bbox {r.left} {r.top} {r.right} {r.bottom}" in hocr
+
+
+def test_progress_monotone_and_cached_run_reports_100():
+    """Mirrors /root/reference/test/ocr-engine-test.js:309-338: progress
+    is monotone ending at 100; a cached second run reports just [100]."""
+    import numpy as np
+
+    from tesseract_wasm_ray.engine import OCREngine
+    from tesseract_wasm_ray.functions.raster import render_page
+    from tesseract_wasm_ray.state.glyph_model import GlyphModel
+
+    m = GlyphModel.build()
+    eng = OCREngine()
+    eng.load_model(m)
+    eng.load_image(render_page([["HELLO", "WORLD"]], m))
+    seen: list[int] = []
+    eng.add_progress_listener(seen.append)
+    eng.get_text()
+    assert seen == sorted(seen) and seen[-1] == 100 and len(seen) >= 2
+    seen.clear()
+    eng.get_text_boxes("word")  # cached
+    assert seen == [100]
+    eng.remove_progress_listener(seen.append)
+    seen.clear()
+    eng.clear_image()
+    eng.load_image(render_page([["RAY"]], m))
+    eng.get_text()
+    assert seen == []  # listener removed

@@ -394,15 +394,21 @@ def run_extract(
         bucket = int(group.column("bucket")[0].as_py())
         table = stitch_bucket(group.drop_columns(["bucket"]))
         name = write_bucket_atomic(out_dir, bucket, table)
-        n_spans = int(sum(len(s) for s in table.column("spans").to_pylist()))
+        n_spans = 0
+        n_words = 0
+        for spans in table.column("spans").to_pylist():
+            n_spans += len(spans)
+            for s_ in spans:
+                if s_["kind"] == "media_ref":
+                    n_words += len(s_["text"].split())
         row = {
             "partition_id": bucket,
             "config_fingerprint": fp,
             "model_version": MODEL_VERSION,
             "input_files": input_files,
             "n_docs": table.num_rows,
-            "n_spans": n_spans,
-            "n_words": -1,
+            "n_spans": int(n_spans),
+            "n_words": int(n_words),
             "wall_ms": (time.monotonic() - t0) * 1000.0,
             "output_file": name,
         }

@@ -225,3 +225,77 @@ def knn_self_join(
         )
 
     return ds.map_batches(nn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# IVF index on disk: the true scale path (prune at the READ)
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    ds: rd.Dataset,
+    out_dir: str,
+    n_centroids: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Write a cell-partitioned copy of the embedding table: one parquet
+    directory per IVF cell plus ``centroids.npy``.  Search then READS
+    ONLY the probed cells — pruning happens at storage level, the way a
+    100 TB ANN corpus must work (scanning all rows per query, as the
+    in-memory ivf_topk does, stops being viable).  Cells are written via
+    the bucketed-groupby pattern (no aggregator actors)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    centroids = fit_centroids(ds, n_centroids, emb_col)
+    cent_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _unit(_matrix(batch, emb_col))
+        cells = (m @ ray.get(cent_ref).T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("__cell", pa.array(cells, pa.int32()))
+
+    def write_cell(group: pa.Table) -> pa.Table:
+        cell = int(group.column("__cell")[0].as_py())
+        t = group.drop_columns(["__cell"])
+        cell_dir = os.path.join(out_dir, f"cell={cell:04d}")
+        os.makedirs(cell_dir, exist_ok=True)
+        pq.write_table(t, os.path.join(cell_dir, "part-0.parquet"))
+        return pa.table({"cell": pa.array([cell], pa.int32()),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+
+    manifest = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("__cell", num_partitions=min(n_centroids, 32))
+        .map_groups(write_cell, batch_format="pyarrow")
+        .to_pandas()
+    )
+    np.save(os.path.join(out_dir, "centroids.npy"), centroids)
+    manifest.to_json(os.path.join(out_dir, "cells.json"), orient="records")
+    return centroids
+
+
+def ivf_index_topk(
+    index_dir: str,
+    query: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Search a build_ivf_index directory: read ONLY the ``nprobe``
+    nearest cells' files (storage-level pruning), brute-force within."""
+    import glob
+    import os
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _unit(np.asarray(query, dtype=np.float64).reshape(1, -1))[0]
+    probe = np.argsort(-(centroids @ q))[:nprobe]
+    files: list[str] = []
+    for c in probe:
+        files.extend(glob.glob(os.path.join(index_dir, f"cell={int(c):04d}", "*.parquet")))
+    ds = rd.read_parquet(files)
+    return topk_cosine(ds, query, k=k, emb_col=emb_col, id_col=id_col)

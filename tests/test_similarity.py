@@ -59,3 +59,24 @@ def test_knn_self_join(emb_ds):
     row0 = out[out["vec_id"] == 0].sort_values("cos_sim", ascending=False)
     ids, _ = _oracle_topk(mat, mat[0].astype(np.float64), 4)
     assert row0["neighbor_id"].tolist() == [i for i in ids.tolist() if i != 0][:3]
+
+
+def test_ivf_index_on_disk(emb_ds, tmp_path):
+    """build_ivf_index + ivf_index_topk: storage-pruned search; with
+    nprobe == n_centroids it must equal the brute-force result."""
+    from tesseract_wasm_ray.pipelines.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    ds, mat = emb_ds
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ds, idx, n_centroids=6)
+    q = mat[11].astype(np.float64)
+    exact_ids, _ = _oracle_topk(mat, q, 10)
+    full = ivf_index_topk(idx, q, k=10, nprobe=6).to_pandas()
+    assert full["vec_id"].tolist() == exact_ids.tolist()  # all cells = exact
+    pruned = set(ivf_index_topk(idx, q, k=10, nprobe=2).to_pandas()["vec_id"])
+    assert len(pruned & set(exact_ids.tolist())) >= 5  # pruned recall
+    import os
+    assert os.path.exists(os.path.join(idx, "centroids.npy"))

@@ -250,6 +250,51 @@ def run_scaling(sf_dir: str, cpus_lo: int | None = None, cpus_hi: int | None = N
     }
 
 
+def run_dedup_scale(num_cpus: int, n_rows: int | None = None) -> dict:
+    """Dedup throughput on a 200k-row flat text corpus with ~5% planted
+    exact and ~5% near duplicates (fixtures.generate_text_corpus)."""
+    n_rows = n_rows or int(os.environ.get("TWR_DEDUP_ROWS", "200000"))
+    _init_ray(num_cpus)
+    import ray.data as rd
+
+    from tesseract_wasm_ray.fixtures import generate_text_corpus
+    from tesseract_wasm_ray.pipelines.dedup import (
+        exact_dedup,
+        minhash_lsh_dedup,
+        simhash_dedup,
+    )
+
+    path = generate_text_corpus(
+        os.path.join("/tmp/twr_fixtures", f"text{n_rows}"), n_rows
+    )
+    out: dict = {}
+    for name, fn in (
+        ("exact_dedup", lambda ds: exact_dedup(ds)),
+        ("minhash_lsh_dedup", lambda ds: minhash_lsh_dedup(ds, threshold=0.7)),
+        ("simhash_dedup", lambda ds: simhash_dedup(ds, max_hamming=3)),
+    ):
+        ds = rd.read_parquet(path)
+        t0 = time.monotonic()
+        kept = fn(ds).count()
+        dt = time.monotonic() - t0
+        out[name] = {
+            "sec": round(dt, 2),
+            "rows_in": n_rows,
+            "rows_kept": kept,
+            "rows_per_sec": round(n_rows / dt, 1),
+        }
+        print(f"[dedup-scale] {name}: {out[name]}", file=sys.stderr)
+    return {
+        "metric": f"dedup throughput on {n_rows}-row corpus (planted dups)",
+        "value": out["minhash_lsh_dedup"]["rows_per_sec"],
+        "unit": "rows/sec",
+        "queries": {k: v["sec"] for k, v in out.items()},
+        "sf": 0.1,
+        "num_cpus": num_cpus,
+        **{f"{k}_kept": v["rows_kept"] for k, v in out.items()},
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -257,9 +302,12 @@ def main() -> int:
     ap.add_argument("--headline-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--n-docs", type=int, default=None)
+    ap.add_argument("--dedup-scale", action="store_true")
     args = ap.parse_args()
 
-    if args.scaling:
+    if args.dedup_scale:
+        out = run_dedup_scale(args.cpus)
+    elif args.scaling:
         out = run_scaling(args.sf_dir)
     else:
         out = run_default(

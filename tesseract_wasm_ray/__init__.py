@@ -16,3 +16,25 @@ Reference semantics: /root/reference/src/ocr-engine.ts,
 __version__ = "0.1.0"
 
 MODEL_VERSION = "glyph-5x7-v1"
+
+
+def __getattr__(name):
+    # Lazy façade: keep `import tesseract_wasm_ray` light (no ray import
+    # at module load; the driver imports this before ray.init config).
+    if name == "OCREngine":
+        from .engine import OCREngine
+
+        return OCREngine
+    if name == "OCRClient":
+        from .client import OCRClient
+
+        return OCRClient
+    if name == "ExtractConfig":
+        from .pipelines.extract import ExtractConfig
+
+        return ExtractConfig
+    if name == "run_extract":
+        from .pipelines.extract import run_extract
+
+        return run_extract
+    raise AttributeError(name)

@@ -335,3 +335,57 @@ def generate_corpus(out_dir: str, n_docs: int, parallelism: int | None = None) -
     with open(meta_path, "w") as f:
         json.dump(meta, f)
     return paths
+
+
+# ---------------------------------------------------------------------------
+# flat text corpus (dedup / text-analysis benchmarks)
+# ---------------------------------------------------------------------------
+
+
+def text_corpus_batch(indices: np.ndarray) -> pa.Table:
+    """Deterministic flat (doc_id, text) rows with planted duplicates:
+    ~5% exact copies (of doc_id - 1) and ~5% near copies (one word
+    edited), so dedup benchmarks exercise real removal work."""
+    rows = []
+    for i in indices:
+        i = int(i)
+        rng = np.random.default_rng([SEED, 9, i])
+        r = float(rng.random())
+        if r < 0.05 and i > 0:
+            src = np.random.default_rng([SEED, 9, i - 1])
+            src.random()
+            toks = [HTML_WORDS[int(j)] for j in src.integers(0, len(HTML_WORDS), 40)]
+            text = " ".join(toks)  # exact copy of doc i-1's base text
+        elif r < 0.10 and i > 0:
+            src = np.random.default_rng([SEED, 9, i - 1])
+            src.random()
+            toks = [HTML_WORDS[int(j)] for j in src.integers(0, len(HTML_WORDS), 40)]
+            toks[int(rng.integers(0, 40))] = HTML_WORDS[int(rng.integers(0, len(HTML_WORDS)))]
+            text = " ".join(toks)  # near copy (1 edit)
+        else:
+            toks = [HTML_WORDS[int(j)] for j in rng.integers(0, len(HTML_WORDS), 40)]
+            text = " ".join(toks)
+        rows.append({"doc_id": i, "text": text})
+    return pa.Table.from_pylist(
+        rows, schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    )
+
+
+def generate_text_corpus(out_dir: str, n_rows: int) -> str:
+    """Ray-parallel generation of the flat dedup-benchmark corpus."""
+    import ray.data as rd
+
+    # "_"-prefixed so parquet dataset readers ignore it
+    meta_path = os.path.join(out_dir, "_meta.json")
+    meta = {"n_rows": n_rows, "seed": SEED, "kind": "text_corpus", "v": 1}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if json.load(f) == meta:
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rd.range(n_rows, override_num_blocks=max(8, n_rows // 20000)).map_batches(
+        lambda b: text_corpus_batch(b["id"]), batch_format="numpy"
+    ).write_parquet(out_dir)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return out_dir

@@ -68,11 +68,14 @@ def _crc_bucket_i64(keys: np.ndarray, num_buckets: int) -> np.ndarray:
 
 
 def keep_min_by(
-    ds: rd.Dataset, key_col: str, order_col: str, num_buckets: int = 64
+    ds: rd.Dataset, key_col: str, order_col: str, num_buckets: int = 64,
+    shuffle_partitions: int = 16,
 ) -> rd.Dataset:
     """Keep, per distinct ``key_col`` value, the single row with the
     minimum ``order_col``.  Hash-bucket the key (bounded group count),
-    one vectorized sort + boundary-take per bucket."""
+    one vectorized sort + boundary-take per bucket.  Input blocks are
+    coalesced first (sort-shuffle cost is per-block, docs/RAY_NOTES.md §3).
+    """
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         keys = batch.column(key_col)
@@ -104,7 +107,8 @@ def keep_min_by(
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
+        .repartition(shuffle_partitions)
+        .groupby("__bucket", num_partitions=shuffle_partitions)
         .map_groups(first_per_key, batch_format="pyarrow")
     )
 
@@ -174,7 +178,8 @@ def _dup_ids_from_buckets(
 
     dups = (
         bucket_rows.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
+        .repartition(min(num_buckets, 32))
+        .groupby("__bucket", num_partitions=min(num_buckets, 32))
         .map_groups(find_dups, batch_format="pyarrow")
     )
     # An id can be flagged by several bands/blocks — dedupe the dup list.
@@ -296,7 +301,8 @@ def anti_join_ids(
 
     return (
         both.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
+        .repartition(min(num_buckets, 32))
+        .groupby("__bucket", num_partitions=min(num_buckets, 32))
         .map_groups(filter_group, batch_format="pyarrow")
     )
 
@@ -304,7 +310,7 @@ def anti_join_ids(
 def _sig_matrix(t: pa.Table, col: str) -> np.ndarray:
     arr = _single_chunk(t.column(col))
     k = arr.type.list_size
-    return np.asarray(arr.values, dtype=np.int64).reshape(-1, k).view(np.uint64)
+    return np.asarray(arr.values).reshape(-1, k)
 
 
 def minhash_band_rows(
@@ -326,9 +332,10 @@ def minhash_band_rows(
         keys = lsh_band_keys(sig, bands, rows_per_band)  # (n, bands)
         ids = batch.column(id_col)
         out_ids = pc.take(ids, pa.array(np.repeat(np.arange(n), bands), pa.int64()))
-        sig_rep = np.repeat(sig.view(np.int64), bands, axis=0)
+        sig32 = (sig & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        sig_rep = np.repeat(sig32, bands, axis=0)
         sig_col = pa.FixedSizeListArray.from_arrays(
-            pa.array(sig_rep.ravel(), pa.int64()), k
+            pa.array(sig_rep.ravel(), pa.uint32()), k
         )
         return pa.table(
             {
@@ -474,7 +481,8 @@ def ngram_jaccard_dedup(
 
     pairs = (
         band_rows.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
+        .repartition(min(num_buckets, 32))
+        .groupby("__bucket", num_partitions=min(num_buckets, 32))
         .map_groups(pairs_from_buckets, batch_format="pyarrow")
     )
     pairs = keep_min_by(pairs, id_col, "rep_id")  # one rep per member id

@@ -48,20 +48,29 @@ def main(argv: list[str] | None = None) -> int:
     manifest_rows = run_extract(
         args.docs, args.media, cfg, out_dir=args.out, resume=not args.no_resume
     )
+    from .stages.manifest import completed_files, config_fingerprint, load_manifest
+
+    fp = config_fingerprint(cfg.fingerprint_dict())
+    all_rows = [
+        r for r in load_manifest(args.out).to_pylist() if r["config_fingerprint"] == fp
+    ]
     summary = {
         "buckets_written": len(manifest_rows),
-        "docs": int(sum(r["n_docs"] for r in manifest_rows)),
-        "spans": int(sum(r["n_spans"] for r in manifest_rows)),
+        "buckets_total": len(all_rows),
+        "docs": int(sum(r["n_docs"] for r in all_rows)),
+        "spans": int(sum(r["n_spans"] for r in all_rows)),
+        "words": int(sum(r["n_words"] for r in all_rows)),
         "out": args.out,
     }
     if args.golden:
-        import os
-
         import ray.data as rd
 
-        files = [os.path.join(args.out, r["output_file"]) for r in manifest_rows]
-        result = rd.read_parquet(files)
-        summary["validation"] = validate_against_golden(result, args.golden)
+        files = completed_files(args.out, fp)
+        if files:
+            result = rd.read_parquet(files)
+            summary["validation"] = validate_against_golden(result, args.golden)
+        else:
+            summary["validation"] = {"docs_ok": 0, "docs_mismatched": 0, "docs_missing": -1}
     print(json.dumps(summary))
     ray.shutdown()
     return 0

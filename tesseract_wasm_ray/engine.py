@@ -175,13 +175,7 @@ class OCREngine:
         ink = self._check_image()
         words, lines, _ = self._ensure_ocr()
         h, w = ink.shape
-        return render_hocr(
-            [x for x in words if x.text],
-            [x for x in lines if x.text],
-            w,
-            h,
-            version=__version__,
-        )
+        return render_hocr(words, lines, w, h, version=__version__)
 
     def get_orientation(self) -> dict:
         ink = self._check_image()

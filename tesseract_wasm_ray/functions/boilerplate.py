@@ -49,6 +49,11 @@ ENTITY_RE = re.compile("|".join(ENTITIES))
 MIN_BLOCK_CHARS = 12
 MAX_LINK_DENSITY = 0.33
 
+# Void elements never close — they must not push scope onto the hint
+# stack (an unpopped <br> entry would leak its parent's hint onto
+# unrelated later blocks).
+VOID_TAGS = {"br", "hr", "img", "input", "meta", "link", "col", "area", "wbr"}
+
 
 def _decode(text: str) -> str:
     return ENTITY_RE.sub(lambda m: ENTITIES[m.group(0)], text)
@@ -80,13 +85,15 @@ def strip_boilerplate(html: str) -> str:
     cur_link = 0
     drop_depth = 0          # inside a DROP_SUBTREE element
     link_depth = 0          # inside <a>
-    hint_stack: list[int] = [0]
+    # (tag, cumulative hint) scopes; closes pop to the nearest matching
+    # open tag (tolerant of unclosed block tags in HTML-ish input).
+    hint_stack: list[tuple[str, int]] = [("", 0)]
 
     def flush() -> None:
         nonlocal cur, cur_link
         text = WS_RE.sub(" ", "".join(cur)).strip()
         if text:
-            blocks.append((text, cur_link, hint_stack[-1]))
+            blocks.append((text, cur_link, hint_stack[-1][1]))
         cur = []
         cur_link = 0
 
@@ -118,10 +125,13 @@ def strip_boilerplate(html: str) -> str:
             continue
         if tag in BLOCK_TAGS:
             flush()
-            if not closing and not self_closing:
-                hint_stack.append(hint_stack[-1] + _hints(attrs))
-            elif closing and len(hint_stack) > 1:
-                hint_stack.pop()
+            if not closing and not self_closing and tag not in VOID_TAGS:
+                hint_stack.append((tag, hint_stack[-1][1] + _hints(attrs)))
+            elif closing:
+                for i in range(len(hint_stack) - 1, 0, -1):
+                    if hint_stack[i][0] == tag:
+                        del hint_stack[i:]
+                        break
     if pos < len(html) and drop_depth == 0:
         seg = _decode(html[pos:])
         cur.append(seg)

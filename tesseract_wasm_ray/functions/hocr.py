@@ -39,22 +39,29 @@ def render_hocr(
     page_id: int = 1,
     version: str = "0.1.0",
 ) -> str:
-    """words must be in reading order; they are grouped into lines by the
-    StartOfLine flag (flags bit 1)."""
+    """words must be the FULL reading-order word list (including
+    empty-text items) so StartOfLine grouping stays aligned 1:1 with
+    ``lines``; empty-text words are dropped per group at render time
+    (pre-filtering the input would shift groups onto the wrong line
+    bboxes whenever a line's words are all empty)."""
     out = [_HEADER.format(version=version)]
     out.append(
         f"  <div class='ocr_page' id='page_{page_id}' "
         f"title='bbox 0 0 {width} {height}'>\n"
     )
-    # Group words into lines via StartOfLine flags.
+    # Group words into lines via StartOfLine flags (no filtering here —
+    # alignment with `lines` is positional).
     grouped: list[list[TextItem]] = []
     for w in words:
-        if not w.text:
-            continue
         if w.flags & 1 or not grouped:
             grouped.append([])
         grouped[-1].append(w)
-    for li, (line, ws) in enumerate(zip(lines, grouped), start=1):
+    li = 0
+    for line, group in zip(lines, grouped):
+        ws = [w for w in group if w.text]
+        if not ws:
+            continue
+        li += 1
         r = line.rect
         out.append(
             f"   <span class='ocr_line' id='line_{page_id}_{li}' "

@@ -1,29 +1,24 @@
 """Sketching kernels for near-duplicate detection: shingles, MinHash,
 SimHash — numpy-vectorized per batch, deterministic across processes.
 
-Token hashing uses ``pandas.util.hash_array`` (SipHash-like with a fixed
-key — stable across processes/nodes, unlike Python's randomized
-``hash``).  All per-row reductions use parent-index grouping +
-``np.minimum.reduceat`` / ``np.bincount`` — no Python loop over rows.
+Token hashing is a vectorized FNV-1a over the Arrow string buffers
+(hash_string_array) — stable across processes/nodes, no Python string
+objects.  All per-row reductions use parent-index grouping +
+``np.minimum.reduceat`` / ``np.add.reduceat`` — no Python loop over rows.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+from .arrow_util import single_chunk as _single_chunk
 import pyarrow.compute as pc
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def _single_chunk(col):
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-        if isinstance(col, pa.ChunkedArray):
-            col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
-    return col
+
 
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)

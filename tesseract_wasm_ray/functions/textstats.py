@@ -20,6 +20,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from .arrow_util import single_chunk as _single_chunk
 import pyarrow.compute as pc
 
 # BPE-ish tokenizer: word pieces or single non-space punctuation.  Kept
@@ -45,12 +46,7 @@ LANG_PROFILES: dict[str, frozenset[str]] = {
 ENGLISH_STOPWORDS = LANG_PROFILES["en"]
 
 
-def _single_chunk(col: pa.ChunkedArray | pa.Array) -> pa.Array:
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-        if isinstance(col, pa.ChunkedArray):
-            col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
-    return col
+
 
 
 def _tokens(texts: pa.Array) -> tuple[pa.Array, np.ndarray, int]:

@@ -32,6 +32,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+from ..functions.arrow_util import single_chunk as _single_chunk
 import pyarrow.compute as pc
 import ray.data as rd
 
@@ -47,12 +48,7 @@ from ..functions.sketch import (
 
 
 
-def _single_chunk(col):
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-        if isinstance(col, pa.ChunkedArray):
-            col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
-    return col
+
 
 
 def _crc_bucket_i64(keys: np.ndarray, num_buckets: int) -> np.ndarray:
@@ -329,8 +325,16 @@ def minhash_band_rows(
         texts = _single_chunk(batch.column(text_col))
         sh, par, n = shingle_hashes(texts, n=shingle_n)
         sig = minhash_signatures(sh, par, n, k=k)
+        # Rows with zero shingles (empty/whitespace-only docs) all share
+        # the sentinel signature — they must never become candidates
+        # (near-dup semantics; exact_dedup handles identical empties).
+        present = np.zeros(n, dtype=bool)
+        if len(par):
+            present[np.unique(par)] = True
+        sig = sig[present]
+        n = int(present.sum())
         keys = lsh_band_keys(sig, bands, rows_per_band)  # (n, bands)
-        ids = batch.column(id_col)
+        ids = pc.take(batch.column(id_col), pa.array(np.flatnonzero(present), pa.int64()))
         out_ids = pc.take(ids, pa.array(np.repeat(np.arange(n), bands), pa.int64()))
         sig32 = (sig & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         sig_rep = np.repeat(sig32, bands, axis=0)
@@ -391,12 +395,24 @@ def simhash_dedup(
     def sketch(batch: pa.Table) -> pa.Table:
         texts = _single_chunk(batch.column(text_col))
         sig = simhash(texts)
-        blocks = simhash_blocks(sig, n_blocks)  # (n, 4)
+        # Token-less docs share the all-zero signature — exclude them
+        # from candidacy (same rationale as the MinHash sentinel rows).
+        from ..functions.sketch import token_hashes
+
+        _, tpar, tn = token_hashes(texts)
+        present = np.zeros(tn, dtype=bool)
+        if len(tpar):
+            present[np.unique(tpar)] = True
+        sig = sig[present]
         n = len(sig)
+        blocks = simhash_blocks(sig, n_blocks)  # (n, 4)
         # Namespace each block position so block i only matches block i.
         keyed = blocks + (np.arange(n_blocks, dtype=np.int64) << 48)[None, :]
+        pres_ids = pc.take(
+            batch.column(id_col), pa.array(np.flatnonzero(present), pa.int64())
+        )
         ids = pc.take(
-            batch.column(id_col), pa.array(np.repeat(np.arange(n), n_blocks), pa.int64())
+            pres_ids, pa.array(np.repeat(np.arange(n), n_blocks), pa.int64())
         )
         return pa.table(
             {
@@ -535,7 +551,9 @@ def ngram_jaccard_dedup(
             sa = set(ha[pa_a == i].tolist())
             sb = set(hb[pa_b == i].tolist())
             denom = len(sa | sb)
-            jac[i] = (len(sa & sb) / denom) if denom else 1.0
+            # Two shingle-less docs are NOT near-dups (exact dedup owns
+            # identical empties).
+            jac[i] = (len(sa & sb) / denom) if denom else 0.0
         keep = pa.array(jac >= threshold)
         return batch.filter(keep).select([id_col])
 

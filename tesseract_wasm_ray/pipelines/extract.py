@@ -64,6 +64,12 @@ class ExtractConfig:
     # to ~0.5-1x the CPU count; raise with corpus size so blocks stay
     # under the worker heap (rows here are small text structs).
     coalesce_partitions: int = 16
+    # Resume: media pages of completed buckets are pruned BEFORE the OCR
+    # pool via a broadcast set of still-needed media_refs, bounded by
+    # this cap (a near-complete resume has few refs; an early-crash
+    # resume may exceed it, in which case only the stitch/write work is
+    # skipped and OCR re-runs — correct, just less cheap).
+    max_resume_refs: int = 5_000_000
     emit_boxes: bool = False
     model_blob: bytes = field(default_factory=lambda: GlyphModel.build().to_bytes(), repr=False)
 
@@ -74,9 +80,27 @@ class ExtractConfig:
         }
 
 
-def ocr_media(media_path: str, cfg: ExtractConfig, emit_boxes: bool | None = None) -> rd.Dataset:
-    """media table -> per-page OCR results (actor-pool stage)."""
+def ocr_media(
+    media_path: str,
+    cfg: ExtractConfig,
+    emit_boxes: bool | None = None,
+    ref_filter=None,
+) -> rd.Dataset:
+    """media table -> per-page OCR results (actor-pool stage).
+
+    ``ref_filter``: optional ``ray.ObjectRef`` of a pa.Array of
+    media_refs still needed (resume pruning) — rows outside it never
+    reach the recognition pool."""
     media = read_media(media_path)
+    if ref_filter is not None:
+        import pyarrow.compute as _pc
+
+        def keep_needed(b: pa.Table) -> pa.Table:
+            return b.filter(
+                _pc.is_in(b.column("media_ref"), value_set=ray.get(ref_filter))
+            )
+
+        media = media.map_batches(keep_needed, batch_format="pyarrow")
     return media.map_batches(
         OcrActor,
         fn_constructor_kwargs={
@@ -216,7 +240,12 @@ def _join_media_text(media_rows: rd.Dataset, ocr_text: rd.Dataset, cfg: ExtractC
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
-def _span_rows(docs_path: str, media_path: str, cfg: ExtractConfig) -> rd.Dataset:
+def _span_rows(
+    docs_path: str,
+    media_path: str,
+    cfg: ExtractConfig,
+    skip_buckets: frozenset[int] = frozenset(),
+) -> rd.Dataset:
     """Single-pass span stream (docs are read + exploded exactly ONCE).
 
     ``explode -> strip(text spans inline)`` produces one stream of span
@@ -234,8 +263,27 @@ def _span_rows(docs_path: str, media_path: str, cfg: ExtractConfig) -> rd.Datase
 
     num_buckets = cfg.join_partitions * 4
 
+    def prune_done(rows: pa.Table) -> pa.Table:
+        """Drop span rows of docs whose reassembly bucket is already in
+        the manifest — BEFORE stripping/shuffling (resume skips the
+        expensive work, not just the final write)."""
+        if not skip_buckets:
+            return rows
+        enc = rows.column("doc_id").combine_chunks()
+        enc = pc.dictionary_encode(enc)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.chunk(0) if enc.num_chunks else enc.combine_chunks()
+        keep_lut = np.array(
+            [
+                zlib.crc32(v.encode()) % cfg.num_buckets not in skip_buckets
+                for v in enc.dictionary.to_pylist()
+            ]
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        return rows.filter(pa.array(keep_lut[codes]))
+
     def explode_and_strip(batch: pa.Table) -> pa.Table:
-        rows = explode_spans(batch)
+        rows = prune_done(explode_spans(batch))
         kind = rows.column("kind")
         is_text = pc.equal(kind, "text").to_numpy(zero_copy_only=False)
         texts = rows.column("text").to_pylist()
@@ -313,7 +361,32 @@ def _span_rows(docs_path: str, media_path: str, cfg: ExtractConfig) -> rd.Datase
     span_stream = docs.map_batches(
         explode_and_strip, batch_format="pyarrow", zero_copy_batch=True
     )
-    ocr_rows = ocr_media(media_path, cfg, emit_boxes=False).map_batches(
+
+    ref_filter = None
+    if skip_buckets:
+        # Collect the still-needed media_refs (one lightweight pass over
+        # the docs table — cheap next to the OCR it saves) and broadcast
+        # them so completed buckets' pages never reach the pool.
+        refs: set[str] = set()
+        def probe_refs(b: pa.Table) -> pa.Table:
+            rows = prune_done(explode_spans(b))
+            return rows.filter(pc.equal(rows.column("kind"), "media_ref")).select(
+                ["media_ref"]
+            )
+
+        probe = docs.map_batches(probe_refs, batch_format="pyarrow")
+        too_many = False
+        for b in probe.iter_batches(batch_format="pyarrow", batch_size=65536):
+            refs.update(b["media_ref"].to_pylist())
+            if len(refs) > cfg.max_resume_refs:
+                too_many = True
+                break
+        if not too_many:
+            ref_filter = ray.put(pa.array(sorted(refs), pa.string()))
+
+    ocr_rows = ocr_media(
+        media_path, cfg, emit_boxes=False, ref_filter=ref_filter
+    ).map_batches(
         lambda b: pad_ocr(b.select(["media_ref", "text"])), batch_format="pyarrow"
     )
     both = span_stream.union(ocr_rows).repartition(cfg.coalesce_partitions)
@@ -359,9 +432,12 @@ def run_extract(
     same config fingerprint are skipped *before* the shuffle.
     """
     cfg = cfg or ExtractConfig()
+    done: set[int] = set()
+    if out_dir is not None and resume:
+        done = completed_buckets(out_dir, config_fingerprint(cfg.fingerprint_dict()))
     # _span_rows output is already coalesced (one block per fill
     # partition) — no repartition barrier needed before the reassembly.
-    rows = _span_rows(docs_path, media_path, cfg)
+    rows = _span_rows(docs_path, media_path, cfg, skip_buckets=frozenset(done))
     bucketed = rows.map_batches(add_bucket_column(cfg.num_buckets), batch_format="pyarrow")
 
     if out_dir is None:
@@ -376,8 +452,9 @@ def run_extract(
 
     os.makedirs(out_dir, exist_ok=True)
     fp = config_fingerprint(cfg.fingerprint_dict())
-    done = completed_buckets(out_dir, fp) if resume else set()
     if done:
+        # Safety net on top of the upstream pruning (prune_done filters
+        # at the explode; this catches any row that slipped through).
         import pyarrow.compute as pc
 
         skip = pa.array(sorted(done), pa.int32())

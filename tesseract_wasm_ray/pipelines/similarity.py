@@ -16,16 +16,12 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+from ..functions.arrow_util import single_chunk as _single_chunk
 import ray
 import ray.data as rd
 
 
-def _single_chunk(col):
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-        if isinstance(col, pa.ChunkedArray):
-            col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
-    return col
+
 
 
 def _matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
@@ -72,15 +68,22 @@ def topk_cosine(
             )
         qv = ray.get(q_ref)
         cos = _unit(m) @ qv
-        kk = min(k, len(cos))
-        idx = np.argpartition(-cos, kk - 1)[:kk]
-        scores = cos[idx]
         if round_to is not None:
-            scores = np.round(scores, round_to)
+            # Round BEFORE the partial selection: the global merge sorts
+            # on rounded scores with ascending-id tie-break, so the
+            # per-batch top-k must use the same ordering or a low-id row
+            # tied on the rounded value could be cut here and the merged
+            # result would disagree with a (rounded) oracle.
+            cos = np.round(cos, round_to)
+        kk = min(k, len(cos))
+        ids_np = batch.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids_np, -cos))[:kk]
         return pa.table(
             {
-                id_col: _single_chunk(batch.column(id_col)).take(pa.array(idx, pa.int64())),
-                "cos_sim": pa.array(scores, pa.float64()),
+                id_col: _single_chunk(batch.column(id_col)).take(
+                    pa.array(order, pa.int64())
+                ),
+                "cos_sim": pa.array(cos[order], pa.float64()),
             }
         )
 

@@ -55,6 +55,18 @@ def completed_buckets(out_dir: str, fingerprint: str) -> set[int]:
     }
 
 
+def completed_files(out_dir: str, fingerprint: str) -> list[str]:
+    """Absolute paths of every completed bucket's output parquet under
+    the given config fingerprint (for whole-output reads/validation)."""
+    m = load_manifest(out_dir)
+    out = []
+    for r in m.to_pylist():
+        p = os.path.join(out_dir, r["output_file"])
+        if r["config_fingerprint"] == fingerprint and os.path.exists(p):
+            out.append(p)
+    return sorted(set(out))
+
+
 def append_manifest(out_dir: str, new_rows: list[dict]) -> None:
     """Atomic append: rewrite manifest to a tmp file, rename over."""
     if not new_rows:

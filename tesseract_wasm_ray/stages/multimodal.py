@@ -21,17 +21,13 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+from ..functions.arrow_util import single_chunk as _single_chunk
 
 RAW_CODECS = {"raw", "raw-rgba", "raw-gray"}
 STUB_CODECS = {"jpeg", "png", "webp", "mp3", "wav", "h264"}
 
 
-def _single_chunk(col):
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-        if isinstance(col, pa.ChunkedArray):
-            col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
-    return col
+
 
 
 def _fake_raster(ref: str, width: int, height: int, channels: int) -> np.ndarray:

@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis): invariants that must hold for
+arbitrary inputs, mirroring the reference's property-style rect checks
+(/root/reference/test/ocr-engine-test.js:153-168)."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tesseract_wasm_ray.functions.boilerplate import strip_boilerplate
+from tesseract_wasm_ray.functions.sketch import (
+    hash_string_array,
+    minhash_signatures,
+    shingle_hashes,
+    signature_jaccard,
+)
+from tesseract_wasm_ray.functions.textstats import text_quality, token_count
+
+html_chars = st.text(
+    alphabet=st.sampled_from("abc <>/='\"-_&;#!\nxyz"), max_size=200
+)
+plain_words = st.lists(
+    st.text(alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")), min_size=1, max_size=10),
+    max_size=30,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(html_chars)
+def test_strip_boilerplate_never_crashes_and_emits_no_tags(s):
+    out = strip_boilerplate(s)
+    assert isinstance(out, str)
+    # No complete tag should survive (angle brackets may remain only
+    # from non-tag text like "a < b").
+    import re
+
+    assert not re.search(r"<[a-zA-Z][a-zA-Z0-9]*(\s[^>]*)?>", out)
+
+
+@settings(max_examples=100, deadline=None)
+@given(plain_words)
+def test_token_count_matches_python_split(words):
+    text = " ".join(words)
+    t = pa.table({"text": [text]})
+    got = token_count(t).column("n_tokens").to_pylist()[0]
+    assert got == len(text.split())
+
+
+@settings(max_examples=100, deadline=None)
+@given(plain_words)
+def test_quality_metrics_bounded(words):
+    text = " ".join(words)
+    out = text_quality(pa.table({"text": [text]})).to_pylist()[0]
+    assert 0.0 <= out["quality"] <= 1.0
+    assert 0.0 <= out["distinct_ratio"] <= 1.0
+    assert out["n_distinct"] <= out["n_tokens"]
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(alphabet="abcdef", min_size=0, max_size=12), min_size=1, max_size=50))
+def test_fnv_hash_injective_on_distinct_strings_and_stable(strings):
+    arr = pa.array(strings, pa.string())
+    h1 = hash_string_array(arr)
+    h2 = hash_string_array(arr)
+    np.testing.assert_array_equal(h1, h2)  # deterministic
+    uniq = {}
+    for s, h in zip(strings, h1.tolist()):
+        if s in uniq:
+            assert uniq[s] == h  # equal strings -> equal hashes
+        uniq[s] = h
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.sampled_from(["tok%d" % i for i in range(30)]), min_size=10, max_size=60),
+    st.integers(min_value=0, max_value=9),
+)
+def test_minhash_identical_docs_estimate_one(tokens, _salt):
+    text = " ".join(tokens)
+    t = pa.table({"text": [text, text]})
+    h, p, n = shingle_hashes(t.column("text").combine_chunks(), 3)
+    sig = minhash_signatures(h, p, n, k=32)
+    assert signature_jaccard(sig[0:1], sig[1:2])[0] == 1.0
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=40))
+def test_explode_stitch_roundtrip_random_span_shapes(sizes):
+    from tesseract_wasm_ray.stages.explode import explode_spans
+    from tesseract_wasm_ray.stages.reassemble import stitch_bucket
+
+    docs = []
+    for i, n in enumerate(sizes):
+        spans = [
+            {"kind": "text" if (i + k) % 3 else "media_ref",
+             "text": f"t{i}-{k}", "media_ref": "", "offset": k}
+            for k in range(n)
+        ]
+        if spans:
+            docs.append({"doc_id": f"d{i:04d}", "spans": spans})
+    if not docs:
+        return
+    from tesseract_wasm_ray.schema import DOCUMENTS_SCHEMA
+
+    t = pa.Table.from_pylist(docs, schema=DOCUMENTS_SCHEMA)
+    back = stitch_bucket(explode_spans(t))
+    assert sorted(back.to_pylist(), key=lambda r: r["doc_id"]) == sorted(
+        docs, key=lambda r: r["doc_id"]
+    )

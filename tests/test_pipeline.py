@@ -62,7 +62,7 @@ def test_ocr_media_stage_matches_golden_boxes(small_corpus):
         assert got_words == exp_words, ref
 
 
-@pytest.mark.parametrize("strategy", ["hash", "broadcast"])
+@pytest.mark.parametrize("strategy", ["bucket", "hash", "broadcast"])
 def test_extract_span_equality(small_corpus, strategy):
     cfg = _cfg()
     cfg.join_strategy = strategy

@@ -248,6 +248,32 @@ def q_user_sessions(sf_dir: str):
     )
 
 
+def q_sample_docs(sf_dir: str):
+    """Deterministic ~10% Bernoulli sample keyed on md5(text) — the
+    hash-based sampling a resumable pipeline needs (rerun-stable, unlike
+    RNG sampling; SQL oracle reproduces it exactly)."""
+    import hashlib
+
+    def fn(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        keep = pa.array(
+            [hashlib.md5((t or "").encode()).hexdigest()[:2] < "1a" for t in texts]
+        )
+        return b.filter(keep).select(["doc_id", "n_chars"])
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def q_filter_project(sf_dir: str):
+    """Vectorized filter + projection: long English docs."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater(b.column("n_chars"), 300), pc.equal(b.column("lang"), "en"))
+        return b.filter(m).select(["doc_id", "lang", "n_chars"])
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
 def q_top_long_docs(sf_dir: str):
     """Sort + limit: 10 longest documents (doc_id tie-break)."""
     ds = _docs(sf_dir).map_batches(
@@ -626,6 +652,8 @@ QUERIES = {
     "events_by_type": q_events_by_type,
     "events_hourly": q_events_hourly,
     "top_long_docs": q_top_long_docs,
+    "sample_docs": q_sample_docs,
+    "filter_project": q_filter_project,
     "user_sessions": q_user_sessions,
     "emb_topk_cosine": q_emb_topk,
     "tpch_q1": q_tpch_q1,
@@ -705,6 +733,14 @@ ORACLE_SQL = {
     "top_long_docs": """
         SELECT doc_id, n_chars FROM documents
         ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+    """,
+    "sample_docs": """
+        SELECT doc_id, n_chars FROM documents
+        WHERE substr(md5(text), 1, 2) < '1a'
+    """,
+    "filter_project": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE n_chars > 300 AND lang = 'en'
     """,
     "user_sessions": """
         WITH d AS (

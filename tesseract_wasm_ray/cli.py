@@ -50,10 +50,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     from .stages.manifest import completed_files, config_fingerprint, load_manifest
 
+    import os
+
     fp = config_fingerprint(cfg.fingerprint_dict())
-    all_rows = [
-        r for r in load_manifest(args.out).to_pylist() if r["config_fingerprint"] == fp
-    ]
+    # One row per partition (append-only manifest: LATEST row wins) and
+    # only partitions whose output file still exists.
+    by_part: dict[int, dict] = {}
+    for r in load_manifest(args.out).to_pylist():
+        if r["config_fingerprint"] == fp and os.path.exists(
+            os.path.join(args.out, r["output_file"])
+        ):
+            by_part[r["partition_id"]] = r
+    all_rows = list(by_part.values())
     summary = {
         "buckets_written": len(manifest_rows),
         "buckets_total": len(all_rows),

@@ -165,6 +165,14 @@ def simhash(texts: pa.Array, bits: int = 64) -> np.ndarray:
     """64-bit SimHash over whitespace tokens (unit weights): sum ±1 per
     bit of each token hash, take the sign.  -> (n_rows,) uint64."""
     h, parents, n_rows = token_hashes(texts)
+    return simhash_from_tokens(h, parents, n_rows, bits)
+
+
+def simhash_from_tokens(
+    h: np.ndarray, parents: np.ndarray, n_rows: int, bits: int = 64
+) -> np.ndarray:
+    """SimHash from precomputed token hashes (lets callers that also
+    need the token stream — e.g. presence masks — tokenize ONCE)."""
     out = np.zeros(n_rows, dtype=np.uint64)
     if len(h) == 0:
         return out

@@ -394,12 +394,14 @@ def simhash_dedup(
 
     def sketch(batch: pa.Table) -> pa.Table:
         texts = _single_chunk(batch.column(text_col))
-        sig = simhash(texts)
+        # Tokenize ONCE (token hashing dominates sketch cost): signature
+        # and presence mask both derive from the same token stream.
+        from ..functions.sketch import simhash_from_tokens, token_hashes
+
+        th, tpar, tn = token_hashes(texts)
+        sig = simhash_from_tokens(th, tpar, tn)
         # Token-less docs share the all-zero signature — exclude them
         # from candidacy (same rationale as the MinHash sentinel rows).
-        from ..functions.sketch import token_hashes
-
-        _, tpar, tn = token_hashes(texts)
         present = np.zeros(tn, dtype=bool)
         if len(tpar):
             present[np.unique(tpar)] = True

@@ -269,18 +269,19 @@ def _span_rows(
         expensive work, not just the final write)."""
         if not skip_buckets:
             return rows
-        enc = rows.column("doc_id").combine_chunks()
-        enc = pc.dictionary_encode(enc)
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.chunk(0) if enc.num_chunks else enc.combine_chunks()
+        from ..functions.arrow_util import single_chunk
+
+        enc = single_chunk(pc.dictionary_encode(rows.column("doc_id").combine_chunks()))
         keep_lut = np.array(
             [
                 zlib.crc32(v.encode()) % cfg.num_buckets not in skip_buckets
                 for v in enc.dictionary.to_pylist()
-            ]
+            ],
+            dtype=bool,
         )
         codes = enc.indices.to_numpy(zero_copy_only=False)
-        return rows.filter(pa.array(keep_lut[codes]))
+        keep = keep_lut[codes] if len(keep_lut) else np.empty(0, dtype=bool)
+        return rows.filter(pa.array(keep))
 
     def explode_and_strip(batch: pa.Table) -> pa.Table:
         rows = prune_done(explode_spans(batch))

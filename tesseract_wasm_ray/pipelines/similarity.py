@@ -76,8 +76,14 @@ def topk_cosine(
             # result would disagree with a (rounded) oracle.
             cos = np.round(cos, round_to)
         kk = min(k, len(cos))
+        # O(n) candidate cut first; the deterministic (score desc, id
+        # asc) tie-break lexsort runs only on the small candidate set.
+        # Candidates = top 4k by score so rounded ties crossing the cut
+        # still include every id that could win the global merge.
+        cand_n = min(len(cos), max(4 * kk, kk))
+        cand = np.argpartition(-cos, cand_n - 1)[:cand_n]
         ids_np = batch.column(id_col).to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids_np, -cos))[:kk]
+        order = cand[np.lexsort((ids_np[cand], -cos[cand]))][:kk]
         return pa.table(
             {
                 id_col: _single_chunk(batch.column(id_col)).take(

@@ -309,6 +309,99 @@ def _sig_matrix(t: pa.Table, col: str) -> np.ndarray:
     return np.asarray(arr.values).reshape(-1, k)
 
 
+
+
+def candidate_pairs_from_buckets(
+    bucket_rows: rd.Dataset,
+    key_col: str,
+    id_col: str,
+    verify,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """(member_id, rep_id) candidate pairs: rows sharing ``key_col``
+    within a bucket, screened by ``verify`` against the group's min-id
+    representative.  Shared machinery for pair-based clustering
+    (ngram exact verify, connected components)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "__bucket", pa.array(_crc_bucket_i64(keys, num_buckets), pa.int32())
+        )
+
+    def pairs_of(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["__bucket"]).sort_by(
+            [(key_col, "ascending"), (id_col, "ascending")]
+        )
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {id_col: pa.array([], t.column(id_col).type),
+             "rep_id": pa.array([], t.column(id_col).type)}
+        )
+        if len(keys) == 0:
+            return empty
+        new_grp = np.r_[True, keys[1:] != keys[:-1]]
+        grp_id = np.cumsum(new_grp) - 1
+        rep_idx = np.flatnonzero(new_grp)
+        member_idx = np.flatnonzero(~new_grp)
+        if len(member_idx) == 0:
+            return empty
+        rep_of = rep_idx[grp_id[member_idx]]
+        ok = verify(t, rep_of, member_idx)
+        ids = _single_chunk(t.column(id_col))
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(member_idx[ok], pa.int64())),
+                "rep_id": ids.take(pa.array(rep_of[ok], pa.int64())),
+            }
+        )
+
+    return (
+        bucket_rows.map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(min(num_buckets, 32))
+        .groupby("__bucket", num_partitions=min(num_buckets, 32))
+        .map_groups(pairs_of, batch_format="pyarrow")
+    )
+
+
+def cluster_components(pairs: rd.Dataset, id_col: str, id_type: pa.DataType) -> rd.Dataset:
+    """Union-find over candidate pairs -> dup ids (everything except the
+    min id of each connected component).  Transitive chains A~B~C
+    collapse to ONE survivor even when A and C never share a bucket.
+
+    Driver-side: the pair list is bounded by the near-dup rate (tiny
+    relative to the corpus).  For pair sets beyond driver memory,
+    replace with iterative min-label propagation over the pairs table
+    (each round: groupby id -> min(label); converges in O(log diameter)
+    rounds) — same output contract."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # Deterministic: smaller id becomes the root.
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+
+    for b in pairs.iter_batches(batch_format="pyarrow", batch_size=65536):
+        if b.num_rows == 0 or id_col not in b.column_names:
+            continue
+        for a_, r_ in zip(b[id_col].to_pylist(), b["rep_id"].to_pylist()):
+            parent.setdefault(a_, a_)
+            parent.setdefault(r_, r_)
+            union(a_, r_)
+    dups = [x for x in parent if find(x) != x]
+    return rd.from_arrow(pa.table({id_col: pa.array(sorted(dups), id_type)}))
+
+
 def minhash_band_rows(
     ds: rd.Dataset,
     text_col: str,
@@ -363,9 +456,16 @@ def minhash_lsh_dedup(
     num_buckets: int = 64,
     join_partitions: int = 16,  # kept for API compat; no longer used
     anti_strategy: str = "broadcast",
+    cluster: str = "bucket",  # "bucket" | "components"
 ) -> rd.Dataset:
     """MinHash+LSH near-dup removal: keep one survivor (min id) per
-    group of docs whose estimated shingle-Jaccard ≥ ``threshold``."""
+    group of docs whose estimated shingle-Jaccard ≥ ``threshold``.
+
+    ``cluster="bucket"`` (default) drops non-representative members per
+    band-bucket group — fast, but a transitive chain A~B~C whose ends
+    never share a band can keep both A and C.  ``cluster="components"``
+    builds verified candidate pairs and collapses each CONNECTED
+    COMPONENT to its min id (cluster_components)."""
     band_rows = minhash_band_rows(ds, text_col, id_col, k, bands, shingle_n)
 
     def verify(t: pa.Table, rep_idx: np.ndarray, member_idx: np.ndarray) -> np.ndarray:
@@ -373,9 +473,15 @@ def minhash_lsh_dedup(
         return signature_jaccard(sig[member_idx], sig[rep_idx]) >= threshold
 
     id_type = ds.schema().base_schema.field(id_col).type
-    dup_ids = _dup_ids_from_buckets(
-        band_rows, "band_key", id_col, verify, num_buckets, id_type=id_type
-    )
+    if cluster == "components":
+        pairs = candidate_pairs_from_buckets(
+            band_rows, "band_key", id_col, verify, num_buckets
+        )
+        dup_ids = cluster_components(pairs, id_col, id_type)
+    else:
+        dup_ids = _dup_ids_from_buckets(
+            band_rows, "band_key", id_col, verify, num_buckets, id_type=id_type
+        )
     return anti_join_ids(ds, dup_ids, id_col, strategy=anti_strategy)
 
 

@@ -578,6 +578,14 @@ def q_minhash_dedup(sf_dir: str):
     ).map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
 
 
+def q_minhash_components_dedup(sf_dir: str):
+    """MinHash near-dup with connected-components clustering (one
+    survivor per transitive near-dup cluster)."""
+    return minhash_lsh_dedup(
+        _docs(sf_dir), threshold=0.8, num_buckets=16, cluster="components"
+    ).map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+
+
 def q_simhash_dedup(sf_dir: str):
     return simhash_dedup(
         _docs(sf_dir), max_hamming=3, num_buckets=16, join_partitions=8
@@ -671,6 +679,7 @@ QUERIES = {
     "media_decode": q_media_decode,
     # training-data ops (rows-only)
     "minhash_dedup": q_minhash_dedup,
+    "minhash_components_dedup": q_minhash_components_dedup,
     "simhash_dedup": q_simhash_dedup,
     "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     "embedding_neardup": q_embedding_neardup,

@@ -159,3 +159,27 @@ def test_embedding_neardup(ray_session):
     assert 500 not in kept and 501 not in kept
     assert {0, 1} <= kept
     assert len(kept) == 40
+
+
+def test_minhash_components_collapses_transitive_chain(ray_session):
+    """A~B~C chain (each adjacent pair near-identical, ends less so):
+    components clustering must keep ONLY the min id of the chain."""
+    import ray.data as rd
+
+    from tesseract_wasm_ray.pipelines.dedup import minhash_lsh_dedup
+
+    rng = np.random.default_rng(41)
+    base = _text(rng, 60)
+    b = _perturb(rng, base, 1)
+    c = _perturb(rng, b, 1)
+    others = [_text(rng, 60) for _ in range(20)]
+    rows = [{"doc_id": i + 10, "text": t} for i, t in enumerate(others)]
+    rows += [{"doc_id": 0, "text": base}, {"doc_id": 1, "text": b}, {"doc_id": 2, "text": c}]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    kept = set(
+        minhash_lsh_dedup(
+            ds, threshold=0.7, num_buckets=8, cluster="components"
+        ).to_pandas()["doc_id"]
+    )
+    assert 0 in kept and 1 not in kept and 2 not in kept
+    assert len(kept) == 21

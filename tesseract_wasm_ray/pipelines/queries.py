@@ -274,6 +274,44 @@ def q_filter_project(sf_dir: str):
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
+def q_distinct_sources(sf_dir: str):
+    """DISTINCT over two columns (set op): unique (lang, source) pairs."""
+    ds = _docs(sf_dir).map_batches(
+        lambda b: b.select(["lang", "source"]), batch_format="pyarrow"
+    )
+
+    def add_key(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(b.column("lang"), b.column("source"), "\x1f")
+        return b.append_column("__k", key).append_column(
+            "__one", pa.array(np.zeros(b.num_rows, np.int8))
+        )
+
+    return keep_min_by(
+        ds.map_batches(add_key, batch_format="pyarrow"), "__k", "__one", num_buckets=8
+    ).drop_columns(["__k", "__one"])
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """Per-group top-k (window rank): the 2 longest docs per lang
+    (n_chars desc, doc_id asc tie-break) — grouped vectorized take; the
+    oracle uses row_number() OVER (PARTITION BY ...)."""
+    ds = _docs(sf_dir).map_batches(
+        lambda b: b.select(["doc_id", "lang", "n_chars"]), batch_format="pyarrow"
+    )
+
+    def topk(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = group.to_pandas().sort_values(
+            ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        return pa.Table.from_pandas(
+            df.groupby("lang", sort=False).head(2), preserve_index=False
+        )
+
+    return ds.groupby("lang", num_partitions=4).map_groups(topk, batch_format="pyarrow")
+
+
 def q_top_long_docs(sf_dir: str):
     """Sort + limit: 10 longest documents (doc_id tie-break)."""
     ds = _docs(sf_dir).map_batches(
@@ -660,6 +698,8 @@ QUERIES = {
     "events_by_type": q_events_by_type,
     "events_hourly": q_events_hourly,
     "top_long_docs": q_top_long_docs,
+    "distinct_sources": q_distinct_sources,
+    "top_docs_per_lang": q_top_docs_per_lang,
     "sample_docs": q_sample_docs,
     "filter_project": q_filter_project,
     "user_sessions": q_user_sessions,
@@ -742,6 +782,17 @@ ORACLE_SQL = {
     "top_long_docs": """
         SELECT doc_id, n_chars FROM documents
         ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+    """,
+    "distinct_sources": """
+        SELECT DISTINCT lang, source FROM documents
+    """,
+    "top_docs_per_lang": """
+        SELECT doc_id, lang, n_chars FROM (
+            SELECT doc_id, lang, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM documents
+        ) WHERE rn <= 2
     """,
     "sample_docs": """
         SELECT doc_id, n_chars FROM documents

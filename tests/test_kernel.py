@@ -170,3 +170,34 @@ def test_progress_monotone_and_cached_run_reports_100():
     eng.load_image(render_page([["RAY"]], m))
     eng.get_text()
     assert seen == []  # listener removed
+
+
+def test_statistical_tolerances():
+    """Mirrors /root/reference/test/ocr-engine-test.js:194-195,207-208:
+    mean recognized word length and mean confidence within tolerance
+    over a sample of fixture pages."""
+    import numpy as np
+
+    from tesseract_wasm_ray.engine import OCREngine
+    from tesseract_wasm_ray.fixtures import doc_spec, page_spec, render_spec
+    from tesseract_wasm_ray.state.glyph_model import GlyphModel
+
+    m = GlyphModel.build()
+    eng = OCREngine()
+    eng.load_model(m)
+    lens, confs = [], []
+    i = 0
+    while len(lens) < 200:
+        for ref in doc_spec(i)["media_refs"]:
+            spec = page_spec(ref)
+            if not spec["lines"]:
+                continue
+            eng.load_image(render_spec(spec, m))
+            eng.orient_and_recognize()
+            for w in eng.get_text_boxes("word"):
+                if w.text:
+                    lens.append(len(w.text))
+                    confs.append(w.confidence)
+        i += 1
+    assert 2.0 < np.mean(lens) < 8.0  # fixture words are 1-6 chars of PAGE_WORDS
+    assert np.mean(confs) > 0.95

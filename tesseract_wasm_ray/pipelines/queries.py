@@ -757,7 +757,7 @@ ORACLE_SQL = {
     """,
     "doc_fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
     "lang_stats": """
-        SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+        SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
                round(avg(n_chars), 4) AS avg_chars
         FROM documents GROUP BY lang
     """,
@@ -811,7 +811,7 @@ ORACLE_SQL = {
                         THEN 1 ELSE 0 END AS new_s
             FROM events
         )
-        SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+        SELECT user_id, sum(new_s)::BIGINT AS n_sessions, count(*) AS n_events
         FROM d GROUP BY user_id
     """,
     "emb_topk_cosine": """

@@ -36,6 +36,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def dtype_kinds(df: pd.DataFrame) -> list[str]:
+    """int-vs-float kind per column BEFORE canon's coercion — the
+    driver's value-hash is dtype-sensitive (a DuckDB HUGEINT sum
+    arriving as float64 hash-mismatches an int64 Ray column even when
+    values are equal), so kinds must match exactly."""
+    return [
+        "int" if pd.api.types.is_integer_dtype(df[c])
+        else "float" if pd.api.types.is_float_dtype(df[c])
+        else str(df[c].dtype)
+        for c in sorted(df.columns)
+    ]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -65,7 +78,8 @@ def main() -> int:
             continue
         t0 = time.monotonic()
         try:
-            got = canon(to_pandas(fn(sf_dir)))
+            raw = to_pandas(fn(sf_dir))
+            got = canon(raw)
         except Exception as ex:
             failures.append(name)
             print(f"[FAIL-run ] {name}: {type(ex).__name__}: {ex}")
@@ -74,7 +88,14 @@ def main() -> int:
         if name not in oracles:
             print(f"[rows-only] {name}: {len(got)} rows, cols={list(got.columns)} ({dt:.1f}s)")
             continue
-        want = canon(con.sql(oracles[name]).df())
+        raw_want = con.sql(oracles[name]).df()
+        want = canon(raw_want)
+        if dtype_kinds(raw) != dtype_kinds(raw_want):
+            failures.append(name)
+            print(
+                f"[FAIL-dtyp] {name}: ray={dtype_kinds(raw)} oracle={dtype_kinds(raw_want)}"
+            )
+            continue
         if len(got) != len(want):
             failures.append(name)
             print(f"[FAIL-rows] {name}: ray={len(got)} oracle={len(want)}")

@@ -132,6 +132,41 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
+# Key-run groups larger than this compare member-vs-min-id-only instead
+# of all-pairs: a giant bucket of near-identical docs (the case that
+# produces big runs) matches its representative anyway, so recall is
+# preserved while the pair count stays O(run) instead of O(run^2).
+PAIR_CAP = 64
+
+
+def _run_pairs(keys: np.ndarray, cap: int = PAIR_CAP) -> tuple[np.ndarray, np.ndarray]:
+    """``keys`` sorted ascending -> (lo_idx, hi_idx): candidate index
+    pairs within each equal-key run.  All pairs for runs <= ``cap``
+    (so removal means "some smaller-id near-dup was found", matching an
+    EXISTS-style oracle); first-vs-rest beyond the cap.  The Python loop
+    is over multi-row runs only (tiny vs the batch)."""
+    n = len(keys)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    new = np.r_[True, keys[1:] != keys[:-1]]
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.r_[starts, n])
+    multi = lens >= 2
+    lo_list: list[np.ndarray] = []
+    hi_list: list[np.ndarray] = []
+    for s, L in zip(starts[multi], lens[multi]):
+        if L <= cap:
+            a, b = np.triu_indices(int(L), k=1)
+            lo_list.append(s + a)
+            hi_list.append(s + b)
+        else:
+            lo_list.append(np.full(int(L) - 1, s, np.int64))
+            hi_list.append(s + 1 + np.arange(int(L) - 1, dtype=np.int64))
+    if not lo_list:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(lo_list), np.concatenate(hi_list)
+
+
 def _dup_ids_from_buckets(
     bucket_rows: rd.Dataset,
     key_col: str,
@@ -142,10 +177,11 @@ def _dup_ids_from_buckets(
 ) -> rd.Dataset:
     """Generic LSH dup-finder.  ``bucket_rows`` has (key_col, id_col,
     payload...).  Rows sharing a key are candidates; ``verify(group_tbl,
-    rep_idx, member_idx) -> bool mask`` confirms near-duplicates against
-    the group representative (min id).  Returns a Dataset of distinct
-    dup ids (column ``id_col``) — always excluding representatives, so
-    one survivor remains per confirmed group."""
+    lo_idx, hi_idx) -> bool mask`` confirms each candidate pair.  A row
+    is a duplicate iff some verified pair links it to a SMALLER id
+    (EXISTS semantics — the serial golden oracle in golden_dedup.py and
+    the SQL oracles reproduce this exactly).  The min id of every
+    confirmed group always survives.  Returns distinct dup ids."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         keys = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -161,15 +197,11 @@ def _dup_ids_from_buckets(
         if n == 0:
             return pa.table({id_col: pa.array([], t.column(id_col).type)})
         keys = t.column(key_col).to_numpy(zero_copy_only=False)
-        new_grp = np.r_[True, keys[1:] != keys[:-1]]
-        grp_id = np.cumsum(new_grp) - 1
-        rep_idx = np.flatnonzero(new_grp)  # first (min-id) row per key group
-        member_idx = np.flatnonzero(~new_grp)
-        if len(member_idx) == 0:
+        lo, hi = _run_pairs(keys)
+        if len(hi) == 0:
             return pa.table({id_col: pa.array([], t.column(id_col).type)})
-        rep_of_member = rep_idx[grp_id[member_idx]]
-        ok = verify(t, rep_of_member, member_idx)
-        dup_rows = member_idx[ok]
+        ok = verify(t, lo, hi)
+        dup_rows = np.unique(hi[ok])
         return pa.table({id_col: _single_chunk(t.column(id_col)).take(pa.array(dup_rows, pa.int64()))})
 
     dups = (
@@ -318,10 +350,10 @@ def candidate_pairs_from_buckets(
     verify,
     num_buckets: int = 64,
 ) -> rd.Dataset:
-    """(member_id, rep_id) candidate pairs: rows sharing ``key_col``
-    within a bucket, screened by ``verify`` against the group's min-id
-    representative.  Shared machinery for pair-based clustering
-    (ngram exact verify, connected components)."""
+    """(id, rep_id) candidate pairs with id > rep_id: all index pairs
+    within each equal-key run (_run_pairs, capped), screened by
+    ``verify(group_tbl, lo_idx, hi_idx)``.  Shared machinery for
+    pair-based clustering (ngram exact verify, connected components)."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         keys = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -340,19 +372,15 @@ def candidate_pairs_from_buckets(
         )
         if len(keys) == 0:
             return empty
-        new_grp = np.r_[True, keys[1:] != keys[:-1]]
-        grp_id = np.cumsum(new_grp) - 1
-        rep_idx = np.flatnonzero(new_grp)
-        member_idx = np.flatnonzero(~new_grp)
-        if len(member_idx) == 0:
+        lo, hi = _run_pairs(keys)
+        if len(hi) == 0:
             return empty
-        rep_of = rep_idx[grp_id[member_idx]]
-        ok = verify(t, rep_of, member_idx)
+        ok = verify(t, lo, hi)
         ids = _single_chunk(t.column(id_col))
         return pa.table(
             {
-                id_col: ids.take(pa.array(member_idx[ok], pa.int64())),
-                "rep_id": ids.take(pa.array(rep_of[ok], pa.int64())),
+                id_col: ids.take(pa.array(hi[ok], pa.int64())),
+                "rep_id": ids.take(pa.array(lo[ok], pa.int64())),
             }
         )
 
@@ -364,16 +392,37 @@ def candidate_pairs_from_buckets(
     )
 
 
-def cluster_components(pairs: rd.Dataset, id_col: str, id_type: pa.DataType) -> rd.Dataset:
-    """Union-find over candidate pairs -> dup ids (everything except the
-    min id of each connected component).  Transitive chains A~B~C
+def cluster_components(
+    pairs: rd.Dataset,
+    id_col: str,
+    id_type: pa.DataType,
+    max_driver_pairs: int = 500_000,
+    num_buckets: int = 64,
+    num_partitions: int = 16,
+    max_rounds: int = 64,
+) -> rd.Dataset:
+    """Connected components over candidate pairs -> dup ids (everything
+    except the min id of each component).  Transitive chains A~B~C
     collapse to ONE survivor even when A and C never share a bucket.
 
-    Driver-side: the pair list is bounded by the near-dup rate (tiny
-    relative to the corpus).  For pair sets beyond driver memory,
-    replace with iterative min-label propagation over the pairs table
-    (each round: groupby id -> min(label); converges in O(log diameter)
-    rounds) — same output contract."""
+    Two strategies, same deterministic output:
+
+    - pair sets <= ``max_driver_pairs``: driver-side union-find (the
+      pair stream is sketch-sized, tiny next to the corpus);
+    - beyond that: DISTRIBUTED iterative min-label propagation — each
+      round resolves every edge endpoint's current label with a bucketed
+      lookup join and takes the per-node min (keep_min_by).  Labels only
+      decrease, so the int64-sum watermark detects convergence without a
+      diff join; rounds are O(component diameter), which for near-dup
+      clusters is small.  No driver state beyond a per-round scalar."""
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return rd.from_arrow(pa.table({id_col: pa.array([], id_type)}))
+    if n_pairs > max_driver_pairs:
+        return _components_distributed(
+            pairs, id_col, id_type, num_buckets, num_partitions, max_rounds
+        )
     parent: dict = {}
 
     def find(x):
@@ -400,6 +449,117 @@ def cluster_components(pairs: rd.Dataset, id_col: str, id_type: pa.DataType) -> 
             union(a_, r_)
     dups = [x for x in parent if find(x) != x]
     return rd.from_arrow(pa.table({id_col: pa.array(sorted(dups), id_type)}))
+
+
+def _components_distributed(
+    pairs: rd.Dataset,
+    id_col: str,
+    id_type: pa.DataType,
+    num_buckets: int,
+    num_partitions: int,
+    max_rounds: int,
+) -> rd.Dataset:
+    """Iterative min-label propagation: label(x) <- min(label(x),
+    min_{(x,y) in edges} label(y)) until no label changes.  Every step is
+    a bucketed task shuffle over edge/label rows (sketch-sized — never
+    the corpus); the driver holds only a per-round changed-count."""
+    from .joins import bucket_lookup_join
+
+    def normalize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or id_col not in b.column_names:
+            return pa.table({id_col: pa.array([], id_type), "rep_id": pa.array([], id_type)})
+        return pa.table(
+            {
+                id_col: pc.cast(_single_chunk(b.column(id_col)), id_type),
+                "rep_id": pc.cast(_single_chunk(b.column("rep_id")), id_type),
+            }
+        )
+
+    p = pairs.map_batches(normalize, batch_format="pyarrow")
+    edges = (
+        p.map_batches(
+            lambda b: pa.table({"u": b.column(id_col), "v": b.column("rep_id")}),
+            batch_format="pyarrow",
+        )
+        .union(
+            p.map_batches(
+                lambda b: pa.table({"u": b.column("rep_id"), "v": b.column(id_col)}),
+                batch_format="pyarrow",
+            )
+        )
+        .materialize()
+    )
+    # Initial labels: every node labels itself (symmetric edges cover all
+    # nodes on the u side).
+    labels = keep_min_by(
+        edges.map_batches(
+            lambda b: pa.table(
+                {"node": b.column("u"), "label": b.column("u"),
+                 "__one": pa.array(np.zeros(b.num_rows, np.int8))}
+            ),
+            batch_format="pyarrow",
+        ),
+        "node", "__one", num_buckets=num_buckets,
+    ).map_batches(lambda b: b.select(["node", "label"]), batch_format="pyarrow").materialize()
+
+    def min_per_node(group: pa.Table) -> pa.Table:
+        if "node" not in group.column_names:
+            return pa.schema(
+                [("node", id_type), ("label", id_type), ("__src", pa.int8())]
+            ).empty_table()
+        t = group.drop_columns(["__b"]).sort_by(
+            [("node", "ascending"), ("label", "ascending"), ("__src", "ascending")]
+        )
+        nodes = t.column("node").to_numpy(zero_copy_only=False)
+        first = np.r_[True, nodes[1:] != nodes[:-1]] if len(nodes) else np.empty(0, bool)
+        return t.take(pa.array(np.flatnonzero(first), pa.int64()))
+
+    from .joins import _bucket_of_array
+
+    def add_b(b: pa.Table) -> pa.Table:
+        bk = _bucket_of_array(_single_chunk(b.column("node")), num_buckets)
+        return b.append_column("__b", pa.array(bk, pa.int32()))
+
+    for _ in range(max_rounds):
+        nbr = bucket_lookup_join(
+            edges, labels, "v", "node", "label", "cand",
+            num_buckets=num_buckets, num_partitions=num_partitions,
+        ).map_batches(
+            lambda b: pa.table(
+                {"node": b.column("u"),
+                 "label": b.column("cand"),
+                 "__src": pa.array(np.ones(b.num_rows, np.int8))}
+            ),
+            batch_format="pyarrow",
+        )
+        self_rows = labels.map_batches(
+            lambda b: b.append_column("__src", pa.array(np.zeros(b.num_rows, np.int8))),
+            batch_format="pyarrow",
+        )
+        merged = (
+            self_rows.union(nbr)
+            .map_batches(add_b, batch_format="pyarrow")
+            .repartition(num_partitions)
+            .groupby("__b", num_partitions=num_partitions)
+            .map_groups(min_per_node, batch_format="pyarrow")
+            .materialize()
+        )
+        # Ties sort the self row (__src=0) first, so a winning __src=1 row
+        # means the label strictly decreased this round.
+        changed = merged.sum("__src", ignore_nulls=True) or 0
+        labels = merged.map_batches(
+            lambda b: b.select(["node", "label"]), batch_format="pyarrow"
+        ).materialize()
+        if changed == 0:
+            break
+    dups = labels.map_batches(
+        lambda b: b.filter(
+            pc.invert(pc.equal(b.column("node"), b.column("label")))
+        ).select(["node"]).rename_columns([id_col]),
+        batch_format="pyarrow",
+    )
+    seed = rd.from_arrow(pa.table({id_col: pa.array([], id_type)}))
+    return seed.union(dups)
 
 
 def minhash_band_rows(
@@ -543,6 +703,30 @@ def simhash_dedup(
     return anti_join_ids(ds, dup_ids, id_col, strategy=anti_strategy)
 
 
+def _pair_jaccard(text_a: pa.Array, text_b: pa.Array, shingle_n: int) -> np.ndarray:
+    """Exact word-shingle-set Jaccard per aligned (text_a[i], text_b[i])
+    pair — fully vectorized: distinct shingles per row via np.unique over
+    (row, hash), intersection via duplicate detection on the merged sorted
+    stream.  Two shingle-less docs score 0 (exact dedup owns identical
+    empties)."""
+    ha, par_a, n = shingle_hashes(text_a, shingle_n)
+    hb, par_b, _ = shingle_hashes(text_b, shingle_n)
+    A = np.unique(np.stack([par_a, ha.view(np.int64)], axis=1), axis=0) if len(ha) else np.empty((0, 2), np.int64)
+    B = np.unique(np.stack([par_b, hb.view(np.int64)], axis=1), axis=0) if len(hb) else np.empty((0, 2), np.int64)
+    na = np.bincount(A[:, 0], minlength=n) if len(A) else np.zeros(n, np.int64)
+    nb = np.bincount(B[:, 0], minlength=n) if len(B) else np.zeros(n, np.int64)
+    C = np.concatenate([A, B])
+    inter = np.zeros(n, np.int64)
+    if len(C):
+        order = np.lexsort((C[:, 1], C[:, 0]))
+        C = C[order]
+        dup = (C[1:] == C[:-1]).all(axis=1)
+        if dup.any():
+            inter = np.bincount(C[:-1][dup][:, 0], minlength=n)
+    union = na + nb - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+
+
 def ngram_jaccard_dedup(
     ds: rd.Dataset,
     text_col: str = "text",
@@ -550,124 +734,71 @@ def ngram_jaccard_dedup(
     threshold: float = 0.8,
     shingle_n: int = 3,
     num_buckets: int = 64,
-    join_partitions: int = 16,  # kept for API compat; no longer used
+    join_partitions: int = 16,
     anti_strategy: str = "broadcast",
 ) -> rd.Dataset:
     """EXACT word n-gram Jaccard dedup.  Candidates come from MinHash
-    LSH (cheap, sketch-only shuffle); verification joins the candidate
-    PAIRS — a tiny dataset — back to the corpus text twice and computes
-    the exact shingle-set Jaccard per pair.  Only confirmed ids are
-    dropped (min-id survivor per pair group)."""
-    band_rows = minhash_band_rows(ds, text_col, id_col, k=64, bands=16, shingle_n=shingle_n)
+    LSH (cheap, sketch-only shuffle) with a permissive signature screen
+    at half the threshold; every candidate pair is then verified with
+    the exact shingle-set Jaccard.  A doc is removed iff some verified
+    pair links it to a smaller id (EXISTS semantics — the DuckDB oracle
+    reproduces this as an O(pairs) shingle self-join).
 
-    # Candidate pairs (member, rep) with a permissive signature screen at
-    # half the final threshold — exactness comes from the verify step.
+    Scale shape: candidate pair rows are resolved back to their two
+    texts with TWO bucketed task-shuffle joins (joins.bucket_lookup_join)
+    — no driver-side pair materialization, no id->text broadcast dict;
+    the only all-to-alls move (id, text) once per join side plus the
+    tiny pair rows."""
+    from .joins import bucket_lookup_join
+
+    band_rows = minhash_band_rows(ds, text_col, id_col, k=64, bands=16, shingle_n=shingle_n)
     screen = threshold * 0.5
 
-    def verify(t: pa.Table, rep_idx: np.ndarray, member_idx: np.ndarray) -> np.ndarray:
+    def verify(t: pa.Table, lo_idx: np.ndarray, hi_idx: np.ndarray) -> np.ndarray:
         sig = _sig_matrix(t, "sig")
-        return signature_jaccard(sig[member_idx], sig[rep_idx]) >= screen
+        return signature_jaccard(sig[hi_idx], sig[lo_idx]) >= screen
 
-    def pairs_from_buckets(group: pa.Table) -> pa.Table:
-        t = group.drop_columns(["__bucket"]).sort_by(
-            [("band_key", "ascending"), (id_col, "ascending")]
-        )
-        keys = t.column("band_key").to_numpy(zero_copy_only=False)
-        if len(keys) == 0:
-            return pa.table(
-                {id_col: pa.array([], t.column(id_col).type),
-                 "rep_id": pa.array([], t.column(id_col).type)}
-            )
-        new_grp = np.r_[True, keys[1:] != keys[:-1]]
-        grp_id = np.cumsum(new_grp) - 1
-        rep_idx = np.flatnonzero(new_grp)
-        member_idx = np.flatnonzero(~new_grp)
-        if len(member_idx) == 0:
-            return pa.table(
-                {id_col: pa.array([], t.column(id_col).type),
-                 "rep_id": pa.array([], t.column(id_col).type)}
-            )
-        rep_of = rep_idx[grp_id[member_idx]]
-        ok = verify(t, rep_of, member_idx)
-        ids = _single_chunk(t.column(id_col))
-        return pa.table(
-            {
-                id_col: ids.take(pa.array(member_idx[ok], pa.int64())),
-                "rep_id": ids.take(pa.array(rep_of[ok], pa.int64())),
-            }
-        )
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        keys = batch.column("band_key").to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.append_column(
-            "__bucket", pa.array(_crc_bucket_i64(keys, num_buckets), pa.int32())
-        )
-
-    pairs = (
-        band_rows.map_batches(add_bucket, batch_format="pyarrow")
-        .repartition(min(num_buckets, 32))
-        .groupby("__bucket", num_partitions=min(num_buckets, 32))
-        .map_groups(pairs_from_buckets, batch_format="pyarrow")
+    pairs = candidate_pairs_from_buckets(
+        band_rows, "band_key", id_col, verify, num_buckets
     )
-    pairs = keep_min_by(pairs, id_col, "rep_id")  # one rep per member id
+    # Distinct pairs (a pair can surface from several bands): min-id
+    # keep on the composite key.
+    def pair_key(b: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(b.column(id_col), pa.string()),
+            pc.cast(b.column("rep_id"), pa.string()),
+            "\x1f",
+        )
+        return b.append_column("__pk", k).append_column(
+            "__one", pa.array(np.zeros(b.num_rows, np.int8))
+        )
 
-    # Resolve candidate texts WITHOUT Dataset.join (broken for sparse
-    # sides in Ray 2.49 — see anti_join_ids): candidate pairs are few by
-    # construction (LSH screen), so collect the pair list, broadcast an
-    # id -> text dict for only the involved ids (ray.put once), and
-    # verify pairs distributedly with the dict lookup.
-    import ray
+    pairs = keep_min_by(
+        pairs.map_batches(pair_key, batch_format="pyarrow"), "__pk", "__one",
+        num_buckets=num_buckets,
+    ).drop_columns(["__pk", "__one"])
 
-    pair_chunks = [
-        b
-        for b in pairs.iter_batches(batch_format="pyarrow", batch_size=65536)
-        if b.num_rows and id_col in b.column_names
-    ]
-    if not pair_chunks:
-        return ds
-    pairs_tbl = pa.concat_tables(pair_chunks)
-    id_type = ds.schema().base_schema.field(id_col).type
-    involved = pa.concat_arrays(
-        [
-            pc.cast(_single_chunk(pairs_tbl.column(id_col)), id_type),
-            pc.cast(_single_chunk(pairs_tbl.column("rep_id")), id_type),
-        ]
-    ).unique()
-    inv_ref = ray.put(involved)
-
-    def pick_texts(b: pa.Table) -> pa.Table:
-        mask = pc.is_in(b.column(id_col), value_set=ray.get(inv_ref))
-        return b.filter(mask).select([id_col, text_col])
-
-    id_to_text: dict = {}
-    for b in ds.map_batches(pick_texts, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow", batch_size=65536
-    ):
-        id_to_text.update(zip(b[id_col].to_pylist(), b[text_col].to_pylist()))
-    text_ref = ray.put(id_to_text)
+    texts = ds.map_batches(
+        lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
+    )
+    with_rep = bucket_lookup_join(
+        pairs, texts, "rep_id", id_col, text_col, "__text_rep",
+        num_buckets=num_buckets, num_partitions=join_partitions,
+    )
+    with_both = bucket_lookup_join(
+        with_rep, texts, id_col, id_col, text_col, "__text_id",
+        num_buckets=num_buckets, num_partitions=join_partitions,
+    )
 
     def exact_jaccard(batch: pa.Table) -> pa.Table:
-        lut = ray.get(text_ref)
-        a_ids = batch.column(id_col).to_pylist()
-        b_ids = batch.column("rep_id").to_pylist()
-        text_a = pa.array([lut.get(i, "") for i in a_ids], pa.string())
-        text_b = pa.array([lut.get(i, "") for i in b_ids], pa.string())
-        ha, pa_a, n = shingle_hashes(text_a, shingle_n)
-        hb, pa_b, _ = shingle_hashes(text_b, shingle_n)
-        jac = np.zeros(n)
-        for i in range(n):  # candidate pairs are few; set ops per pair
-            sa = set(ha[pa_a == i].tolist())
-            sb = set(hb[pa_b == i].tolist())
-            denom = len(sa | sb)
-            # Two shingle-less docs are NOT near-dups (exact dedup owns
-            # identical empties).
-            jac[i] = (len(sa & sb) / denom) if denom else 0.0
-        keep = pa.array(jac >= threshold)
-        return batch.filter(keep).select([id_col])
+        if batch.num_rows == 0:
+            return batch.select([id_col])
+        ta = pc.fill_null(_single_chunk(batch.column("__text_id")), "")
+        tb = pc.fill_null(_single_chunk(batch.column("__text_rep")), "")
+        jac = _pair_jaccard(ta, tb, shingle_n)
+        return batch.filter(pa.array(jac >= threshold)).select([id_col])
 
-    dup_ids = rd.from_arrow(pairs_tbl).map_batches(
-        exact_jaccard, batch_format="pyarrow"
-    )
+    dup_ids = with_both.map_batches(exact_jaccard, batch_format="pyarrow")
     return anti_join_ids(ds, dup_ids, id_col, strategy=anti_strategy)
 
 
@@ -676,16 +807,23 @@ def embedding_neardup(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    planes: int = 16,
+    planes: int = 12,
+    n_tables: int = 8,
     seed: int = 11,
     num_buckets: int = 64,
     join_partitions: int = 16,  # kept for API compat; no longer used
     anti_strategy: str = "broadcast",
 ) -> rd.Dataset:
-    """Embedding-cosine near-dup removal: random-hyperplane sign-LSH
-    buckets (``planes`` bits), exact cosine verify vs the bucket
-    representative.  The hyperplane matrix is seeded and rebuilt in
-    every task (tiny) — no state to ship."""
+    """Embedding-cosine near-dup removal: BANDED random-hyperplane
+    sign-LSH (``n_tables`` independent tables of ``planes`` bits each —
+    LSH amplification: a true pair at cosine c collides in at least one
+    table with prob 1-(1-(1-acos(c)/pi)^planes)^n_tables, ~1-5e-6 at
+    c=0.99), exact cosine verify over every in-bucket pair (EXISTS
+    semantics — removal means a smaller-id vector with cosine >=
+    threshold was found, which the DuckDB O(n^2) oracle reproduces).
+    The hyperplane matrix is seeded and rebuilt in every task (tiny) —
+    no state to ship.  Unit vectors travel float32 to halve the one
+    sketch shuffle."""
 
     def sketch(batch: pa.Table) -> pa.Table:
         emb = _single_chunk(batch.column(emb_col))
@@ -693,30 +831,39 @@ def embedding_neardup(
         dim = len(emb[0]) if n else 0
         mat = np.asarray(emb.values, dtype=np.float64).reshape(n, dim) if n else np.zeros((0, 0))
         rng = np.random.default_rng(seed)
-        planes_m = rng.standard_normal((dim, planes)) if dim else np.zeros((0, planes))
-        bits = (mat @ planes_m > 0).astype(np.uint64)
-        key = (bits << np.arange(planes, dtype=np.uint64)[None, :]).sum(
-            axis=1, dtype=np.uint64
+        planes_m = (
+            rng.standard_normal((dim, n_tables * planes)) if dim else np.zeros((0, n_tables * planes))
         )
+        bits = (mat @ planes_m > 0).astype(np.uint64).reshape(n, n_tables, planes)
+        keys = (bits << np.arange(planes, dtype=np.uint64)[None, None, :]).sum(
+            axis=2, dtype=np.uint64
+        )  # (n, n_tables)
+        # Namespace each table so table i only matches table i.
+        keys = keys | (np.arange(n_tables, dtype=np.uint64)[None, :] << np.uint64(48))
         norms = np.linalg.norm(mat, axis=1)
-        unit = mat / np.maximum(norms, 1e-12)[:, None]
+        unit = (mat / np.maximum(norms, 1e-12)[:, None]).astype(np.float32)
+        ids_rep = pc.take(
+            batch.column(id_col),
+            pa.array(np.repeat(np.arange(n), n_tables), pa.int64()),
+        )
+        unit_rep = np.repeat(unit, n_tables, axis=0)
         return pa.table(
             {
-                id_col: _single_chunk(batch.column(id_col)),
-                "plane_key": pa.array(key.view(np.int64), pa.int64()),
+                id_col: _single_chunk(ids_rep),
+                "plane_key": pa.array(keys.ravel().view(np.int64), pa.int64()),
                 "unit": pa.FixedSizeListArray.from_arrays(
-                    pa.array(unit.ravel(), pa.float64()), dim
+                    pa.array(unit_rep.ravel(), pa.float32()), dim
                 ),
             }
         )
 
     rows = ds.map_batches(sketch, batch_format="pyarrow")
 
-    def verify(t: pa.Table, rep_idx: np.ndarray, member_idx: np.ndarray) -> np.ndarray:
+    def verify(t: pa.Table, lo_idx: np.ndarray, hi_idx: np.ndarray) -> np.ndarray:
         unit = _single_chunk(t.column("unit"))
         dim = unit.type.list_size
         m = np.asarray(unit.values, dtype=np.float64).reshape(-1, dim)
-        cos = (m[member_idx] * m[rep_idx]).sum(axis=1)
+        cos = (m[hi_idx] * m[lo_idx]).sum(axis=1)
         return cos >= threshold
 
     dup_ids = _dup_ids_from_buckets(

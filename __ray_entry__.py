@@ -9,10 +9,13 @@ nothing here (or in the library) calls ``ray.init``/``ray.shutdown``.
                       (SURVEY.md §2 + training-data operator suite);
                       each takes an sf_dir and returns a Dataset /
                       DataFrame / pyarrow Table.
-- ``oracle_sql()``  — DuckDB equivalents for the SQL-expressible subset
-                      (identical column names + rounding on both sides).
-                      OCR/extraction and sketch-based queries are
-                      non-SQL-expressible -> rows-only checks.
+- ``oracle_sql()``  — a DuckDB equivalent for EVERY query: plain SQL
+                      over the testdata views where expressible, DuckDB
+                      re-implementations of the full sketch chains (FNV
+                      -> MinHash/SimHash -> LSH -> EXISTS) for the dedup
+                      family (pipelines/oracles.py), and golden-table
+                      SQL for the OCR/extraction family (closed-form
+                      fixture truth at /tmp/twr_fixtures/sf0.01).
 """
 
 from __future__ import annotations
@@ -36,6 +39,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from tesseract_wasm_ray.pipelines.queries import ORACLE_SQL
+    from tesseract_wasm_ray.pipelines.queries import ORACLE_SQL, corpus_for
 
+    # The extraction-family oracles SELECT from the sf0.01 fixture golden
+    # tables; make sure they exist regardless of whether the driver runs
+    # the oracle or the Ray query first.  Inline generation (500 docs),
+    # no Ray session required; idempotent across calls.
+    corpus_for("/root/testdata/sf0.01")
     return dict(ORACLE_SQL)

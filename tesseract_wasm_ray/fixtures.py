@@ -16,6 +16,14 @@ Tables produced under ``out_dir``:
 - ``media/``        (media_ref, width, height, channels, pixels, rotation)
 - ``golden_spans/`` (doc_id, spans)            — expected extraction output
 - ``golden_boxes/`` (media_ref, words, lines, text, orientation)
+- ``golden_pages/`` (hOCR markup + digest, layout box counts, exact
+  integer feature sums) — DuckDB-readable golden columns for the
+  extraction-family oracle SQL.  hOCR/features are computed serially at
+  generation time from the golden items / rendered raster; the layout
+  counts run the projection segmentation serially (rotated pages have no
+  closed grid form), making those columns a serial-vs-distributed
+  differential check rather than closed-form truth — documented where
+  they are registered.
 """
 
 from __future__ import annotations
@@ -276,6 +284,94 @@ def golden_boxes_batch(indices: np.ndarray) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=OCR_RESULT_SCHEMA)
 
 
+GOLDEN_PAGES_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("hocr", pa.string()),
+        ("hocr_md5", pa.string()),
+        ("n_word_boxes", pa.int32()),
+        ("n_line_boxes", pa.int32()),
+        # Exact integer feature sums: the oracle divides them in SQL
+        # (one IEEE division — bit-identical to the pipeline's), so no
+        # lossy float rounding ever enters the comparison.
+        ("mean_sum", pa.int64()),
+        ("mean_denom", pa.int64()),
+        ("n_dark", pa.int64()),
+        ("n_pix", pa.int64()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+    ]
+)
+
+
+def golden_pages_batch(indices: np.ndarray, model: GlyphModel) -> pa.Table:
+    """Per-page golden columns that need the rendered raster or the hOCR
+    template: hOCR markup rendered from the CLOSED-FORM golden items
+    (equality proves the distributed recognize->render path reproduces
+    them), projection-layout box counts (serial run of the segmentation
+    — rotated pages have no closed grid form), and exact integer
+    intensity/ink sums for the feature oracle."""
+    import hashlib
+
+    from . import __version__
+    from .engine import OCREngine
+    from .functions.hocr import render_hocr
+    from .functions.recognize import Rect, TextItem
+
+    def as_item(d: dict) -> TextItem:
+        r = d["rect"]
+        return TextItem(
+            rect=Rect(r["left"], r["top"], r["right"], r["bottom"]),
+            flags=d["flags"],
+            confidence=d["confidence"],
+            text=d["text"],
+        )
+
+    eng = OCREngine()  # layout-only: no model needed
+    rows = []
+    for i in indices:
+        for ref in doc_spec(int(i))["media_refs"]:
+            spec = page_spec(ref)
+            golden = golden_boxes_for_spec(spec)
+            img = render_spec(spec, model)
+            h, w = img.shape[:2]
+            uw, uh = (h, w) if spec["rotation"] in (90, 270) else (w, h)
+            hocr = render_hocr(
+                [as_item(x) for x in golden["words"]],
+                [as_item(x) for x in golden["lines"]],
+                uw, uh, version=__version__,
+            )
+            eng.load_image(img)
+            n_word_boxes = len(eng.get_bounding_boxes("word"))
+            n_line_boxes = len(eng.get_bounding_boxes("line"))
+            c = spec["channels"]
+            img3 = img.reshape(h, w, c) if img.ndim == 2 else img
+            if c >= 3:
+                mean_sum = int(img3[..., :3].sum(dtype=np.int64))
+                mean_denom = 3 * h * w
+                n_dark = int((img3[..., :3].sum(axis=2, dtype=np.int32) < 384).sum())
+            else:
+                mean_sum = int(img3[..., 0].sum(dtype=np.int64))
+                mean_denom = h * w
+                n_dark = int((img3[..., 0] < 128).sum())
+            rows.append(
+                {
+                    "media_ref": ref,
+                    "hocr": hocr,
+                    "hocr_md5": hashlib.md5(hocr.encode()).hexdigest(),
+                    "n_word_boxes": n_word_boxes,
+                    "n_line_boxes": n_line_boxes,
+                    "mean_sum": mean_sum,
+                    "mean_denom": mean_denom,
+                    "n_dark": n_dark,
+                    "n_pix": h * w,
+                    "width": w,
+                    "height": h,
+                }
+            )
+    return pa.Table.from_pylist(rows, schema=GOLDEN_PAGES_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # corpus generation (Ray-parallel over doc-index ranges)
 # ---------------------------------------------------------------------------
@@ -284,7 +380,7 @@ def golden_boxes_batch(indices: np.ndarray) -> pa.Table:
 def corpus_paths(out_dir: str) -> dict[str, str]:
     return {
         name: os.path.join(out_dir, name)
-        for name in ("documents", "media", "golden_spans", "golden_boxes")
+        for name in ("documents", "media", "golden_spans", "golden_boxes", "golden_pages")
     }
 
 
@@ -298,7 +394,7 @@ def generate_corpus(out_dir: str, n_docs: int, parallelism: int | None = None) -
     import ray.data as rd
 
     meta_path = os.path.join(out_dir, "meta.json")
-    meta = {"n_docs": n_docs, "seed": SEED, "model_version": MODEL_VERSION, "v": 2}
+    meta = {"n_docs": n_docs, "seed": SEED, "model_version": MODEL_VERSION, "v": 3}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             if json.load(f) == meta:
@@ -318,6 +414,7 @@ def generate_corpus(out_dir: str, n_docs: int, parallelism: int | None = None) -
             ("golden_spans", golden_spans_batch(idx)),
             ("media", media_batch(idx, model)),
             ("golden_boxes", golden_boxes_batch(idx)),
+            ("golden_pages", golden_pages_batch(idx, model)),
         ):
             os.makedirs(paths[name], exist_ok=True)
             pq.write_table(table, os.path.join(paths[name], "part-0.parquet"))
@@ -328,6 +425,7 @@ def generate_corpus(out_dir: str, n_docs: int, parallelism: int | None = None) -
             "golden_spans": lambda b: golden_spans_batch(b["id"]),
             "media": lambda b: media_batch(b["id"], model),
             "golden_boxes": lambda b: golden_boxes_batch(b["id"]),
+            "golden_pages": lambda b: golden_pages_batch(b["id"], model),
         }
         for name, fn in jobs.items():
             base.map_batches(fn, batch_format="numpy").write_parquet(paths[name])

@@ -36,7 +36,14 @@ BLOCK_TAGS = {
 POSITIVE_HINT = re.compile(r"(?:^|[\s_-])(content|main|article|body|post|text|entry)(?:$|[\s_-])", re.I)
 NEGATIVE_HINT = re.compile(r"(?:^|[\s_-])(sidebar|menu|banner|ad|ads|promo|comment|related|share|social|widget|breadcrumb)(?:$|[\s_-])", re.I)
 
-TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>|<!--.*?-->", re.S)
+# Attribute body: plain chars, quoted values (which may contain '>'),
+# or — HTML5-tokenizer-style error recovery — an UNTERMINATED quote that
+# runs to the tag's '>' (e.g. ``<a ;;;">``), so malformed tags never
+# leak through as text.
+TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*'|[\"'][^>]*)*)>|<!--.*?-->",
+    re.S,
+)
 ATTR_RE = re.compile(r"(class|id)\s*=\s*(\"([^\"]*)\"|'([^']*)'|(\S+))", re.I)
 WS_RE = re.compile(r"\s+")
 

@@ -18,7 +18,6 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 from .arrow_util import single_chunk as _single_chunk
 import pyarrow.compute as pc
@@ -185,15 +184,28 @@ _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Document fingerprints: ``md5`` of the raw text (exact-dup key,
     matches DuckDB ``md5(text)``) and ``rolling_hash`` — a 64-bit
-    polynomial rolling hash over whitespace tokens (order-sensitive,
-    robust to intra-token edits for near-dup bucketing)."""
+    polynomial (Horner) rolling hash over whitespace tokens
+    (order-sensitive, robust to intra-token edits for near-dup
+    bucketing).  Token hashes are the big-endian first 8 bytes of each
+    token's md5 — chosen so an independent engine can recompute the
+    fingerprint (the DuckDB oracle rebuilds it from scratch via
+    ``('0x' || substr(md5(t),1,16))::UBIGINT`` + a list_reduce Horner).
+    md5 runs once per DISTINCT token per batch (dictionary-encoded), not
+    per instance."""
     texts = _single_chunk(batch.column(text_col))
     md5s = [hashlib.md5((t or "").encode()).hexdigest() for t in texts.to_pylist()]
 
     flat, parents, n_rows = _tokens(texts)
-    tok_hash = pd.util.hash_array(np.asarray(flat.to_pylist(), dtype=object)).astype(
-        np.uint64
+    enc = pc.dictionary_encode(flat)
+    enc = enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc
+    distinct = enc.dictionary.to_pylist()
+    dist_h = np.fromiter(
+        (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") for t in distinct),
+        dtype=np.uint64,
+        count=len(distinct),
     )
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    tok_hash = dist_h[codes] if len(codes) else np.empty(0, np.uint64)
     roll = np.zeros(n_rows, dtype=np.uint64)
     if len(parents):
         # Horner evaluation per row: process tokens in order, rolling the

@@ -1,0 +1,339 @@
+"""DuckDB oracle SQL for the hash-sketch / similarity / text operators.
+
+Each builder returns an ANSI-ish DuckDB SQL string that recomputes the
+corresponding Ray pipeline FROM SCRATCH inside DuckDB — tokenization,
+FNV-1a token hashing, shingle mixing, MinHash permutations, LSH band
+keys, SimHash bit sums, cosine EXISTS joins — so the driver's
+correctness gate compares two genuinely independent engines, not a
+golden file produced by one of them.
+
+Bit-exactness notes (all verified against the numpy kernels):
+
+- uint64 arithmetic runs in HUGEINT with explicit ``% 2**64`` masking;
+  the one multiply whose operands can reach 2**64 x 2**63 (the band-key
+  mix) is split into 32-bit halves to stay inside INT128.
+- FNV-1a iterates *codepoints* via ``unicode(c)``; the numpy kernel
+  iterates utf-8 bytes.  Identical for the ASCII corpora the driver
+  uses (asserted nowhere — if non-ASCII text ever enters the tables the
+  oracle, not the pipeline, needs the byte-level variant).
+- MinHash permutation constants (a_i, b_i) are embedded as literals from
+  the same seeded generator the sketch kernel uses, because SQL cannot
+  reproduce numpy's PCG64 stream.
+- EXISTS semantics: a doc is removed iff SOME smaller-id doc is a
+  verified near-duplicate (pipelines/dedup.py pair semantics), which SQL
+  expresses as a pair join + ``NOT IN`` anti-join.
+"""
+
+from __future__ import annotations
+
+from ..functions.sketch import _minhash_params
+from ..functions.textstats import LANG_PROFILES
+
+_M64 = 1 << 64          # 2**64 wrap modulus
+_P61 = 1 << 61          # MERSENNE + 1
+_MERS = (1 << 61) - 1   # MinHash universal-hash modulus
+_FNV_OFF = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_BAND_MIX = 0x9E3779B97F4A7C15  # lsh_band_keys multiplier
+_ROLL_BASE = 1099511628211      # textstats rolling-hash base (== FNV prime)
+
+
+def _tok_cte(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    """Lowercase whitespace tokens per row (empty tokens dropped) —
+    mirrors functions.textstats._tokens / sketch.token_hashes."""
+    return f"""
+toks AS (
+    SELECT {id_col}, list_filter(string_split_regex(lower({text_col}), '\\s+'), w -> len(w) > 0) AS w
+    FROM {table}
+)"""
+
+
+def _fnv_cte() -> str:
+    """Per-token FNV-1a hash lists (uint64 in HUGEINT) — mirrors
+    sketch.hash_string_array."""
+    return f""",
+th AS (
+    SELECT doc_id,
+           list_transform(w, t -> list_reduce(
+               list_prepend({_FNV_OFF}::HUGEINT,
+                            list_transform(string_split_regex(t, ''), c -> unicode(c)::HUGEINT)),
+               (acc, c) -> (xor(acc, c) * {_FNV_PRIME}::HUGEINT) % {_M64}::HUGEINT)) AS hs
+    FROM toks
+)"""
+
+
+def _minhash_sketch_cte(threshold: float) -> str:
+    """Shared CTE chain ending in verified near-dup pairs (lo < hi):
+    shingles -> 64 MinHash perms -> 16x4 LSH band keys -> band-colliding
+    pairs -> signature-Jaccard >= threshold.  Mirrors
+    sketch.shingle_hashes / minhash_signatures / lsh_band_keys and
+    dedup.minhash_band_rows (including the uint32 signature truncation
+    the pipeline ships to halve the shuffle)."""
+    a, b = _minhash_params(64)
+    perm_values = ",\n        ".join(
+        f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)" for i in range(64)
+    )
+    mix_lo = _BAND_MIX % (1 << 32)
+    return f"""{_tok_cte()}{_fnv_cte()},
+sh AS (
+    SELECT doc_id,
+           CASE WHEN len(hs) >= 3 THEN
+               list_transform(range(1, len(hs) - 1),
+                   i -> xor((xor((hs[i] * {_ROLL_BASE}::HUGEINT) % {_M64}::HUGEINT, hs[i+1]) * {_ROLL_BASE}::HUGEINT) % {_M64}::HUGEINT, hs[i+2]))
+           WHEN len(hs) > 0 THEN
+               [list_reduce(list_prepend(0::HUGEINT, hs),
+                            (acc, h) -> xor((acc * {_ROLL_BASE}::HUGEINT) % {_M64}::HUGEINT, h))]
+           ELSE [] END AS sgl
+    FROM th
+),
+xs AS (
+    SELECT doc_id, list_transform(sgl, s -> s % {_P61}::HUGEINT) AS x
+    FROM sh WHERE len(sgl) > 0
+),
+perms(i, pa, pb) AS (VALUES
+        {perm_values}
+),
+sig AS (
+    SELECT x.doc_id, p.i,
+           list_min(list_transform(x.x, v -> (((p.pa * v + p.pb) % {_M64}::HUGEINT) % {_MERS}::HUGEINT)::HUGEINT)) AS s
+    FROM xs x CROSS JOIN perms p
+),
+sigv AS (
+    SELECT doc_id, array_agg(s % 4294967296 ORDER BY i) AS sv,
+           array_agg(s ORDER BY i) AS sfull
+    FROM sig GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, bi,
+           list_reduce(
+               list_prepend((bi + 1)::HUGEINT,
+                            [sfull[4*bi + 1], sfull[4*bi + 2], sfull[4*bi + 3], sfull[4*bi + 4]]),
+               (acc, v) -> ((xor(acc, v) % 4294967296) * {_BAND_MIX}::HUGEINT
+                            + ((xor(acc, v) // 4294967296) * {mix_lo}::HUGEINT % 4294967296) * 4294967296
+                           ) % {_M64}::HUGEINT) AS bkey
+    FROM sigv, range(0, 16) r(bi)
+),
+pairs AS (
+    SELECT DISTINCT least(a.doc_id, b.doc_id) AS lo, greatest(a.doc_id, b.doc_id) AS hi
+    FROM bands a JOIN bands b ON a.bi = b.bi AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+verified AS (
+    SELECT p.lo, p.hi FROM pairs p
+    JOIN sigv sa ON sa.doc_id = p.lo
+    JOIN sigv sb ON sb.doc_id = p.hi
+    WHERE list_sum(list_transform(range(1, 65),
+              j -> CASE WHEN sa.sv[j] = sb.sv[j] THEN 1 ELSE 0 END)) / 64.0 >= {threshold}
+)"""
+
+
+def sql_minhash_dedup(threshold: float = 0.8) -> str:
+    return f"""
+WITH {_minhash_sketch_cte(threshold)},
+removed AS (SELECT DISTINCT hi AS doc_id FROM verified)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+"""
+
+
+def sql_minhash_components_dedup(threshold: float = 0.8) -> str:
+    """Connected components over the verified pair graph via a recursive
+    min-label reachability CTE (mirrors dedup.cluster_components)."""
+    return f"""
+WITH RECURSIVE {_minhash_sketch_cte(threshold)},
+nodes AS (SELECT lo AS n FROM verified UNION SELECT hi FROM verified),
+edges AS (SELECT lo AS u, hi AS v FROM verified UNION SELECT hi, lo FROM verified),
+reach(n, l) AS (
+    SELECT n, n FROM nodes
+    UNION
+    SELECT e.u, r.l FROM edges e JOIN reach r ON r.n = e.v
+),
+removed AS (SELECT n AS doc_id FROM reach GROUP BY n HAVING min(l) < n)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+"""
+
+
+def sql_simhash_dedup(max_hamming: int = 3) -> str:
+    """SimHash near-dup removal — mirrors sketch.simhash_from_tokens
+    (per-instance ±1 bit sums, sign -> 64-bit signature), the 4x16-bit
+    pigeonhole blocking and the exact-hamming verify."""
+    bits_values = ",\n        ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+    return f"""
+WITH {_tok_cte()}{_fnv_cte()},
+tok AS (SELECT doc_id, unnest(hs) AS h FROM th WHERE len(hs) > 0),
+bits(b, p) AS (VALUES
+        {bits_values}
+),
+bitsum AS (
+    SELECT t.doc_id, bits.b,
+           sum(CASE WHEN (t.h // bits.p) % 2 = 1 THEN 1 ELSE -1 END) AS s
+    FROM tok t CROSS JOIN bits GROUP BY t.doc_id, bits.b
+),
+sigbits AS (SELECT doc_id, b, (s > 0) AS bit FROM bitsum),
+blocks AS (
+    SELECT doc_id, b // 16 AS bi,
+           sum(CASE WHEN bit THEN (1::BIGINT << (b % 16)) ELSE 0 END) AS bv
+    FROM sigbits GROUP BY doc_id, b // 16
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS lo, b.doc_id AS hi
+    FROM blocks a JOIN blocks b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+),
+ham AS (
+    SELECT p.lo, p.hi, count(*) FILTER (WHERE ba.bit <> bb.bit) AS d
+    FROM pairs p
+    JOIN sigbits ba ON ba.doc_id = p.lo
+    JOIN sigbits bb ON bb.doc_id = p.hi AND bb.b = ba.b
+    GROUP BY p.lo, p.hi
+),
+removed AS (SELECT DISTINCT hi AS doc_id FROM ham WHERE d <= {max_hamming})
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+"""
+
+
+def sql_ngram_jaccard_dedup(threshold: float = 0.8, shingle_n: int = 3) -> str:
+    """Exact word n-gram Jaccard EXISTS dedup: distinct shingle STRINGS
+    stand in for the pipeline's shingle hashes (identical Jaccard barring
+    a 64-bit hash collision).  Short rows (< n tokens) contribute one
+    whole-row shingle; token-less rows none — mirroring
+    sketch.shingle_hashes."""
+    window = " || chr(31) || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(shingle_n))
+    return f"""
+WITH {_tok_cte()},
+sh AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(w) >= {shingle_n}
+             THEN list_transform(range(1, len(w) - {shingle_n - 2}),
+                                 i -> {window})
+             WHEN len(w) > 0 THEN [array_to_string(w, chr(31))]
+             ELSE [] END) AS shingle
+    FROM toks
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+cnt AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS hi, b.doc_id AS lo, count(*) AS i
+    FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND b.doc_id < a.doc_id
+    GROUP BY 1, 2
+),
+removed AS (
+    SELECT DISTINCT p.hi AS doc_id
+    FROM inter p
+    JOIN cnt ca ON ca.doc_id = p.hi
+    JOIN cnt cb ON cb.doc_id = p.lo
+    WHERE p.i::DOUBLE / (ca.n + cb.n - p.i) >= {threshold}
+)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+"""
+
+
+# Planted-copy augmentation shared by the Ray query and the SQL oracle:
+# every vec_id % 10 == 0 row is duplicated at vec_id + PLANT_OFFSET;
+# vec_id % 20 == 0 copies are scaled x2 (cosine-invariant), the rest are
+# exact copies.  The base table has no near-dup pairs (max pairwise
+# cosine ~0.51 at sf0.01), so without planting the query would remove
+# nothing and the oracle would be vacuous.
+PLANT_OFFSET = 1_000_000
+PLANT_MOD = 10
+PLANT_SCALE_MOD = 20
+
+EMB_AUG_CTE = f"""
+aug AS (
+    SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + {PLANT_OFFSET},
+           CASE WHEN vec_id % {PLANT_SCALE_MOD} = 0
+                THEN list_transform(embedding, x -> x * 2.0)
+                ELSE embedding::DOUBLE[] END
+    FROM embeddings WHERE vec_id % {PLANT_MOD} = 0
+)"""
+
+
+def sql_embedding_neardup(threshold: float = 0.98) -> str:
+    """EXISTS cosine near-dup over the planted-copy augmentation."""
+    return f"""
+WITH {EMB_AUG_CTE}
+SELECT a.vec_id FROM aug a
+WHERE NOT EXISTS (
+    SELECT 1 FROM aug b
+    WHERE b.vec_id < a.vec_id
+      AND list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
+)
+"""
+
+
+def sql_knn_self_join(k: int = 3) -> str:
+    return f"""
+WITH sims AS (
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+           list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS s
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, neighbor_id ASC) AS r
+    FROM sims
+)
+SELECT vec_id, neighbor_id, round(s, 5) AS cos_sim FROM ranked WHERE r <= {k}
+"""
+
+
+def sql_ivf_topk(k: int = 10) -> str:
+    """With nprobe == n_centroids the IVF result equals exact top-k."""
+    return f"""
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[],
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 5) AS cos_sim
+FROM embeddings e
+ORDER BY cos_sim DESC, e.vec_id ASC LIMIT {k}
+"""
+
+
+def sql_langid() -> str:
+    """Stopword-profile language ID — mirrors textstats.detect_language
+    (instance hit-rate per language, argmax with first-of-sorted-langs
+    tie-break, 'und' when every score is zero)."""
+    langs = sorted(LANG_PROFILES)  # argmax tie-break order
+    score_cols = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang]))
+        score_cols.append(
+            f"len(list_filter(w, t -> t IN ({words})))::DOUBLE / greatest(len(w), 1) AS s_{lang}"
+        )
+    score_sql = ",\n           ".join(score_cols)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pred_cases = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
+    return f"""
+WITH {_tok_cte()},
+sc AS (
+    SELECT doc_id,
+           {score_sql}
+    FROM toks
+),
+scored AS (SELECT *, {best} AS best FROM sc)
+SELECT doc_id,
+       CASE WHEN best = 0 THEN 'und' {pred_cases} END AS lang_pred,
+       round(best, 6) AS lang_score
+FROM scored
+"""
+
+
+def sql_rolling_fingerprint() -> str:
+    """Order-sensitive Horner rolling hash over md5-based token hashes —
+    mirrors textstats.fingerprint; final value converted to int64 two's
+    complement to match the Arrow column."""
+    half = 1 << 63
+    return f"""
+WITH {_tok_cte()},
+th AS (
+    SELECT doc_id,
+           list_transform(w, t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT::HUGEINT) AS hs
+    FROM toks
+),
+r AS (
+    SELECT doc_id,
+           list_reduce(list_prepend(0::HUGEINT, hs),
+                       (acc, h) -> xor((acc * {_ROLL_BASE}::HUGEINT) % {_M64}::HUGEINT, h)) AS v
+    FROM th
+)
+SELECT doc_id,
+       (CASE WHEN v >= {half}::HUGEINT THEN v - {_M64}::HUGEINT ELSE v END)::BIGINT AS rolling_hash
+FROM r
+"""

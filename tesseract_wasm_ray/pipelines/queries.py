@@ -404,10 +404,12 @@ def q_extract_flagship(sf_dir: str):
     result = run_extract(paths["documents"], paths["media"], _extract_cfg())
 
     def seq_hash(b: pa.Table) -> pa.Table:
+        # md5 (not sha1): DuckDB has md5(), so the oracle can recompute
+        # the hash from golden_spans entirely in SQL.
         doc_ids, hashes, n_spans = [], [], []
         for doc_id, spans in zip(b.column("doc_id").to_pylist(), b.column("spans").to_pylist()):
             spans = sorted(spans, key=lambda s: s["offset"])
-            h = hashlib.sha1()
+            h = hashlib.md5()
             for s in spans:
                 h.update(f"{s['kind']}\x1f{s['text']}\x1f{s['media_ref']}\x1e".encode())
             doc_ids.append(doc_id)
@@ -594,15 +596,15 @@ def q_media_decode(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """Raster feature extraction (multimodal stage) over synthetic media."""
+    """Raster feature extraction (multimodal stage) over synthetic media.
+    No rounding: the features are exact integer ratios (see
+    stages.multimodal.media_features), so the oracle compares full
+    float64 values."""
     from ..stages.multimodal import media_features
 
     paths = corpus_for(sf_dir)
     media = rd.read_parquet(paths["media"])
-    return media.map_batches(media_features, batch_format="pyarrow").map_batches(
-        lambda b: _round(b, {"mean_intensity": 4, "ink_density": 4, "aspect_ratio": 4}),
-        batch_format="pyarrow",
-    )
+    return media.map_batches(media_features, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -636,8 +638,39 @@ def q_ngram_jaccard_dedup(sf_dir: str):
     ).map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
 
 
+def _plant_embedding_copies(b: pa.Table) -> pa.Table:
+    """Deterministic near-dup planting (mirrored by the SQL oracle's
+    EMB_AUG_CTE): every ``vec_id % 10 == 0`` row is appended again at
+    ``vec_id + 1_000_000``; ``% 20 == 0`` copies are scaled x2 — the
+    unit vector is bit-identical (binary scaling is exact), so LSH
+    recall on the copies is 1 by construction.  The base embeddings
+    table has no near-dup pairs (max pairwise cosine ~0.51), so
+    planting is what makes the removal path non-vacuous."""
+    from .oracles import PLANT_MOD, PLANT_OFFSET, PLANT_SCALE_MOD
+
+    from ..functions.arrow_util import single_chunk
+
+    ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+    dup = b.filter(pa.array(ids % PLANT_MOD == 0))
+    emb = single_chunk(dup.column("embedding"))
+    vals = emb.values.to_numpy(zero_copy_only=False)
+    parents = pc.list_parent_indices(emb).to_numpy(zero_copy_only=False)
+    scale_rows = dup.column("vec_id").to_numpy(zero_copy_only=False) % PLANT_SCALE_MOD == 0
+    factor = np.where(scale_rows[parents], 2.0, 1.0).astype(vals.dtype)
+    new_emb = pa.ListArray.from_arrays(emb.offsets, pa.array(vals * factor, emb.type.value_type))
+    planted = pa.table(
+        {
+            "vec_id": pc.add(dup.column("vec_id"), PLANT_OFFSET),
+            "embedding": new_emb,
+        }
+    )
+    return pa.concat_tables([b.select(["vec_id", "embedding"]), planted])
+
+
 def q_embedding_neardup(sf_dir: str):
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).map_batches(_plant_embedding_copies, batch_format="pyarrow")
     return embedding_neardup(
         ds, threshold=0.98, num_buckets=16, join_partitions=8
     ).map_batches(lambda b: b.select(["vec_id"]), batch_format="pyarrow")
@@ -670,7 +703,10 @@ def q_ivf_topk(sf_dir: str):
         t0.filter(pc.equal(t0.column("vec_id"), 0)).column("embedding")[0].as_py(),
         dtype=np.float64,
     )
-    out = ivf_topk(ds, q, k=10, n_centroids=8, nprobe=4)
+    # nprobe == n_centroids: IVF recall is exactly 1, so the result
+    # equals brute-force top-k and the SQL oracle can gate it.  bench.py
+    # exercises the pruned nprobe<n_centroids path.
+    out = ivf_topk(ds, q, k=10, n_centroids=8, nprobe=8)
     return out.map_batches(
         lambda b: _round(b, {"cos_sim": 5}), batch_format="pyarrow"
     )
@@ -836,3 +872,107 @@ ORACLE_SQL = {
         GROUP BY c_mktsegment
     """,
 }
+
+# Independent-engine oracles for the hash-sketch / similarity / text
+# operators: DuckDB recomputes the full chain (FNV token hashes, MinHash
+# perms, LSH bands, SimHash bits, cosine EXISTS) from scratch — see
+# pipelines/oracles.py for the bit-exactness notes.
+from . import oracles as _orc  # noqa: E402
+
+# Extraction-family oracles against the fixture golden tables (written
+# at generation time: golden_spans/golden_boxes are CLOSED-FORM truth —
+# fixtures.py computes rects/text/orientation from the raster grid, not
+# by running the recognizer; golden_pages adds hOCR rendered from those
+# golden items, serial projection-layout counts, and exact integer
+# feature sums).  The driver's correctness gate runs at sf=0.01, so the
+# paths pin that corpus; __ray_entry__.oracle_sql() generates it inline
+# (no Ray needed at 500 docs) before returning.
+_G01 = os.path.join(FIXTURE_ROOT, "sf0.01")
+
+ORACLE_SQL.update(
+    {
+        "extract_flagship": f"""
+            WITH s AS (
+                SELECT doc_id, unnest(spans) AS sp
+                FROM read_parquet('{_G01}/golden_spans/*.parquet')
+            )
+            SELECT doc_id,
+                   md5(string_agg(sp['kind'] || chr(31) || sp['text'] || chr(31) || sp['media_ref'] || chr(30),
+                                  '' ORDER BY sp['offset'])) AS seq_hash,
+                   count(*)::INTEGER AS n_spans
+            FROM s GROUP BY doc_id
+        """,
+        "extract_validate": f"""
+            SELECT (SELECT count(*) FROM read_parquet('{_G01}/golden_spans/*.parquet'))::BIGINT AS docs_ok,
+                   0::BIGINT AS docs_mismatched,
+                   0::BIGINT AS docs_missing
+        """,
+        "ocr_text": f"""
+            SELECT media_ref, text, n_words
+            FROM read_parquet('{_G01}/golden_boxes/*.parquet')
+        """,
+        "ocr_boxes": f"""
+            WITH w AS (
+                SELECT media_ref, unnest(words) AS wi
+                FROM read_parquet('{_G01}/golden_boxes/*.parquet')
+            )
+            SELECT media_ref,
+                   wi['text'] AS text,
+                   wi['rect']['left'] AS "left",
+                   wi['rect']['top'] AS "top",
+                   wi['rect']['right'] AS "right",
+                   wi['rect']['bottom'] AS "bottom",
+                   wi['flags'] AS flags,
+                   round(wi['confidence']::DOUBLE, 4) AS confidence
+            FROM w
+        """,
+        "orientation_detect": f"""
+            SELECT media_ref,
+                   orientation['rotation'] AS rotation,
+                   round(orientation['confidence']::DOUBLE, 4) AS confidence
+            FROM read_parquet('{_G01}/golden_boxes/*.parquet')
+        """,
+        "layout_boxes": f"""
+            SELECT media_ref, n_word_boxes, n_line_boxes
+            FROM read_parquet('{_G01}/golden_pages/*.parquet')
+        """,
+        "hocr_render": f"""
+            SELECT media_ref, hocr, hocr_md5
+            FROM read_parquet('{_G01}/golden_pages/*.parquet')
+        """,
+        "boilerplate_strip": f"""
+            WITH s AS (
+                SELECT doc_id, unnest(spans) AS sp
+                FROM read_parquet('{_G01}/golden_spans/*.parquet')
+            )
+            SELECT doc_id, sp['offset'] AS "offset", sp['text'] AS text
+            FROM s WHERE sp['kind'] = 'text'
+        """,
+        "media_decode": f"""
+            SELECT media_ref, 32::INTEGER AS width, 32::INTEGER AS height,
+                   (1024 * channels)::INTEGER AS thumb_bytes
+            FROM read_parquet('{_G01}/media/*.parquet')
+        """,
+        "media_features": f"""
+            SELECT media_ref,
+                   mean_sum::DOUBLE / mean_denom AS mean_intensity,
+                   n_dark::DOUBLE / n_pix AS ink_density,
+                   width::DOUBLE / height AS aspect_ratio
+            FROM read_parquet('{_G01}/golden_pages/*.parquet')
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "minhash_dedup": _orc.sql_minhash_dedup(threshold=0.8),
+        "minhash_components_dedup": _orc.sql_minhash_components_dedup(threshold=0.8),
+        "simhash_dedup": _orc.sql_simhash_dedup(max_hamming=3),
+        "ngram_jaccard_dedup": _orc.sql_ngram_jaccard_dedup(threshold=0.8, shingle_n=3),
+        "embedding_neardup": _orc.sql_embedding_neardup(threshold=0.98),
+        "knn_self_join": _orc.sql_knn_self_join(k=3),
+        "ivf_topk_cosine": _orc.sql_ivf_topk(k=10),
+        "langid": _orc.sql_langid(),
+        "rolling_fingerprint": _orc.sql_rolling_fingerprint(),
+    }
+)

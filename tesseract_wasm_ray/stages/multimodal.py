@@ -127,7 +127,14 @@ def resize_nearest(batch: pa.Table, out_w: int, out_h: int) -> pa.Table:
 
 def media_features(batch: pa.Table) -> pa.Table:
     """Real feature extraction over raw rasters: mean intensity, ink
-    density (fraction of dark pixels), aspect ratio."""
+    density (fraction of dark pixels), aspect ratio.
+
+    All three are EXACT integer ratios evaluated with one IEEE division
+    (intensity sums in int64; "dark" is ``r+g+b < 384`` — identically
+    ``gray < 128``), so the values are bit-identical to an independent
+    engine dividing the same integers (the DuckDB oracle does exactly
+    that over fixture-time sums) — no float accumulation order or
+    rounding-mode differences can enter."""
     pixels = _single_chunk(batch.column("pixels"))
     widths = batch.column("width").to_pylist()
     heights = batch.column("height").to_pylist()
@@ -136,9 +143,16 @@ def media_features(batch: pa.Table) -> pa.Table:
     for i in range(batch.num_rows):
         w, h, c = widths[i], heights[i], channels[i]
         img = np.frombuffer(pixels[i].as_py(), dtype=np.uint8).reshape(h, w, c)
-        gray = img[..., :3].mean(axis=2) if c >= 3 else img[..., 0]
-        mean_i.append(float(gray.mean()))
-        ink.append(float((gray < 128).mean()))
+        if c >= 3:
+            mean_sum = int(img[..., :3].sum(dtype=np.int64))
+            mean_denom = 3 * h * w
+            n_dark = int((img[..., :3].sum(axis=2, dtype=np.int32) < 384).sum())
+        else:
+            mean_sum = int(img[..., 0].sum(dtype=np.int64))
+            mean_denom = h * w
+            n_dark = int((img[..., 0] < 128).sum())
+        mean_i.append(mean_sum / mean_denom)
+        ink.append(n_dark / (h * w))
         aspect.append(w / h)
     return pa.table(
         {

@@ -78,18 +78,17 @@ def test_rolling_hash_vectorization_matches_scalar_reference():
         for _ in range(50)
     ]
     out = fingerprint(_t(texts))
-    import pandas as pd
+    import hashlib
 
     def scalar(text):
-        h = np.uint64(0)
-        base, mask = np.uint64(1099511628211), np.uint64(0xFFFFFFFFFFFFFFFF)
+        # Plain-python Horner over md5-first-8-byte token hashes — the
+        # published fingerprint spec (also recomputed by the DuckDB
+        # oracle in pipelines/oracles.py).
+        h = 0
         toks = text.lower().split()
-        if not toks:
-            return 0
-        hs = pd.util.hash_array(np.array(toks, dtype=object)).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            for x in hs:
-                h = ((h * base) & mask) ^ x
-        return int(h.astype(np.int64))
+        for t in toks:
+            x = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            h = ((h * 1099511628211) % (1 << 64)) ^ x
+        return h - (1 << 64) if h >= (1 << 63) else h
 
     assert out.column("rolling_hash").to_pylist() == [scalar(t) for t in texts]

@@ -440,26 +440,38 @@ def generate_corpus(out_dir: str, n_docs: int, parallelism: int | None = None) -
 # ---------------------------------------------------------------------------
 
 
+def _copy_source(i: int) -> int:
+    """Nearest non-copy ancestor of doc ``i``'s copy chain: walk back
+    while the source doc is itself a planted copy (r < 0.10), so a copy
+    of a copy duplicates the ancestor's ACTUAL text instead of a base
+    text that doc never emitted (round-1 ADVICE: ~0.5% of planted dups
+    duplicated nothing)."""
+    j = i - 1
+    while j > 0:
+        r = float(np.random.default_rng([SEED, 9, j]).random())
+        if r >= 0.10:
+            break
+        j -= 1
+    return j
+
+
 def text_corpus_batch(indices: np.ndarray) -> pa.Table:
     """Deterministic flat (doc_id, text) rows with planted duplicates:
-    ~5% exact copies (of doc_id - 1) and ~5% near copies (one word
-    edited), so dedup benchmarks exercise real removal work."""
+    ~5% exact copies and ~5% near copies (one word edited) of the
+    nearest non-copy ancestor, so dedup benchmarks exercise real
+    removal work."""
     rows = []
     for i in indices:
         i = int(i)
         rng = np.random.default_rng([SEED, 9, i])
         r = float(rng.random())
-        if r < 0.05 and i > 0:
-            src = np.random.default_rng([SEED, 9, i - 1])
+        if r < 0.10 and i > 0:
+            src = np.random.default_rng([SEED, 9, _copy_source(i)])
             src.random()
             toks = [HTML_WORDS[int(j)] for j in src.integers(0, len(HTML_WORDS), 40)]
-            text = " ".join(toks)  # exact copy of doc i-1's base text
-        elif r < 0.10 and i > 0:
-            src = np.random.default_rng([SEED, 9, i - 1])
-            src.random()
-            toks = [HTML_WORDS[int(j)] for j in src.integers(0, len(HTML_WORDS), 40)]
-            toks[int(rng.integers(0, 40))] = HTML_WORDS[int(rng.integers(0, len(HTML_WORDS)))]
-            text = " ".join(toks)  # near copy (1 edit)
+            if r >= 0.05:
+                toks[int(rng.integers(0, 40))] = HTML_WORDS[int(rng.integers(0, len(HTML_WORDS)))]
+            text = " ".join(toks)  # exact copy (r<0.05) / near copy (1 edit)
         else:
             toks = [HTML_WORDS[int(j)] for j in rng.integers(0, len(HTML_WORDS), 40)]
             text = " ".join(toks)
@@ -475,7 +487,7 @@ def generate_text_corpus(out_dir: str, n_rows: int) -> str:
 
     # "_"-prefixed so parquet dataset readers ignore it
     meta_path = os.path.join(out_dir, "_meta.json")
-    meta = {"n_rows": n_rows, "seed": SEED, "kind": "text_corpus", "v": 1}
+    meta = {"n_rows": n_rows, "seed": SEED, "kind": "text_corpus", "v": 2}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             if json.load(f) == meta:

@@ -60,13 +60,42 @@ def detect_orientation_and_recognize(ink: np.ndarray, model: GlyphModel):
     scores: list[float] = []
     results = []
     uprights = []
-    for r in ROTATIONS:
+    for idx, r in enumerate(ROTATIONS):
         upright = derotate(ink, r)
         res = recognize_page(upright, model)
         scores.append(res[2])
         results.append(res)
         uprights.append(upright)
         if res[2] >= EARLY_EXIT_SCORE:
+            # The one realistic tie is the 180° counterpart (a page of
+            # 180-symmetric glyphs scores high both ways).  If the
+            # counterpart was already scored it failed the threshold —
+            # no tie possible.  Otherwise a cheap ink-overlap screen
+            # (one AND/OR pass) decides whether to pay one extra
+            # recognition; only near-symmetric pages do, and for them we
+            # reproduce the full scan's margin-based confidence instead
+            # of reporting ~1.0 for an ambiguous page.
+            i2 = ROTATIONS.index((r + 180) % 360)
+            if i2 > idx:
+                # Screen on the ink-BBOX crop (margins shift under
+                # rotation; the glyph block itself is what can be
+                # symmetric): IoU(crop, rot180(crop)) >= 0.98 tolerates
+                # residual binarization specks.
+                ys, xs = np.nonzero(upright)
+                crop = upright[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+                r180 = np.rot90(crop, 2)
+                union = int(np.logical_or(crop, r180).sum())
+                iou = int(np.logical_and(crop, r180).sum()) / union if union else 0.0
+                if iou >= 0.98:
+                    u2 = derotate(ink, ROTATIONS[i2])
+                    res2 = recognize_page(u2, model)
+                    if res2[2] >= EARLY_EXIT_SCORE:
+                        hi, lo = (idx, i2) if res[2] >= res2[2] else (i2, idx)
+                        margin = abs(float(res[2]) - float(res2[2]))
+                        conf = float(max(res[2], res2[2])) if margin > 0.02 else margin
+                        win_res = res if hi == idx else res2
+                        win_up = upright if hi == idx else u2
+                        return ROTATIONS[hi], conf, win_up, win_res
             return r, float(res[2]), upright, res
     # Full scan: stable sort so ties prefer the smaller rotation.
     order = np.argsort(-np.asarray(scores), kind="stable")

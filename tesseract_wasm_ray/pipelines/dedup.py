@@ -71,10 +71,20 @@ def keep_min_by(
     minimum ``order_col``.  Hash-bucket the key (bounded group count),
     one vectorized sort + boundary-take per bucket.  Input blocks are
     coalesced first (sort-shuffle cost is per-block, docs/RAY_NOTES.md §3).
+
+    Keys must be non-null: a null key has no well-defined group and the
+    boundary arithmetic would silently misgroup it — asserted loudly per
+    batch (keys here are engine-generated, so a null means an upstream
+    bug, not data).
     """
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         keys = batch.column(key_col)
+        if keys.null_count:
+            raise ValueError(
+                f"keep_min_by: {keys.null_count} null values in key column "
+                f"{key_col!r} (keys must be non-null)"
+            )
         if pa.types.is_integer(keys.type):
             b = _crc_bucket_i64(
                 keys.to_numpy(zero_copy_only=False).astype(np.int64), num_buckets
@@ -273,7 +283,12 @@ def anti_join_ids(
 
         def filt(batch: pa.Table) -> pa.Table:
             dup = ray.get(ref)
-            mask = pc.invert(pc.is_in(batch.column(id_col), value_set=dup))
+            # fill_null(True): a null id yields a null is_in result, and
+            # Table.filter drops null-mask rows — null-id corpus rows
+            # must pass through unchanged, not silently vanish.
+            mask = pc.fill_null(
+                pc.invert(pc.is_in(batch.column(id_col), value_set=dup)), True
+            )
             return batch.filter(mask)
 
         return ds.map_batches(filt, batch_format="pyarrow")
@@ -320,9 +335,14 @@ def anti_join_ids(
         dup_set = t.filter(is_dup).column(id_col)
         keep = t.filter(pc.invert(is_dup))
         if len(dup_set):
+            # fill_null(True): null-id rows pass through (see broadcast
+            # branch).
             keep = keep.filter(
-                pc.invert(
-                    pc.is_in(keep.column(id_col), value_set=_single_chunk(dup_set))
+                pc.fill_null(
+                    pc.invert(
+                        pc.is_in(keep.column(id_col), value_set=_single_chunk(dup_set))
+                    ),
+                    True,
                 )
             )
         return keep.drop_columns(["__dup"])

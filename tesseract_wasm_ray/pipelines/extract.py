@@ -117,104 +117,47 @@ def ocr_media(
 
 def _join_media_text(media_rows: rd.Dataset, ocr_text: rd.Dataset, cfg: ExtractConfig) -> rd.Dataset:
     """(doc_id, offset, kind, media_ref) ⋈ (media_ref, rec_text) -> span rows
-    with recognized text.
+    with recognized text.  Only the legacy two-branch strategies live
+    here — the default "bucket" strategy is the single-pass union join
+    inside ``_span_rows`` (this function is only reached for
+    ``join_strategy in {"hash", "broadcast"}``).
 
-    Strategies:
-
-    - ``bucket`` (default): union both sides tagged by kind, hash-bucket
-      on crc32(media_ref), fill text per bucket group with a vectorized
-      dictionary lookup.  Task-based sort shuffle — parallel across
-      buckets, no long-lived aggregator actors (Ray's hash-join
-      aggregator serializes on one actor and crashes on empty
-      partitions), and composable with the actor-pool stage on any CPU
-      budget.
     - ``hash``: Ray ``Dataset.join`` (kept for comparison/benchmarks).
-    - ``broadcast``: ship a ref->text dict via ``ray.put`` — no shuffle;
-      right only when the media side fits the object store.
+    - ``broadcast``: ship the (ref, text) columns via ``ray.put`` — no
+      shuffle; right only when the media side fits the object store.
     """
-    if cfg.join_strategy == "bucket":
-        import zlib
-
-        import numpy as np
+    if cfg.join_strategy == "broadcast":
+        # Small media side: ship the ref/text COLUMNS through the object
+        # store once (ray.put), resolve per batch with a vectorized
+        # index_in + take (no Python dict or per-row loop).
         import pyarrow.compute as pc
 
-        num_buckets = cfg.join_partitions * 4
-
-        def tag_and_bucket(kind_tag: str):
-            def fn(batch: pa.Table) -> pa.Table:
-                if kind_tag == "ocr":
-                    batch = pa.table(
-                        {
-                            "doc_id": pa.array([""] * batch.num_rows, pa.string()),
-                            "offset": pa.array(
-                                np.full(batch.num_rows, -1, np.int32), pa.int32()
-                            ),
-                            "kind": pa.array(["__ocr"] * batch.num_rows, pa.string()),
-                            "text": batch.column("rec_text"),
-                            "media_ref": batch.column("media_ref"),
-                        }
-                    )
-                enc = batch.column("media_ref").combine_chunks()
-                enc = pc.dictionary_encode(enc)
-                if isinstance(enc, pa.ChunkedArray):
-                    enc = enc.chunk(0) if enc.num_chunks else enc.combine_chunks()
-                lut = np.array(
-                    [
-                        zlib.crc32(v.encode()) % num_buckets
-                        for v in enc.dictionary.to_pylist()
-                    ],
-                    dtype=np.int32,
-                )
-                codes = enc.indices.to_numpy(zero_copy_only=False)
-                bk = lut[codes] if len(lut) else np.empty(0, np.int32)
-                return batch.append_column("__jb", pa.array(bk, pa.int32()))
-
-            return fn
-
-        both = (
-            media_rows.map_batches(tag_and_bucket("spans"), batch_format="pyarrow")
-            .union(ocr_text.map_batches(tag_and_bucket("ocr"), batch_format="pyarrow"))
-            .repartition(cfg.coalesce_partitions)
+        chunks = [
+            b.select(["media_ref", "rec_text"])
+            for b in ocr_text.iter_batches(batch_format="pyarrow", batch_size=65536)
+            if b.num_rows
+        ]
+        lut = (
+            pa.concat_tables(chunks)
+            if chunks
+            else pa.table({"media_ref": pa.array([], pa.string()),
+                           "rec_text": pa.array([], pa.string())})
         )
-
-        def fill_text(group: pa.Table) -> pa.Table:
-            t = group.drop_columns(["__jb"])
-            kind = t.column("kind")
-            is_ocr = pc.equal(kind, "__ocr").combine_chunks()
-            refs = pc.dictionary_encode(t.column("media_ref").combine_chunks())
-            if isinstance(refs, pa.ChunkedArray):
-                refs = refs.chunk(0) if refs.num_chunks else refs.combine_chunks()
-            codes = refs.indices.to_numpy(zero_copy_only=False)
-            mask = is_ocr.to_numpy(zero_copy_only=False)
-            texts = t.column("text").to_pylist()
-            lut = np.empty(len(refs.dictionary), dtype=object)
-            lut[codes[mask]] = [texts[i] for i in np.flatnonzero(mask)]
-            span_rows = t.filter(pc.invert(is_ocr))
-            span_codes = codes[~mask]
-            filled = pa.array(
-                [lut[c] if lut[c] is not None else "" for c in span_codes],
-                pa.string(),
-            )
-            i = span_rows.schema.get_field_index("text")
-            return span_rows.set_column(i, "text", filled)
-
-        return both.groupby("__jb", num_partitions=cfg.join_partitions).map_groups(
-            fill_text, batch_format="pyarrow"
+        lookup_ref = ray.put(
+            (lut.column("media_ref").combine_chunks(), lut.column("rec_text").combine_chunks())
         )
-
-    if cfg.join_strategy == "broadcast":
-        # Small media side: ship the ref->text dict through the object
-        # store once (ray.put), look up per batch. No shuffle.
-        table: dict[str, str] = {}
-        for b in ocr_text.iter_batches(batch_format="pyarrow", batch_size=65536):
-            table.update(zip(b["media_ref"].to_pylist(), b["rec_text"].to_pylist()))
-        lookup_ref = ray.put(table)
 
         def lookup(batch: pa.Table) -> pa.Table:
-            table = ray.get(lookup_ref)
-            texts = pa.array(
-                [table.get(r, "") for r in batch.column("media_ref").to_pylist()],
-                pa.string(),
+            keys, vals = ray.get(lookup_ref)
+            pos = pc.index_in(batch.column("media_ref"), value_set=keys)
+            found = pc.fill_null(pc.cast(pos, pa.int64()), -1).to_numpy(zero_copy_only=False)
+            import numpy as np
+
+            taken = vals.take(pa.array(np.maximum(found, 0), pa.int64())) if len(vals) else None
+            texts = (
+                pc.if_else(pa.array(found >= 0), taken, pa.scalar("", pa.string()))
+                if taken is not None
+                else pa.array([""] * batch.num_rows, pa.string())
             )
             i = batch.schema.get_field_index("text")
             return batch.set_column(i, "text", texts)
@@ -301,16 +244,20 @@ def _span_rows(
         rows = rows.set_column(i, "text", stripped)
         # Bucket: media rows by media_ref (co-locate with __ocr rows),
         # text rows by doc_id (even spread; they only pass through).
-        keys = np.where(
-            is_text,
-            rows.column("doc_id").to_numpy(zero_copy_only=False),
-            rows.column("media_ref").to_numpy(zero_copy_only=False),
+        # crc32 runs once per DISTINCT key (dictionary-encoded): doc_ids
+        # repeat once per span, so this is ~8x fewer Python hash calls.
+        from ..functions.arrow_util import single_chunk
+
+        keys = pc.if_else(
+            pa.array(is_text), rows.column("doc_id"), rows.column("media_ref")
         )
-        bk = np.fromiter(
-            (zlib.crc32(str(k).encode()) % num_buckets for k in keys),
+        enc = single_chunk(pc.dictionary_encode(keys.combine_chunks()))
+        lut = np.array(
+            [zlib.crc32(str(v).encode()) % num_buckets for v in enc.dictionary.to_pylist()],
             dtype=np.int32,
-            count=len(keys),
         )
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        bk = lut[codes] if len(lut) else np.empty(0, np.int32)
         return rows.append_column("__jb", pa.array(bk, pa.int32()))
 
     def pad_ocr(batch: pa.Table) -> pa.Table:
@@ -332,28 +279,34 @@ def _span_rows(
         )
 
     def fill_text(group: pa.Table) -> pa.Table:
+        """Resolve media-span text from co-bucketed __ocr rows with a
+        pure-Arrow gather: per-row source indices computed in numpy from
+        dictionary codes, then ONE ``take`` on the text column — no
+        ``to_pylist`` / Python-string materialization on the hot path
+        (media spans start with text "", so an unmatched media row
+        gathering its own text yields "" — the join's null fill)."""
         t = group.drop_columns(["__jb"])
         kind = t.column("kind")
         is_ocr = pc.equal(kind, "__ocr").combine_chunks()
-        is_media = pc.equal(kind, "media_ref").combine_chunks()
         mask_ocr = is_ocr.to_numpy(zero_copy_only=False)
-        mask_media = is_media.to_numpy(zero_copy_only=False)
+        mask_media = pc.equal(kind, "media_ref").to_numpy(zero_copy_only=False)
         if not mask_media.any():
             return t.filter(pc.invert(is_ocr))
         refs = pc.dictionary_encode(t.column("media_ref").combine_chunks())
         if isinstance(refs, pa.ChunkedArray):
             refs = refs.chunk(0) if refs.num_chunks else refs.combine_chunks()
         codes = refs.indices.to_numpy(zero_copy_only=False)
-        texts = t.column("text").to_pylist()
-        lut = np.empty(len(refs.dictionary), dtype=object)
-        lut[codes[mask_ocr]] = [texts[i] for i in np.flatnonzero(mask_ocr)]
-        new_texts = [
-            (lut[codes[i]] or "") if mask_media[i] else texts[i]
-            for i in np.flatnonzero(~mask_ocr)
-        ]
+        idx_ocr = np.flatnonzero(mask_ocr)
+        lut = np.full(len(refs.dictionary), -1, np.int64)
+        lut[codes[idx_ocr]] = idx_ocr
+        keep_idx = np.flatnonzero(~mask_ocr)
+        src = lut[codes[keep_idx]]
+        gather = np.where(mask_media[keep_idx] & (src >= 0), src, keep_idx)
+        text_col = t.column("text").combine_chunks()
+        filled = text_col.take(pa.array(gather, pa.int64()))
         out = t.filter(pc.invert(is_ocr))
         i = out.schema.get_field_index("text")
-        return out.set_column(i, "text", pa.array(new_texts, pa.string()))
+        return out.set_column(i, "text", filled)
 
     if cfg.join_strategy != "bucket":
         return _span_rows_two_branch(docs_path, media_path, cfg)
@@ -472,13 +425,20 @@ def run_extract(
         bucket = int(group.column("bucket")[0].as_py())
         table = stitch_bucket(group.drop_columns(["bucket"]))
         name = write_bucket_atomic(out_dir, bucket, table)
-        n_spans = 0
-        n_words = 0
-        for spans in table.column("spans").to_pylist():
-            n_spans += len(spans)
-            for s_ in spans:
-                if s_["kind"] == "media_ref":
-                    n_words += len(s_["text"].split())
+        # Manifest metrics via Arrow kernels: flatten the span structs
+        # once, count non-whitespace runs per media span (identical to
+        # ``len(text.split())``) — no nested Python loops on the write
+        # path.
+        import pyarrow.compute as pc
+
+        flat = pc.list_flatten(table.column("spans").combine_chunks())
+        n_spans = len(flat)
+        media_texts = pc.struct_field(flat, "text").filter(
+            pc.equal(pc.struct_field(flat, "kind"), "media_ref")
+        )
+        n_words = int(
+            pc.sum(pc.count_substring_regex(media_texts, r"\S+")).as_py() or 0
+        )
         row = {
             "partition_id": bucket,
             "config_fingerprint": fp,

@@ -78,10 +78,12 @@ def topk_cosine(
         kk = min(k, len(cos))
         # O(n) candidate cut first; the deterministic (score desc, id
         # asc) tie-break lexsort runs only on the small candidate set.
-        # Candidates = top 4k by score so rounded ties crossing the cut
-        # still include every id that could win the global merge.
-        cand_n = min(len(cos), max(4 * kk, kk))
-        cand = np.argpartition(-cos, cand_n - 1)[:cand_n]
+        # Candidates = EVERY row scoring >= the k-th score, so a tie
+        # group crossing the cut (common once scores are rounded) always
+        # includes the low id that wins the global merge — a fixed-width
+        # window (old: 4k) could drop it when the group is larger.
+        kth = -np.partition(-cos, kk - 1)[kk - 1]
+        cand = np.flatnonzero(cos >= kth)
         ids_np = batch.column(id_col).to_numpy(zero_copy_only=False)
         order = cand[np.lexsort((ids_np[cand], -cos[cand]))][:kk]
         return pa.table(
@@ -107,12 +109,43 @@ def fit_centroids(
 ) -> np.ndarray:
     """K-means on a bounded sample (Lloyd's, seeded, driver-side — the
     sample is small by construction; the corpus itself never
-    materializes).  -> (n_centroids, dim) unit-norm centroids."""
-    sample = ds.limit(sample_rows).to_arrow_refs()
-    tables = [ray.get(r) for r in sample]
-    m = np.concatenate(
-        [_matrix(pa.table(t.combine_chunks()), emb_col) for t in tables if t.num_rows]
-    )
+    materializes).  -> (n_centroids, dim) unit-norm centroids.
+
+    The sample is an UNBIASED deterministic thin: every row keeps or
+    drops itself by a seeded content hash of its own vector at the
+    global target rate (estimated from one count()), so a sorted or
+    cluster-ordered embedding table yields the same centroid
+    distribution as a shuffled one — ``limit(N)`` would fit k-means on
+    the first blocks only and silently skew IVF recall on ordered
+    inputs."""
+    n_total = ds.count()
+    rate = min(1.0, sample_rows / max(n_total, 1))
+
+    def thin(b: pa.Table) -> pa.Table:
+        b = b.select([emb_col])
+        if rate >= 1.0 or b.num_rows == 0:
+            return b
+        # Seeded FNV-style mix over the first dims of each vector ->
+        # uniform key in [0,1); fully deterministic across runs,
+        # processes and block layouts (content-keyed, not positional).
+        m = _matrix(b, emb_col)
+        u = np.ascontiguousarray(m[:, : min(8, m.shape[1])]).view(np.uint64)
+        with np.errstate(over="ignore"):
+            k = np.full(len(m), np.uint64(seed) ^ np.uint64(0xCBF29CE484222325))
+            for j in range(u.shape[1]):
+                k = (k ^ u[:, j]) * np.uint64(0x100000001B3)
+        keep = (k >> np.uint64(11)).astype(np.float64) / float(1 << 53) < rate
+        return b.filter(pa.array(keep))
+
+    tables = [
+        t
+        for t in ds.map_batches(thin, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=8192
+        )
+        if t.num_rows
+    ]
+    m = np.concatenate([_matrix(t.combine_chunks(), emb_col) for t in tables])
+    m = m[:sample_rows]
     m = _unit(m)
     rng = np.random.default_rng(seed)
     n_centroids = min(n_centroids, len(m))

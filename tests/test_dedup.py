@@ -183,3 +183,28 @@ def test_minhash_components_collapses_transitive_chain(ray_session):
     )
     assert 0 in kept and 1 not in kept and 2 not in kept
     assert len(kept) == 21
+
+
+def test_anti_join_preserves_null_id_rows(ray_session):
+    """Null-id corpus rows must pass through the anti-join unchanged in
+    both strategies (pc.is_in yields null for null input and filter
+    would otherwise silently drop the row)."""
+    import ray.data as rd
+
+    from tesseract_wasm_ray.pipelines.dedup import anti_join_ids
+
+    rows = [
+        {"doc_id": 1, "text": "a"},
+        {"doc_id": None, "text": "null-id survives"},
+        {"doc_id": 3, "text": "c"},
+    ]
+    ds = rd.from_arrow(
+        pa.Table.from_pylist(
+            rows, schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+        )
+    )
+    dups = rd.from_arrow(pa.table({"doc_id": pa.array([3], pa.int64())}))
+    for strategy in ("broadcast", "shuffle"):
+        out = anti_join_ids(ds, dups, "doc_id", strategy=strategy).to_pandas()
+        assert len(out) == 2, strategy
+        assert "null-id survives" in set(out["text"]), strategy

@@ -201,3 +201,18 @@ def test_statistical_tolerances():
         i += 1
     assert 2.0 < np.mean(lens) < 8.0  # fixture words are 1-6 chars of PAGE_WORDS
     assert np.mean(confs) > 0.95
+
+
+def test_orientation_ambiguous_symmetric_page_low_confidence():
+    """A palindromic page of 180-symmetric glyphs ("SOS"/"OXO") reads
+    identically upright and upside-down: the early exit must NOT report
+    ~1.0 confidence — the 180-counterpart check falls back to the
+    margin-based (ambiguous ~0) confidence (ADVICE round 1)."""
+    img = render_page([["SOS", "OXO"], ["OXO", "SOS"]], MODEL, scale=2)
+    eng = make_engine(img)
+    o = eng.get_orientation()
+    assert o["confidence"] <= 0.02, o
+    # A normal asymmetric page still early-exits with high confidence.
+    img2 = render_page([["HELLO"]], MODEL, scale=2)
+    eng2 = make_engine(img2)
+    assert eng2.get_orientation()["confidence"] > 0.9

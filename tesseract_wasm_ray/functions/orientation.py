@@ -43,29 +43,66 @@ def derotate(img: np.ndarray, rotation: int) -> np.ndarray:
 EARLY_EXIT_SCORE = 0.995
 
 
+def _axis_probe_order(ink: np.ndarray) -> tuple[int, int, int, int]:
+    """Order rotations by a projection-profile axis guess (SURVEY §2 M8):
+    along the text-line axis the ink projects into many short bands (one
+    per line, ~glyph-height tall); across it, lines overlap into one
+    tall band.  Compare the tallest row band with the tallest column
+    band and probe the thinner-banded axis's rotations first.  One
+    vectorized pass over the projections — no recognition, no model.
+    Pure optimization: only the PROBE order changes, never the result
+    (the full scan re-ranks deterministically)."""
+
+    def max_band(counts: np.ndarray) -> int:
+        # Longest run of rows/cols containing ink (speck-tolerant: a
+        # row needs >= 2 inked pixels to count).
+        mask = counts >= 2
+        if not mask.any():
+            return 0
+        d = np.diff(mask.view(np.int8), prepend=np.int8(0), append=np.int8(0))
+        starts = np.flatnonzero(d == 1)
+        ends = np.flatnonzero(d == -1)
+        return int((ends - starts).max())
+
+    mh_rows = max_band(ink.sum(axis=1))
+    mh_cols = max_band(ink.sum(axis=0))
+    if mh_cols < mh_rows:  # lines appear vertical -> page is rotated
+        return (90, 270, 0, 180)
+    return (0, 180, 90, 270)
+
+
 def detect_orientation_and_recognize(ink: np.ndarray, model: GlyphModel):
     """-> (rotation, confidence, upright_ink, ocr_results).
 
-    Scores rotations in ROTATIONS order with an early exit at
-    EARLY_EXIT_SCORE, and returns the winning rotation's recognition
-    results so callers can reuse them instead of re-recognizing
-    (recognition is the per-page cost; this saves the 5th pass and, for
-    upright pages, passes 2-4 as well).
+    Scores rotations in _axis_probe_order (projection pre-test) with an
+    early exit at EARLY_EXIT_SCORE, and returns the winning rotation's
+    recognition results so callers can reuse them instead of
+    re-recognizing (recognition is the per-page cost; upright pages pay
+    1 pass, rotated pages <=2 thanks to the axis pre-test — previously
+    up to 4).
 
     Blank pages return (0, 0.0, ink, blank_results), mirroring the
     reference's low-confidence default when no text is found.
     """
     if not ink.any():
         return 0, 0.0, ink, recognize_page(ink, model)
-    scores: list[float] = []
-    results = []
-    uprights = []
-    for idx, r in enumerate(ROTATIONS):
+    # Cheap axis pre-test (one projection pass, no recognition): text
+    # lines give many SHORT row bands along the correct axis, one tall
+    # band along the wrong one.  Probe the likely axis's two rotations
+    # first so rotated pages early-exit after <=2 recognition passes
+    # instead of up to 4.  Pure reordering: if no early exit fires, the
+    # full scan below scores all four and its outcome is
+    # probe-order-independent.
+    probe_order = _axis_probe_order(ink)
+    scores_by_rot: dict[int, float] = {}
+    results_by_rot: dict[int, tuple] = {}
+    uprights_by_rot: dict[int, np.ndarray] = {}
+    for idx, r in enumerate(probe_order):
         upright = derotate(ink, r)
         res = recognize_page(upright, model)
-        scores.append(res[2])
-        results.append(res)
-        uprights.append(upright)
+        scores_by_rot[r] = res[2]
+        results_by_rot[r] = res
+        uprights_by_rot[r] = upright
         if res[2] >= EARLY_EXIT_SCORE:
             # The one realistic tie is the 180° counterpart (a page of
             # 180-symmetric glyphs scores high both ways).  If the
@@ -75,8 +112,8 @@ def detect_orientation_and_recognize(ink: np.ndarray, model: GlyphModel):
             # recognition; only near-symmetric pages do, and for them we
             # reproduce the full scan's margin-based confidence instead
             # of reporting ~1.0 for an ambiguous page.
-            i2 = ROTATIONS.index((r + 180) % 360)
-            if i2 > idx:
+            r2 = (r + 180) % 360
+            if r2 not in scores_by_rot:
                 # Screen on the ink-BBOX crop (margins shift under
                 # rotation; the glyph block itself is what can be
                 # symmetric): IoU(crop, rot180(crop)) >= 0.98 tolerates
@@ -87,27 +124,33 @@ def detect_orientation_and_recognize(ink: np.ndarray, model: GlyphModel):
                 union = int(np.logical_or(crop, r180).sum())
                 iou = int(np.logical_and(crop, r180).sum()) / union if union else 0.0
                 if iou >= 0.98:
-                    u2 = derotate(ink, ROTATIONS[i2])
+                    u2 = derotate(ink, r2)
                     res2 = recognize_page(u2, model)
                     if res2[2] >= EARLY_EXIT_SCORE:
-                        hi, lo = (idx, i2) if res[2] >= res2[2] else (i2, idx)
+                        # Tie-break: higher score wins; exact tie
+                        # prefers the smaller rotation (full-scan
+                        # semantics).
+                        if res2[2] > res[2] or (res2[2] == res[2] and r2 < r):
+                            win_r, win_res, win_up = r2, res2, u2
+                        else:
+                            win_r, win_res, win_up = r, res, upright
                         margin = abs(float(res[2]) - float(res2[2]))
-                        conf = float(max(res[2], res2[2])) if margin > 0.02 else margin
-                        win_res = res if hi == idx else res2
-                        win_up = upright if hi == idx else u2
-                        return ROTATIONS[hi], conf, win_up, win_res
+                        conf = float(win_res[2]) if margin > 0.02 else margin
+                        return win_r, conf, win_up, win_res
             return r, float(res[2]), upright, res
-    # Full scan: stable sort so ties prefer the smaller rotation.
-    order = np.argsort(-np.asarray(scores), kind="stable")
-    best, second = int(order[0]), int(order[1])
-    if scores[best] <= 0.0:
+    # Full scan over all four rotations.  Ordering is by (-score,
+    # rotation) — ties prefer the smaller rotation — and therefore
+    # independent of the probe order above.
+    ranked = sorted(ROTATIONS, key=lambda rr: (-scores_by_rot[rr], rr))
+    best, second = ranked[0], ranked[1]
+    if scores_by_rot[best] <= 0.0:
         return 0, 0.0, ink, recognize_page(ink, model)
-    margin = scores[best] - scores[second]
+    margin = scores_by_rot[best] - scores_by_rot[second]
     # Clean pages match their templates near-perfectly upright and poorly
     # rotated, so confidence ~= the absolute match quality; ties (margin
     # ~0) are ambiguous.
-    confidence = float(scores[best]) if margin > 0.02 else float(margin)
-    return ROTATIONS[best], confidence, uprights[best], results[best]
+    confidence = float(scores_by_rot[best]) if margin > 0.02 else float(margin)
+    return best, confidence, uprights_by_rot[best], results_by_rot[best]
 
 
 def detect_orientation(

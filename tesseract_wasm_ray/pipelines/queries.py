@@ -553,21 +553,39 @@ def q_boilerplate_strip(sf_dir: str):
 
 
 def q_media_decode(sf_dir: str):
-    """Multimodal decode -> resize plumbing: synthetic media rows recast
-    as (payload, codec) columns, decoded by the actor pool (raw path is
-    real; compressed codecs are stubbed per the driver brief), then
-    resized to 32x32 thumbnails."""
-    from ..stages.multimodal import decode_media, resize_nearest
+    """Multimodal decode -> resize plumbing over REAL container codecs:
+    every gray page is wrapped as a binary PGM (P5) and every RGBA page
+    as an uncompressed 32-bit BMP, then the actor pool decodes the
+    containers from scratch (pure numpy — see stages.multimodal) and
+    resizes to 32x32 thumbnails.  Entropy-coded formats (jpeg/png/webp)
+    remain stubbed per the driver brief."""
+    from ..stages.multimodal import decode_media, encode_bmp, encode_pnm, resize_nearest
 
     paths = corpus_for(sf_dir)
     media = rd.read_parquet(paths["media"])
 
     def as_payload(b: pa.Table) -> pa.Table:
+        from ..functions.arrow_util import single_chunk
+
+        pixels = single_chunk(b.column("pixels"))
+        widths = b.column("width").to_pylist()
+        heights = b.column("height").to_pylist()
+        chans = b.column("channels").to_pylist()
+        payloads, codecs = [], []
+        for i in range(b.num_rows):
+            w, h, c = widths[i], heights[i], chans[i]
+            img = np.frombuffer(pixels[i].as_py(), np.uint8).reshape(h, w, c)
+            if c == 1:
+                payloads.append(encode_pnm(img))
+                codecs.append("pgm")
+            else:
+                payloads.append(encode_bmp(img))
+                codecs.append("bmp")
         return pa.table(
             {
                 "media_ref": b.column("media_ref"),
-                "payload": b.column("pixels"),
-                "codec": pa.array(["raw"] * b.num_rows, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "codec": pa.array(codecs, pa.string()),
                 "width": b.column("width"),
                 "height": b.column("height"),
                 "channels": b.column("channels"),

@@ -3,12 +3,14 @@
 Images/audio/video are carried as Arrow ``binary`` columns with
 (width, height, channels / sample_rate / fps) metadata, processed by
 actor-pool ``map_batches`` stages.  Raw-raster operations (resize,
-feature extraction, frame slicing) are REAL numpy implementations; the
-compressed-codec decode step is STUBBED (no image/audio libs in this
-container — driver brief): it raises ``NotImplementedError`` unless
-``fake="deterministic"``, which produces a seeded synthetic raster so
-the Ray-side plumbing (schema, batch sizing, actor signature, output
-layout) is fully exercised and tested.
+feature extraction, frame slicing) are REAL numpy implementations, and
+so are the BMP (uncompressed 24/32-bit) and binary PNM (P5/P6)
+container decoders — genuine from-scratch codec branches with no image
+libraries.  The entropy-coded codecs (jpeg/png/webp/...) are STUBBED
+(no codec libs in this container — driver brief): they raise
+``NotImplementedError`` unless ``fake="deterministic"``, which produces
+a seeded synthetic raster so the Ray-side plumbing (schema, batch
+sizing, actor signature, output layout) is fully exercised and tested.
 
 Batch sizing: payload rows are wide; callers pass small ``batch_size``
 (default 16 in :func:`decode_media`) so batch × concurrency fits a
@@ -24,7 +26,96 @@ import pyarrow as pa
 from ..functions.arrow_util import single_chunk as _single_chunk
 
 RAW_CODECS = {"raw", "raw-rgba", "raw-gray"}
+# Real pure-numpy container decoders (no image libs needed).
+REAL_CODECS = {"bmp", "pnm", "pgm", "ppm"}
 STUB_CODECS = {"jpeg", "png", "webp", "mp3", "wav", "h264"}
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-numpy decode of an uncompressed (BI_RGB) 24/32-bit BMP ->
+    (H, W, 3|4) uint8 RGB(A).  Rows are 4-byte padded and stored
+    bottom-up (negative height = top-down).  Spec: the public BITMAP
+    FILEHEADER/BITMAPINFOHEADER layout."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    off = int(np.frombuffer(payload, np.uint32, 1, 10)[0])
+    w = int(np.frombuffer(payload, np.int32, 1, 18)[0])
+    h_signed = int(np.frombuffer(payload, np.int32, 1, 22)[0])
+    bpp = int(np.frombuffer(payload, np.uint16, 1, 28)[0])
+    compression = int(np.frombuffer(payload, np.uint32, 1, 30)[0])
+    if compression != 0:
+        raise ValueError(f"only BI_RGB (uncompressed) BMP supported, got {compression}")
+    if bpp not in (24, 32):
+        raise ValueError(f"only 24/32-bit BMP supported, got {bpp}")
+    h = abs(h_signed)
+    c = bpp // 8
+    stride = (w * c + 3) & ~3
+    rows = np.frombuffer(payload, np.uint8, stride * h, off).reshape(h, stride)
+    img = rows[:, : w * c].reshape(h, w, c)
+    if h_signed > 0:
+        img = img[::-1]  # bottom-up storage
+    # BGR(A) -> RGB(A)
+    rgb = img[..., [2, 1, 0]] if c == 3 else img[..., [2, 1, 0, 3]]
+    return np.ascontiguousarray(rgb)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3|4) uint8 RGB(A) -> uncompressed BI_RGB BMP bytes
+    (bottom-up, 4-byte row padding)."""
+    import struct
+
+    h, w, c = img.shape
+    if c not in (3, 4):
+        raise ValueError(f"BMP encode needs 3/4 channels, got {c}")
+    bgr = img[..., [2, 1, 0]] if c == 3 else img[..., [2, 1, 0, 3]]
+    stride = (w * c + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * c] = bgr.reshape(h, w * c)
+    data = rows[::-1].tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, c * 8, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + dib + data
+
+
+def encode_pnm(img: np.ndarray) -> bytes:
+    """(H, W, 1|3) uint8 -> binary PNM (P5 gray / P6 RGB) bytes."""
+    h, w, c = img.shape
+    if c not in (1, 3):
+        raise ValueError(f"PNM encode needs 1/3 channels, got {c}")
+    magic = b"P5" if c == 1 else b"P6"
+    return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """Pure-numpy decode of binary PNM (P5 gray / P6 RGB, maxval <=
+    255) -> (H, W, 1|3) uint8.  Header: magic, whitespace-separated
+    width/height/maxval with '#' comments, one whitespace byte, raster."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"only binary PNM (P5/P6) supported, got {magic!r}")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError(f"only 8-bit PNM supported (maxval {maxval})")
+    c = 1 if magic == b"P5" else 3
+    img = np.frombuffer(payload, np.uint8, w * h * c, pos).reshape(h, w, c)
+    return np.ascontiguousarray(img)
 
 
 
@@ -63,6 +154,20 @@ class MediaDecodeActor:
         for i, codec in enumerate(codecs):
             if codec in RAW_CODECS:
                 out.append(payloads[i].as_py())
+            elif codec in REAL_CODECS:
+                # Genuine container decode (pure numpy) — decoded
+                # dimensions are authoritative over the metadata columns.
+                img = (
+                    decode_bmp(payloads[i].as_py())
+                    if codec == "bmp"
+                    else decode_pnm(payloads[i].as_py())
+                )
+                heights[i], widths[i], channels[i] = (
+                    img.shape[0],
+                    img.shape[1],
+                    img.shape[2],
+                )
+                out.append(img.tobytes())
             elif codec in STUB_CODECS:
                 if self.fake == "deterministic":
                     out.append(

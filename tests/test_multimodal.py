@@ -120,3 +120,78 @@ def test_decode_actor_pool_pipeline(ray_session):
         len(p) == w * h * c
         for p, w, h, c in zip(out["pixels"], out["width"], out["height"], out["channels"])
     )
+
+
+def _build_bmp(img: np.ndarray, bottom_up: bool = True) -> bytes:
+    """Hand-assemble an uncompressed BI_RGB BMP from an (H, W, 3|4) RGB(A)
+    array — independent byte-level writer (struct packing only)."""
+    import struct
+
+    h, w, c = img.shape
+    bgr = img[..., [2, 1, 0]] if c == 3 else img[..., [2, 1, 0, 3]]
+    stride = (w * c + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * c] = bgr.reshape(h, w * c)
+    if bottom_up:
+        rows = rows[::-1]
+    data = rows.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h if bottom_up else -h, 1, c * 8,
+                      0, len(data), 2835, 2835, 0, 0)
+    return header + dib + data
+
+
+def test_decode_bmp_roundtrip():
+    from tesseract_wasm_ray.stages.multimodal import decode_bmp
+
+    rng = np.random.default_rng(7)
+    for c in (3, 4):
+        for w, h in ((5, 3), (4, 2), (7, 1)):  # incl. stride-padding widths
+            img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+            for bottom_up in (True, False):
+                out = decode_bmp(_build_bmp(img, bottom_up))
+                assert out.shape == (h, w, c)
+                assert np.array_equal(out, img), (c, w, h, bottom_up)
+
+
+def test_decode_pnm_roundtrip():
+    from tesseract_wasm_ray.stages.multimodal import decode_pnm
+
+    rng = np.random.default_rng(8)
+    gray = rng.integers(0, 256, (3, 5, 1), dtype=np.uint8)
+    p5 = b"P5\n# a comment\n5 3\n255\n" + gray.tobytes()
+    assert np.array_equal(decode_pnm(p5), gray)
+    rgb = rng.integers(0, 256, (2, 4, 3), dtype=np.uint8)
+    p6 = b"P6 4 2 255\n" + rgb.tobytes()
+    assert np.array_equal(decode_pnm(p6), rgb)
+    with pytest.raises(ValueError):
+        decode_pnm(b"P3\n1 1\n255\n0 0 0")  # ASCII PNM unsupported
+
+
+def test_decode_actor_real_codecs(ray_session):
+    """BMP/PNM payloads flow through the decode actor pool with decoded
+    dims authoritative over metadata."""
+    import ray.data as rd
+
+    from tesseract_wasm_ray.stages.multimodal import decode_media
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    rows = pa.table(
+        {
+            "media_ref": pa.array(["b1", "p1"], pa.string()),
+            "payload": pa.array([_build_bmp(img), b"P6 6 4 255\n" + img.tobytes()], pa.binary()),
+            "codec": pa.array(["bmp", "ppm"], pa.string()),
+            # metadata deliberately wrong: decode must override
+            "width": pa.array([1, 1], pa.int32()),
+            "height": pa.array([1, 1], pa.int32()),
+            "channels": pa.array([1, 1], pa.int32()),
+        }
+    )
+    out = decode_media(rd.from_arrow(rows), concurrency=1, batch_size=4).to_pandas()
+    out = out.set_index("media_ref")
+    for ref in ("b1", "p1"):
+        assert (out.loc[ref, "width"], out.loc[ref, "height"], out.loc[ref, "channels"]) == (6, 4, 3)
+        got = np.frombuffer(out.loc[ref, "pixels"], np.uint8).reshape(4, 6, 3)
+        assert np.array_equal(got, img), ref

@@ -360,20 +360,26 @@ def q_tpch_q1(sf_dir: str):
 
 
 def q_mktsegment_orders(sf_dir: str):
-    """Distributed hash join orders ⋈ customer + rollup by segment."""
+    """Distributed join orders ⋈ customer + rollup by segment, via the
+    engine's bucketed task-shuffle lookup join (joins.bucket_lookup_join:
+    both sides shuffle once on the key hash, no aggregator actors).
+    Ray 2.49's built-in ``Dataset.join`` was used in round 1 and is kept
+    nowhere in the bench path: besides crashing on sparse partitions
+    (see dedup.anti_join_ids) its aggregator actors are bimodally slow
+    (measured 3.3s vs 111-163s on identical input in the same session
+    budget).  Every order key matches a customer (TPC-H FK), so the
+    left-outer lookup equals the inner join."""
+    from .joins import bucket_lookup_join
+
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
     )
     customer = rd.read_parquet(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     )
-    joined = orders.join(
-        customer,
-        join_type="inner",
-        num_partitions=8,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
+    joined = bucket_lookup_join(
+        orders, customer, "o_custkey", "c_custkey", "c_mktsegment", "c_mktsegment",
+        num_buckets=64, num_partitions=16,
     )
     out = (
         joined.groupby("c_mktsegment")
@@ -449,35 +455,27 @@ def q_ocr_boxes(sf_dir: str):
     ds = ocr_media(paths["media"], _extract_cfg(), emit_boxes=True)
 
     def flatten(b: pa.Table) -> pa.Table:
-        rows = []
-        for ref, words in zip(b.column("media_ref").to_pylist(), b.column("words").to_pylist()):
-            for w in words:
-                rows.append(
-                    {
-                        "media_ref": ref,
-                        "text": w["text"],
-                        "left": w["rect"]["left"],
-                        "top": w["rect"]["top"],
-                        "right": w["rect"]["right"],
-                        "bottom": w["rect"]["bottom"],
-                        "flags": w["flags"],
-                        "confidence": round(w["confidence"], 4),
-                    }
-                )
-        return pa.Table.from_pylist(
-            rows,
-            schema=pa.schema(
-                [
-                    ("media_ref", pa.string()),
-                    ("text", pa.string()),
-                    ("left", pa.int32()),
-                    ("top", pa.int32()),
-                    ("right", pa.int32()),
-                    ("bottom", pa.int32()),
-                    ("flags", pa.int32()),
-                    ("confidence", pa.float64()),
-                ]
-            ),
+        # Arrow-native struct-list flatten: list_flatten + parent gather
+        # + struct_field projections — no Python loop over word items.
+        from ..functions.arrow_util import single_chunk
+
+        words = single_chunk(b.column("words"))
+        flat = pc.list_flatten(words)
+        parents = pc.list_parent_indices(words)
+        rect = pc.struct_field(flat, "rect")
+        return pa.table(
+            {
+                "media_ref": pc.take(b.column("media_ref"), parents),
+                "text": pc.struct_field(flat, "text"),
+                "left": pc.struct_field(rect, "left"),
+                "top": pc.struct_field(rect, "top"),
+                "right": pc.struct_field(rect, "right"),
+                "bottom": pc.struct_field(rect, "bottom"),
+                "flags": pc.struct_field(flat, "flags"),
+                "confidence": pc.round(
+                    pc.cast(pc.struct_field(flat, "confidence"), pa.float64()), ndigits=4
+                ),
+            }
         )
 
     return ds.map_batches(flatten, batch_format="pyarrow")

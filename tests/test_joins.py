@@ -1,0 +1,55 @@
+"""bucket_lookup_join: left-outer lookup semantics, tie-breaks,
+key-type coverage, and determinism across partition counts."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _run(left_rows, right_rows, left_key, right_key, value_col, out_col, **kw):
+    import ray.data as rd
+
+    from tesseract_wasm_ray.pipelines.joins import bucket_lookup_join
+
+    left = rd.from_arrow(pa.Table.from_pylist(left_rows))
+    right = rd.from_arrow(pa.Table.from_pylist(right_rows))
+    out = bucket_lookup_join(left, right, left_key, right_key, value_col, out_col, **kw)
+    return out.to_pandas()
+
+
+def test_left_outer_fill_int_keys(ray_session):
+    left = [{"id": i, "payload": f"p{i}"} for i in range(10)]
+    right = [{"k": i, "v": f"text-{i}"} for i in range(0, 10, 2)]  # evens only
+    df = _run(left, right, "id", "k", "v", "joined").set_index("id").sort_index()
+    assert len(df) == 10  # every left row exactly once
+    for i in range(10):
+        expect = f"text-{i}" if i % 2 == 0 else None
+        got = df.loc[i, "joined"]
+        assert (got == expect) or (expect is None and got is None), i
+    assert list(df["payload"]) == [f"p{i}" for i in range(10)]  # columns preserved
+
+
+def test_min_value_tie_break_on_duplicate_right_keys(ray_session):
+    left = [{"id": 1}]
+    right = [{"k": 1, "v": "zebra"}, {"k": 1, "v": "apple"}, {"k": 1, "v": "mango"}]
+    df = _run(left, right, "id", "k", "v", "x")
+    assert df["x"].tolist() == ["apple"]  # deterministic minimum
+
+
+def test_string_keys_and_empty_right(ray_session):
+    left = [{"ref": f"img-{i}"} for i in range(5)]
+    df = _run(left, [{"k": "nope", "v": 1}], "ref", "k", "v", "val")
+    assert len(df) == 5 and df["val"].isna().all()
+
+
+def test_determinism_across_partitioning(ray_session):
+    rng = np.random.default_rng(5)
+    left = [{"id": int(i)} for i in rng.permutation(200)]
+    right = [{"k": int(i), "v": int(i) * 7} for i in range(0, 200, 3)]
+    a = _run(left, right, "id", "k", "v", "v7", num_buckets=8, num_partitions=2)
+    b = _run(left, right, "id", "k", "v", "v7", num_buckets=64, num_partitions=16)
+    a = a.sort_values("id").reset_index(drop=True)
+    b = b.sort_values("id").reset_index(drop=True)
+    assert a.equals(b)
+    hit = a[a["id"] % 3 == 0]
+    assert (hit["v7"] == hit["id"] * 7).all()

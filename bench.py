@@ -250,6 +250,7 @@ def run_scaling(sf_dir: str, cpus_lo: int | None = None, cpus_hi: int | None = N
     lo, hi = results[cpus_lo], results[cpus_hi]
     ratio = cpus_hi / cpus_lo
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
+    spin = _spin_scale(cpus_lo, cpus_hi)
     from tesseract_wasm_ray.pipelines.queries import sf_of
 
     return {
@@ -267,7 +268,41 @@ def run_scaling(sf_dir: str, cpus_lo: int | None = None, cpus_hi: int | None = N
         "wall_sec_lo": lo["wall_sec"],
         "wall_sec_hi": hi["wall_sec"],
         "scaling_efficiency": round(eff, 4),
+        # Host-health control measured in the same window: pure CPU spin
+        # at lo vs hi process counts, normalized so 1.0 = perfectly
+        # linear hardware.  The sandbox host has noisy-neighbor phases
+        # where even a spin loop stops scaling — a sample with
+        # host_spin_health < 0.9 says the HOST, not the pipeline, capped
+        # the hi run, and the sample should be discarded by rule.
+        "host_spin_health": spin,
+        "sample_clean": spin >= 0.9,
     }
+
+
+def _spin_scale(cpus_lo: int, cpus_hi: int, secs: float = 2.0) -> float:
+    """Aggregate spin-loop throughput at hi vs lo process counts,
+    normalized by the ideal ratio (1.0 = linear hardware)."""
+    import multiprocessing as mp
+
+    def spin(q):
+        end = time.monotonic() + secs
+        n = 0
+        while time.monotonic() < end:
+            for _ in range(100_000):
+                n += 1
+        q.put(n)
+
+    def total(k: int) -> int:
+        q: mp.Queue = mp.Queue()
+        ps = [mp.Process(target=spin, args=(q,)) for _ in range(k)]
+        for p in ps:
+            p.start()
+        tot = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        return tot
+
+    return round((total(cpus_hi) / max(total(cpus_lo), 1)) / (cpus_hi / cpus_lo), 3)
 
 
 def run_dedup_scale(num_cpus: int, n_rows: int | None = None) -> dict:

@@ -34,17 +34,38 @@ from ..schema import OCR_RESULT_SCHEMA
 from ..state.glyph_model import GlyphModel
 
 
-def _rect_dict(r) -> dict:
-    return {"left": r.left, "top": r.top, "right": r.right, "bottom": r.bottom}
+def _items_column(groups: list[list]) -> pa.ListArray:
+    """list-of-TextItem-lists -> Arrow list<TextItem struct> column,
+    built column-wise (typed fromiter arrays + StructArray.from_arrays)
+    instead of per-row nested dicts through from_pylist — ~3x cheaper
+    per batch, which matters now that recognition itself is ~1.4 ms/page."""
+    counts = np.fromiter((len(g) for g in groups), np.int64, len(groups))
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    flat = [it for g in groups for it in g]
+    n = len(flat)
 
+    def ints(get) -> pa.Array:
+        return pa.array(np.fromiter((get(it) for it in flat), np.int32, n))
 
-def _item_dict(it) -> dict:
-    return {
-        "rect": _rect_dict(it.rect),
-        "flags": it.flags,
-        "confidence": it.confidence,
-        "text": it.text,
-    }
+    rect = pa.StructArray.from_arrays(
+        [
+            ints(lambda it: it.rect.left),
+            ints(lambda it: it.rect.top),
+            ints(lambda it: it.rect.right),
+            ints(lambda it: it.rect.bottom),
+        ],
+        names=["left", "top", "right", "bottom"],
+    )
+    item = pa.StructArray.from_arrays(
+        [
+            rect,
+            ints(lambda it: it.flags),
+            pa.array(np.fromiter((it.confidence for it in flat), np.float32, n)),
+            pa.array([it.text for it in flat], pa.string()),
+        ],
+        names=["rect", "flags", "confidence", "text"],
+    )
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), item)
 
 
 class OcrActor:
@@ -59,9 +80,15 @@ class OcrActor:
         heights = batch.column("height").to_numpy()
         channels = batch.column("channels").to_numpy()
         pixels = batch.column("pixels")
-        rows = []
+        n = batch.num_rows
+        texts: list[str] = []
+        word_groups: list[list] = []
+        line_groups: list[list] = []
+        rotations = np.empty(n, np.int32)
+        confidences = np.empty(n, np.float32)
+        n_words = np.empty(n, np.int32)
         eng = self.engine
-        for j in range(batch.num_rows):
+        for j in range(n):
             w, h, c = int(widths[j]), int(heights[j]), int(channels[j])
             buf = pixels[j].as_buffer()
             img = np.frombuffer(buf, dtype=np.uint8)
@@ -69,19 +96,27 @@ class OcrActor:
             eng.load_image(img)
             o = eng.orient_and_recognize()  # one pass: orientation + OCR cache
             words = eng.get_text_boxes("word")
-            lines = eng.get_text_boxes("line")
-            text = eng.get_text()
-            rows.append(
-                {
-                    "media_ref": batch.column("media_ref")[j].as_py(),
-                    "text": text,
-                    "words": [_item_dict(x) for x in words] if self.emit_boxes else [],
-                    "lines": [_item_dict(x) for x in lines] if self.emit_boxes else [],
-                    "orientation": o,
-                    "n_words": len([x for x in words if x.text]),
-                }
-            )
-        return pa.Table.from_pylist(rows, schema=OCR_RESULT_SCHEMA)
+            texts.append(eng.get_text())
+            word_groups.append(words if self.emit_boxes else [])
+            line_groups.append(eng.get_text_boxes("line") if self.emit_boxes else [])
+            rotations[j] = o["rotation"]
+            confidences[j] = o["confidence"]
+            n_words[j] = sum(1 for x in words if x.text)
+        orientation = pa.StructArray.from_arrays(
+            [pa.array(rotations), pa.array(confidences)],
+            names=["rotation", "confidence"],
+        )
+        out = pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "text": pa.array(texts, pa.string()),
+                "words": _items_column(word_groups),
+                "lines": _items_column(line_groups),
+                "orientation": orientation,
+                "n_words": pa.array(n_words),
+            }
+        )
+        return out.cast(OCR_RESULT_SCHEMA)
 
 
 def _load_row(eng: OCREngine, batch: pa.Table, j: int) -> None:

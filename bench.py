@@ -93,12 +93,19 @@ def headline(sf_dir: str, num_cpus: int, n_docs: int | None = None) -> dict:
     # the feeding map tasks need free CPUs or the pipeline deadlocks.
     # The default bucket join is task-based (no aggregator actors), so
     # only >=2 CPUs of slack are reserved.
+    # OCR batch size scales with corpus size: per-task driver scheduling
+    # is a SERIAL cost (measured as the F in F + C/n across CPU levels —
+    # it grew 8.5s -> 17s when the corpus went 80k -> 240k docs at fixed
+    # batch 256), so large corpora use fewer, bigger batches.  ~1.5 s of
+    # recognition per 1024-page batch still gives every actor dozens of
+    # batches at the scaling corpus sizes.
+    batch = 256 if (n_docs or 5000) < 100_000 else 1024
     cfg = ExtractConfig(
         # 0.5-cpu actors (half the logical budget); capped at 24 — this
         # host has 16 physical cores and >24 concurrent OCR processes
         # oversubscribe them (throughput regresses past the SMT wall).
         ocr_concurrency=max(2, min(num_cpus, 24)),
-        ocr_batch_size=256,
+        ocr_batch_size=batch,
         num_buckets=max(32, num_cpus * 2),
         join_partitions=max(8, num_cpus // 2),
         coalesce_partitions=max(8, num_cpus // 2),

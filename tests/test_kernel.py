@@ -216,3 +216,29 @@ def test_orientation_ambiguous_symmetric_page_low_confidence():
     img2 = render_page([["HELLO"]], MODEL, scale=2)
     eng2 = make_engine(img2)
     assert eng2.get_orientation()["confidence"] > 0.9
+
+
+def test_axis_probe_order_routes_all_rotations():
+    """The projection axis pre-test must put the true rotation in the
+    first TWO probes for every rotation of every page shape (upright
+    pages in (0,180,..), rotated in (90,270,..)) — a misroute costs two
+    extra recognition passes per page (regression: the first cut of the
+    heuristic misrouted 28% of upright pages)."""
+    from tesseract_wasm_ray.functions.binarize import binarize
+    from tesseract_wasm_ray.functions.orientation import _axis_probe_order
+
+    rng = np.random.default_rng(13)
+    shapes = [
+        [["HELLO"]],                      # single word
+        [["DATA", "RAY"]],                # single line, two words
+        [["PIPELINE", "WORKER"], ["GLYPH"]],
+        [["A"], ["B4"], ["SCAN", "MERGE", "JOIN"]],
+    ]
+    for scale in (1, 2):
+        for lines in shapes:
+            for rot in (0, 90, 180, 270):
+                img = render_page(lines, MODEL, scale=scale,
+                                  noise_rng=np.random.default_rng(3), rotation=rot)
+                ink = binarize(img)
+                order = _axis_probe_order(ink)
+                assert order.index(rot) < 2, (lines, scale, rot, order)

@@ -764,12 +764,16 @@ def ngram_jaccard_dedup(
     pair links it to a smaller id (EXISTS semantics — the DuckDB oracle
     reproduces this as an O(pairs) shingle self-join).
 
-    Scale shape: candidate pair rows are resolved back to their two
-    texts with TWO bucketed task-shuffle joins (joins.bucket_lookup_join)
-    — no driver-side pair materialization, no id->text broadcast dict;
-    the only all-to-alls move (id, text) once per join side plus the
-    tiny pair rows."""
-    from .joins import bucket_lookup_join
+    Scale shape: each candidate pair explodes into two (pair, side, key)
+    rows; ONE bucketed task-shuffle join (joins.bucket_lookup_join)
+    resolves both texts, and a second tiny shuffle regroups the pair
+    rows (bucketed by the pair's member id) for the vectorized exact
+    verify — no driver-side pair materialization, no id->text broadcast
+    dict.  The regroup's first-of-run dedupe also collapses the same
+    pair surfacing from several LSH bands, so no separate pair-dedupe
+    shuffle is needed (EXISTS semantics tolerate duplicates; deduping
+    just avoids repeated verify work)."""
+    from .joins import _bucket_of_array, bucket_lookup_join
 
     band_rows = minhash_band_rows(ds, text_col, id_col, k=64, bands=16, shingle_n=shingle_n)
     screen = threshold * 0.5
@@ -781,44 +785,78 @@ def ngram_jaccard_dedup(
     pairs = candidate_pairs_from_buckets(
         band_rows, "band_key", id_col, verify, num_buckets
     )
-    # Distinct pairs (a pair can surface from several bands): min-id
-    # keep on the composite key.
-    def pair_key(b: pa.Table) -> pa.Table:
-        k = pc.binary_join_element_wise(
-            pc.cast(b.column(id_col), pa.string()),
-            pc.cast(b.column("rep_id"), pa.string()),
-            "\x1f",
-        )
-        return b.append_column("__pk", k).append_column(
-            "__one", pa.array(np.zeros(b.num_rows, np.int8))
-        )
+    id_type = ds.schema().base_schema.field(id_col).type
 
-    pairs = keep_min_by(
-        pairs.map_batches(pair_key, batch_format="pyarrow"), "__pk", "__one",
-        num_buckets=num_buckets,
-    ).drop_columns(["__pk", "__one"])
+    def explode_pairs(b: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("__key", id_type), ("__pid", id_type), ("__prep", id_type),
+             ("__side", pa.int8())]
+        ).empty_table()
+        if b.num_rows == 0 or id_col not in b.column_names:
+            return empty
+        did = _single_chunk(pc.cast(b.column(id_col), id_type))
+        rid = _single_chunk(pc.cast(b.column("rep_id"), id_type))
+        n = len(did)
+        return pa.table(
+            {
+                "__key": pa.concat_arrays([did, rid]),
+                "__pid": pa.concat_arrays([did, did]),
+                "__prep": pa.concat_arrays([rid, rid]),
+                "__side": pa.array(
+                    np.concatenate([np.ones(n, np.int8), np.zeros(n, np.int8)])
+                ),
+            }
+        )
 
     texts = ds.map_batches(
         lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
     )
-    with_rep = bucket_lookup_join(
-        pairs, texts, "rep_id", id_col, text_col, "__text_rep",
-        num_buckets=num_buckets, num_partitions=join_partitions,
-    )
-    with_both = bucket_lookup_join(
-        with_rep, texts, id_col, id_col, text_col, "__text_id",
+    with_text = bucket_lookup_join(
+        pairs.map_batches(explode_pairs, batch_format="pyarrow"),
+        texts, "__key", id_col, text_col, "__t",
         num_buckets=num_buckets, num_partitions=join_partitions,
     )
 
-    def exact_jaccard(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.select([id_col])
-        ta = pc.fill_null(_single_chunk(batch.column("__text_id")), "")
-        tb = pc.fill_null(_single_chunk(batch.column("__text_rep")), "")
+    def add_pair_bucket(b: pa.Table) -> pa.Table:
+        bk = _bucket_of_array(_single_chunk(b.column("__pid")), num_buckets)
+        return b.append_column("__pb", pa.array(bk, pa.int32()))
+
+    def verify_group(group: pa.Table) -> pa.Table:
+        out_schema = pa.schema([(id_col, id_type)])
+        if "__pid" not in group.column_names or group.num_rows == 0:
+            return out_schema.empty_table()
+        t = group.drop_columns(["__pb"]).sort_by(
+            [("__pid", "ascending"), ("__prep", "ascending"), ("__side", "ascending")]
+        )
+        # First-of-run dedupe over (pid, prep, side): the same pair can
+        # arrive once per colliding LSH band.
+        pid = _single_chunk(t.column("__pid"))
+        prep = _single_chunk(t.column("__prep"))
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        new = np.r_[
+            True,
+            pc.not_equal(pid.slice(1), pid.slice(0, len(pid) - 1)).to_numpy(zero_copy_only=False)
+            | pc.not_equal(prep.slice(1), prep.slice(0, len(prep) - 1)).to_numpy(zero_copy_only=False)
+            | (side[1:] != side[:-1]),
+        ]
+        t = t.take(pa.array(np.flatnonzero(new), pa.int64()))
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        # Rows now alternate side0 (rep), side1 (member) per pair.
+        assert t.num_rows % 2 == 0 and (side[0::2] == 0).all() and (side[1::2] == 1).all()
+        texts_col = pc.fill_null(_single_chunk(t.column("__t")), "")
+        ta = texts_col.take(pa.array(np.arange(1, t.num_rows, 2), pa.int64()))
+        tb = texts_col.take(pa.array(np.arange(0, t.num_rows, 2), pa.int64()))
         jac = _pair_jaccard(ta, tb, shingle_n)
-        return batch.filter(pa.array(jac >= threshold)).select([id_col])
+        member_ids = _single_chunk(t.column("__pid")).take(
+            pa.array(np.arange(1, t.num_rows, 2), pa.int64())
+        )
+        return pa.table({id_col: member_ids.filter(pa.array(jac >= threshold))})
 
-    dup_ids = with_both.map_batches(exact_jaccard, batch_format="pyarrow")
+    dup_ids = (
+        with_text.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("__pb", num_partitions=min(join_partitions, 16))
+        .map_groups(verify_group, batch_format="pyarrow")
+    )
     return anti_join_ids(ds, dup_ids, id_col, strategy=anti_strategy)
 
 

@@ -129,9 +129,16 @@ def exact_dedup(
     import hashlib
 
     def add_md5(b: pa.Table) -> pa.Table:
-        texts = _single_chunk(b.column(text_col)).to_pylist()
-        md5s = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
-        return b.append_column("md5", pa.array(md5s, pa.string()))
+        # md5 once per DISTINCT text per batch: on dup-heavy corpora
+        # (the whole point of this operator) the dictionary is much
+        # smaller than the row count.
+        enc = _single_chunk(pc.dictionary_encode(_single_chunk(b.column(text_col))))
+        dist = [
+            hashlib.md5((t or "").encode()).hexdigest()
+            for t in enc.dictionary.to_pylist()
+        ]
+        md5s = pa.DictionaryArray.from_arrays(enc.indices, pa.array(dist, pa.string()))
+        return b.append_column("md5", pc.cast(md5s, pa.string()))
 
     with_md5 = ds.map_batches(add_md5, batch_format="pyarrow")
     return keep_min_by(with_md5, "md5", id_col, num_buckets).drop_columns(["md5"])

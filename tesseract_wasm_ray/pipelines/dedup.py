@@ -822,9 +822,23 @@ def ngram_jaccard_dedup(
         pairs.map_batches(explode_pairs, batch_format="pyarrow"),
         texts, "__key", id_col, text_col, "__t",
         num_buckets=num_buckets, num_partitions=join_partitions,
+        # Explicit schema: with zero candidate pairs Ray has no block to
+        # infer it from.
+        left_schema=pa.schema(
+            [("__key", id_type), ("__pid", id_type), ("__prep", id_type),
+             ("__side", pa.int8())]
+        ),
+        value_type=pa.string(),
     )
 
     def add_pair_bucket(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "__pid" not in b.column_names:
+            # Empty blocks can arrive schema-less (Ray 2.49 quirk).
+            return pa.schema(
+                [("__key", id_type), ("__pid", id_type), ("__prep", id_type),
+                 ("__side", pa.int8()), ("__t", pa.string()),
+                 ("__pb", pa.int32())]
+            ).empty_table()
         bk = _bucket_of_array(_single_chunk(b.column("__pid")), num_buckets)
         return b.append_column("__pb", pa.array(bk, pa.int32()))
 

@@ -54,6 +54,8 @@ def bucket_lookup_join(
     num_buckets: int = 64,
     num_partitions: int = 16,
     coalesce: int = 16,
+    left_schema: pa.Schema | None = None,
+    value_type: pa.DataType | None = None,
 ) -> rd.Dataset:
     """Fill ``out_col`` on every left row with the right side's
     ``value_col`` for the matching key (left outer; min value on
@@ -61,10 +63,16 @@ def bucket_lookup_join(
 
     Movement: both sides shuffle ONCE on the key hash — no driver
     materialization of either side, no broadcast.  Right side should be
-    pruned to (key, value) by the caller."""
-    left_schema = left.schema().base_schema
+    pruned to (key, value) by the caller.
+
+    ``left_schema`` / ``value_type`` override schema inference — needed
+    when a side can be ALL-empty (Ray then has no schema to infer, e.g.
+    a candidate-pair stream with zero candidates)."""
+    if left_schema is None:
+        left_schema = left.schema().base_schema
     key_type = left_schema.field(left_key).type
-    value_type = right.schema().base_schema.field(value_col).type
+    if value_type is None:
+        value_type = right.schema().base_schema.field(value_col).type
     left_names = left_schema.names
 
     def tag_left(b: pa.Table) -> pa.Table:

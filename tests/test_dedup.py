@@ -208,3 +208,18 @@ def test_anti_join_preserves_null_id_rows(ray_session):
         out = anti_join_ids(ds, dups, "doc_id", strategy=strategy).to_pandas()
         assert len(out) == 2, strategy
         assert "null-id survives" in set(out["text"]), strategy
+
+
+def test_ngram_dedup_no_duplicates_corpus(ray_session):
+    """A corpus with zero near-dups must survive intact (exercises the
+    empty-candidate-pair path through the exploded single-join verify —
+    Ray emits schema-less empty blocks there)."""
+    import ray.data as rd
+
+    from tesseract_wasm_ray.pipelines.dedup import ngram_jaccard_dedup
+
+    rng = np.random.default_rng(17)
+    rows = [{"doc_id": i, "text": _text(rng, 30)} for i in range(40)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    kept = ngram_jaccard_dedup(ds, threshold=0.8, num_buckets=8, join_partitions=4)
+    assert kept.count() == 40

@@ -132,7 +132,13 @@ def exact_dedup(
         # md5 once per DISTINCT text per batch: on dup-heavy corpora
         # (the whole point of this operator) the dictionary is much
         # smaller than the row count.
-        enc = _single_chunk(pc.dictionary_encode(_single_chunk(b.column(text_col))))
+        # fill_null BEFORE encoding: dictionary_encode propagates nulls
+        # as null indices (the dictionary never contains them), so a
+        # null text would otherwise become a null md5 key and trip
+        # keep_min_by's non-null key check.  Null text hashes as ''.
+        enc = _single_chunk(
+            pc.dictionary_encode(pc.fill_null(_single_chunk(b.column(text_col)), ""))
+        )
         dist = [
             hashlib.md5((t or "").encode()).hexdigest()
             for t in enc.dictionary.to_pylist()
@@ -149,19 +155,25 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
-# Key-run groups larger than this compare member-vs-min-id-only instead
-# of all-pairs: a giant bucket of near-identical docs (the case that
-# produces big runs) matches its representative anyway, so recall is
-# preserved while the pair count stays O(run) instead of O(run^2).
-PAIR_CAP = 64
+# In-run pair evaluation regimes.  Up to PAIR_CAP the full L*(L-1)/2
+# pair set is materialized at once (one vectorized verify call across
+# all small runs).  Between PAIR_CAP and EXACT_RUN_CAP every pair is
+# STILL evaluated — exactly the EXISTS semantics the SQL oracles use —
+# but in memory-bounded chunks so a 16k-row run never materializes
+# 10^8 index pairs at once.  Only beyond EXACT_RUN_CAP (a run of >16384
+# rows sharing ONE sketch key — essentially identical documents) does
+# the engine degrade to first-vs-rest + adjacent-chain pairs; that
+# divergence window is documented on every dedup entry point and logged
+# loudly when hit.
+PAIR_CAP = 1024
+EXACT_RUN_CAP = 16384
+# Chunked evaluation targets about this many pairs per verify call.
+_PAIR_CHUNK = 4_000_000
 
 
-def _run_pairs(keys: np.ndarray, cap: int = PAIR_CAP) -> tuple[np.ndarray, np.ndarray]:
-    """``keys`` sorted ascending -> (lo_idx, hi_idx): candidate index
-    pairs within each equal-key run.  All pairs for runs <= ``cap``
-    (so removal means "some smaller-id near-dup was found", matching an
-    EXISTS-style oracle); first-vs-rest beyond the cap.  The Python loop
-    is over multi-row runs only (tiny vs the batch)."""
+def _runs(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """``keys`` sorted ascending -> (starts, lens) of equal-key runs
+    with length >= 2 (singleton runs produce no pairs)."""
     n = len(keys)
     if n == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
@@ -169,19 +181,176 @@ def _run_pairs(keys: np.ndarray, cap: int = PAIR_CAP) -> tuple[np.ndarray, np.nd
     starts = np.flatnonzero(new)
     lens = np.diff(np.r_[starts, n])
     multi = lens >= 2
-    lo_list: list[np.ndarray] = []
-    hi_list: list[np.ndarray] = []
-    for s, L in zip(starts[multi], lens[multi]):
-        if L <= cap:
-            a, b = np.triu_indices(int(L), k=1)
-            lo_list.append(s + a)
-            hi_list.append(s + b)
-        else:
-            lo_list.append(np.full(int(L) - 1, s, np.int64))
-            hi_list.append(s + 1 + np.arange(int(L) - 1, dtype=np.int64))
-    if not lo_list:
+    return starts[multi].astype(np.int64), lens[multi].astype(np.int64)
+
+
+def _iter_run_pair_chunks(start: int, L: int):
+    """Yield (lo_idx, hi_idx) absolute-index chunks covering ALL
+    j < i pairs of a run of length ``L`` at ``start``, ~_PAIR_CHUNK
+    pairs per chunk."""
+    step = max(1, _PAIR_CHUNK // max(L, 1))
+    for c0 in range(1, L, step):
+        c1 = min(c0 + step, L)
+        hi_rel = np.arange(c0, c1, dtype=np.int64)
+        j = np.arange(c1 - 1, dtype=np.int64)
+        J, I = np.meshgrid(j, hi_rel)
+        m = J < I
+        yield start + J[m], start + I[m]
+
+
+def _chain_pairs(start: int, L: int) -> tuple[np.ndarray, np.ndarray]:
+    """Degraded candidate set for runs beyond EXACT_RUN_CAP:
+    first-vs-rest plus adjacent-chain — O(L) pairs that keep every
+    member linked to the run representative and its predecessor."""
+    hi = start + 1 + np.arange(L - 1, dtype=np.int64)
+    lo_first = np.full(L - 1, start, np.int64)
+    lo_chain = start + np.arange(L - 1, dtype=np.int64)
+    lo = np.concatenate([lo_first, lo_chain[1:]])
+    hi = np.concatenate([hi, hi[1:]])
+    return lo, hi
+
+
+def _run_dup_rows(t: pa.Table, keys: np.ndarray, verify) -> np.ndarray:
+    """Exact EXISTS dup detection: row i (within an equal-key run,
+    sorted by id) is a duplicate iff ``verify`` links it to SOME
+    smaller-id member of the run.  All pairs are evaluated for runs up
+    to EXACT_RUN_CAP (chunked); see the regime comment above."""
+    starts, lens = _runs(keys)
+    dup_rows: list[np.ndarray] = []
+    small_lo: list[np.ndarray] = []
+    small_hi: list[np.ndarray] = []
+    small_n = 0
+
+    def flush_small():
+        nonlocal small_n
+        if not small_lo:
+            return
+        lo = np.concatenate(small_lo)
+        hi = np.concatenate(small_hi)
+        small_lo.clear()
+        small_hi.clear()
+        small_n = 0
+        ok = verify(t, lo, hi)
+        if ok.any():
+            dup_rows.append(np.unique(hi[ok]))
+
+    for s, L in zip(starts, lens):
+        s, L = int(s), int(L)
+        if L <= PAIR_CAP:
+            a, b = np.triu_indices(L, k=1)
+            small_lo.append(s + a)
+            small_hi.append(s + b)
+            small_n += len(a)
+            if small_n >= _PAIR_CHUNK:
+                flush_small()
+            continue
+        if L <= EXACT_RUN_CAP:
+            for lo, hi in _iter_run_pair_chunks(s, L):
+                ok = verify(t, lo, hi)
+                if ok.any():
+                    dup_rows.append(np.unique(hi[ok]))
+            continue
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dedup: key run of %d rows exceeds EXACT_RUN_CAP=%d; "
+            "degrading to first+chain candidate pairs for this run",
+            L, EXACT_RUN_CAP,
+        )
+        lo, hi = _chain_pairs(s, L)
+        ok = verify(t, lo, hi)
+        if ok.any():
+            dup_rows.append(np.unique(hi[ok]))
+    flush_small()
+    if not dup_rows:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(dup_rows))
+
+
+def _run_verified_pairs(
+    t: pa.Table, keys: np.ndarray, verify
+) -> tuple[np.ndarray, np.ndarray]:
+    """Verified (lo_idx, hi_idx) pairs per equal-key run, for the
+    pair-emitting consumers (connected components, ngram exact verify).
+
+    Runs <= PAIR_CAP emit every verified pair.  Larger runs (up to
+    EXACT_RUN_CAP) still EVALUATE every pair, but emit only a spanning
+    representation — member -> root of its verified-subgraph component
+    within the run (local union-find) — which preserves global
+    connectivity exactly while keeping the output O(run) instead of
+    O(run^2).  Beyond EXACT_RUN_CAP: verified first+chain pairs
+    (logged; see regime comment)."""
+    starts, lens = _runs(keys)
+    lo_out: list[np.ndarray] = []
+    hi_out: list[np.ndarray] = []
+    small_lo: list[np.ndarray] = []
+    small_hi: list[np.ndarray] = []
+    small_n = 0
+
+    def flush_small():
+        nonlocal small_n
+        if not small_lo:
+            return
+        lo = np.concatenate(small_lo)
+        hi = np.concatenate(small_hi)
+        small_lo.clear()
+        small_hi.clear()
+        small_n = 0
+        ok = verify(t, lo, hi)
+        if ok.any():
+            lo_out.append(lo[ok])
+            hi_out.append(hi[ok])
+
+    for s, L in zip(starts, lens):
+        s, L = int(s), int(L)
+        if L <= PAIR_CAP:
+            a, b = np.triu_indices(L, k=1)
+            small_lo.append(s + a)
+            small_hi.append(s + b)
+            small_n += len(a)
+            if small_n >= _PAIR_CHUNK:
+                flush_small()
+            continue
+        if L <= EXACT_RUN_CAP:
+            # Local union-find over verified pairs; roots are the
+            # smallest member of each verified component.
+            parent = np.arange(L, dtype=np.int64)
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for lo, hi in _iter_run_pair_chunks(s, L):
+                ok = verify(t, lo, hi)
+                for a_, b_ in zip((lo[ok] - s), (hi[ok] - s)):
+                    ra, rb = find(int(a_)), find(int(b_))
+                    if ra != rb:
+                        lo_r, hi_r = (ra, rb) if ra < rb else (rb, ra)
+                        parent[hi_r] = lo_r
+            roots = np.array([find(i) for i in range(L)], dtype=np.int64)
+            member = np.flatnonzero(roots != np.arange(L))
+            if len(member):
+                lo_out.append(s + roots[member])
+                hi_out.append(s + member)
+            continue
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dedup pairs: key run of %d rows exceeds EXACT_RUN_CAP=%d; "
+            "degrading to first+chain candidate pairs for this run",
+            L, EXACT_RUN_CAP,
+        )
+        lo, hi = _chain_pairs(s, L)
+        ok = verify(t, lo, hi)
+        if ok.any():
+            lo_out.append(lo[ok])
+            hi_out.append(hi[ok])
+    flush_small()
+    if not lo_out:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    return np.concatenate(lo_list), np.concatenate(hi_list)
+    return np.concatenate(lo_out), np.concatenate(hi_out)
 
 
 def _dup_ids_from_buckets(
@@ -214,11 +383,9 @@ def _dup_ids_from_buckets(
         if n == 0:
             return pa.table({id_col: pa.array([], t.column(id_col).type)})
         keys = t.column(key_col).to_numpy(zero_copy_only=False)
-        lo, hi = _run_pairs(keys)
-        if len(hi) == 0:
+        dup_rows = _run_dup_rows(t, keys, verify)
+        if len(dup_rows) == 0:
             return pa.table({id_col: pa.array([], t.column(id_col).type)})
-        ok = verify(t, lo, hi)
-        dup_rows = np.unique(hi[ok])
         return pa.table({id_col: _single_chunk(t.column(id_col)).take(pa.array(dup_rows, pa.int64()))})
 
     dups = (
@@ -378,7 +545,8 @@ def candidate_pairs_from_buckets(
     num_buckets: int = 64,
 ) -> rd.Dataset:
     """(id, rep_id) candidate pairs with id > rep_id: all index pairs
-    within each equal-key run (_run_pairs, capped), screened by
+    within each equal-key run (_run_verified_pairs — exact EXISTS up to
+    EXACT_RUN_CAP, spanning representation for huge runs), screened by
     ``verify(group_tbl, lo_idx, hi_idx)``.  Shared machinery for
     pair-based clustering (ngram exact verify, connected components)."""
 
@@ -399,15 +567,14 @@ def candidate_pairs_from_buckets(
         )
         if len(keys) == 0:
             return empty
-        lo, hi = _run_pairs(keys)
+        lo, hi = _run_verified_pairs(t, keys, verify)
         if len(hi) == 0:
             return empty
-        ok = verify(t, lo, hi)
         ids = _single_chunk(t.column(id_col))
         return pa.table(
             {
-                id_col: ids.take(pa.array(hi[ok], pa.int64())),
-                "rep_id": ids.take(pa.array(lo[ok], pa.int64())),
+                id_col: ids.take(pa.array(hi, pa.int64())),
+                "rep_id": ids.take(pa.array(lo, pa.int64())),
             }
         )
 
@@ -547,6 +714,7 @@ def _components_distributed(
         bk = _bucket_of_array(_single_chunk(b.column("node")), num_buckets)
         return b.append_column("__b", pa.array(bk, pa.int32()))
 
+    changed = -1
     for _ in range(max_rounds):
         nbr = bucket_lookup_join(
             edges, labels, "v", "node", "label", "cand",
@@ -559,12 +727,28 @@ def _components_distributed(
             ),
             batch_format="pyarrow",
         )
+        # Pointer doubling: label(x) <- label(label(x)).  Labels are
+        # always node ids (they propagate from self-labels), so the
+        # lookup hits; coalesce guards the degenerate empty join.
+        # Halves the remaining chain depth every round, so convergence
+        # is O(log diameter) and max_rounds is effectively unreachable.
+        hop = bucket_lookup_join(
+            labels, labels, "label", "node", "label", "cand",
+            num_buckets=num_buckets, num_partitions=num_partitions,
+        ).map_batches(
+            lambda b: pa.table(
+                {"node": b.column("node"),
+                 "label": pc.coalesce(b.column("cand"), b.column("label")),
+                 "__src": pa.array(np.ones(b.num_rows, np.int8))}
+            ),
+            batch_format="pyarrow",
+        )
         self_rows = labels.map_batches(
             lambda b: b.append_column("__src", pa.array(np.zeros(b.num_rows, np.int8))),
             batch_format="pyarrow",
         )
         merged = (
-            self_rows.union(nbr)
+            self_rows.union(nbr).union(hop)
             .map_batches(add_b, batch_format="pyarrow")
             .repartition(num_partitions)
             .groupby("__b", num_partitions=num_partitions)
@@ -579,6 +763,13 @@ def _components_distributed(
         ).materialize()
         if changed == 0:
             break
+    else:
+        # Silent under-merging would emit a WRONG dup set (components
+        # with diameter > max_rounds stay split) — fail loudly instead.
+        raise RuntimeError(
+            f"cluster_components: min-label propagation did not converge "
+            f"after {max_rounds} rounds ({changed} labels still changing)"
+        )
     dups = labels.map_batches(
         lambda b: b.filter(
             pc.invert(pc.equal(b.column("node"), b.column("label")))
@@ -862,8 +1053,17 @@ def ngram_jaccard_dedup(
         ]
         t = t.take(pa.array(np.flatnonzero(new), pa.int64()))
         side = t.column("__side").to_numpy(zero_copy_only=False)
-        # Rows now alternate side0 (rep), side1 (member) per pair.
-        assert t.num_rows % 2 == 0 and (side[0::2] == 0).all() and (side[1::2] == 1).all()
+        # Rows now alternate side0 (rep), side1 (member) per pair.  An
+        # explicit raise (NOT assert — stripped under ``python -O``): a
+        # violation means a join dropped one side and rep/member texts
+        # would silently misalign, computing Jaccard over wrong pairs.
+        if t.num_rows % 2 != 0 or not (
+            (side[0::2] == 0).all() and (side[1::2] == 1).all()
+        ):
+            raise ValueError(
+                "ngram verify: pair rows lost side-0/side-1 alternation "
+                f"({t.num_rows} rows) — a pair side was dropped upstream"
+            )
         texts_col = pc.fill_null(_single_chunk(t.column("__t")), "")
         ta = texts_col.take(pa.array(np.arange(1, t.num_rows, 2), pa.int64()))
         tb = texts_col.take(pa.array(np.arange(0, t.num_rows, 2), pa.int64()))

@@ -190,36 +190,40 @@ SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM removed)
 
 
 def sql_ngram_jaccard_dedup(threshold: float = 0.8, shingle_n: int = 3) -> str:
-    """Exact word n-gram Jaccard EXISTS dedup: distinct shingle STRINGS
-    stand in for the pipeline's shingle hashes (identical Jaccard barring
-    a 64-bit hash collision).  Short rows (< n tokens) contribute one
-    whole-row shingle; token-less rows none — mirroring
-    sketch.shingle_hashes."""
-    window = " || chr(31) || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(shingle_n))
+    """Exact word n-gram Jaccard dedup with the SAME candidate set as
+    the pipeline: MinHash band collision + a signature-Jaccard screen at
+    ``threshold/2`` (dedup.ngram_jaccard_dedup), then exact
+    shingle-HASH-set Jaccard over those pairs.  Candidate parity matters:
+    an any-shared-shingle oracle would (with small probability) remove a
+    pair whose 64-sample signature estimate dipped below the screen and
+    missed every band — both engines must see identical candidates for a
+    deterministic gate.  Exact up to key runs of dedup.PAIR_CAP rows
+    (beyond that the pipeline emits a spanning candidate subset; see
+    dedup._run_verified_pairs)."""
+    if shingle_n != 3:
+        raise ValueError("oracle mirrors the k=64 MinHash chain at shingle_n=3 only")
+    screen = threshold * 0.5
     return f"""
-WITH {_tok_cte()},
-sh AS (
-    SELECT doc_id, unnest(
-        CASE WHEN len(w) >= {shingle_n}
-             THEN list_transform(range(1, len(w) - {shingle_n - 2}),
-                                 i -> {window})
-             WHEN len(w) > 0 THEN [array_to_string(w, chr(31))]
-             ELSE [] END) AS shingle
-    FROM toks
+WITH {_minhash_sketch_cte(screen)},
+dsh AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM (SELECT doc_id, unnest(sgl) AS shingle FROM sh)
 ),
-dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
 cnt AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
 inter AS (
-    SELECT a.doc_id AS hi, b.doc_id AS lo, count(*) AS i
-    FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND b.doc_id < a.doc_id
+    SELECT v.hi, v.lo, count(*) AS i
+    FROM verified v
+    JOIN dsh a ON a.doc_id = v.hi
+    JOIN dsh b ON b.doc_id = v.lo AND b.shingle = a.shingle
     GROUP BY 1, 2
 ),
 removed AS (
-    SELECT DISTINCT p.hi AS doc_id
-    FROM inter p
-    JOIN cnt ca ON ca.doc_id = p.hi
-    JOIN cnt cb ON cb.doc_id = p.lo
-    WHERE p.i::DOUBLE / (ca.n + cb.n - p.i) >= {threshold}
+    SELECT DISTINCT v.hi AS doc_id
+    FROM verified v
+    JOIN cnt ca ON ca.doc_id = v.hi
+    JOIN cnt cb ON cb.doc_id = v.lo
+    LEFT JOIN inter p ON p.hi = v.hi AND p.lo = v.lo
+    WHERE coalesce(p.i, 0)::DOUBLE / (ca.n + cb.n - coalesce(p.i, 0)) >= {threshold}
 )
 SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM removed)
 """

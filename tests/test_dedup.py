@@ -223,3 +223,97 @@ def test_ngram_dedup_no_duplicates_corpus(ray_session):
     ds = rd.from_arrow(pa.Table.from_pylist(rows))
     kept = ngram_jaccard_dedup(ds, threshold=0.8, num_buckets=8, join_partitions=4)
     assert kept.count() == 40
+
+
+# -- in-run pair machinery (exact EXISTS across all regimes) ---------------
+
+
+def _mod_verify(t, lo, hi):
+    """Toy predicate over a table with a 'val' column: pair verified iff
+    val difference is a multiple of 7 (deliberately non-transitive-ish:
+    links depend on values, not adjacency)."""
+    v = t.column("val").to_numpy(zero_copy_only=False)
+    return (v[hi] - v[lo]) % 7 == 0
+
+
+def _serial_exists(vals, keys):
+    """Reference EXISTS dup mask: row i dup iff some j<i with equal key
+    and verified pair."""
+    n = len(vals)
+    dup = np.zeros(n, bool)
+    for i in range(n):
+        for j in range(i):
+            if keys[j] == keys[i] and (vals[i] - vals[j]) % 7 == 0:
+                dup[i] = True
+                break
+    return dup
+
+
+@pytest.mark.parametrize("run_len", [50, 1500])
+def test_run_dup_rows_matches_serial_exists(run_len):
+    """Small runs (all-pairs) and PAIR_CAP<run<=EXACT_RUN_CAP (chunked
+    exact) must BOTH reproduce serial EXISTS semantics exactly."""
+    from tesseract_wasm_ray.pipelines import dedup as dd
+
+    assert dd.PAIR_CAP < 1500 <= dd.EXACT_RUN_CAP
+    rng = np.random.default_rng(3)
+    keys = np.sort(rng.integers(0, 3, size=run_len))
+    vals = rng.integers(0, 40, size=run_len)
+    order = np.lexsort((vals, keys))
+    keys, vals = keys[order], vals[order]
+    t = pa.table({"val": pa.array(vals, pa.int64())})
+    got = dd._run_dup_rows(t, keys, _mod_verify)
+    want = np.flatnonzero(_serial_exists(vals, keys))
+    assert np.array_equal(got, want)
+
+
+def test_run_verified_pairs_preserves_connectivity():
+    """For a large run the spanning representation must produce the same
+    connected components as the full verified pair set."""
+    from tesseract_wasm_ray.pipelines import dedup as dd
+
+    rng = np.random.default_rng(9)
+    L = 1500
+    keys = np.zeros(L, np.int64)
+    vals = np.sort(rng.integers(0, 200, size=L))
+    t = pa.table({"val": pa.array(vals, pa.int64())})
+    lo, hi = dd._run_verified_pairs(t, keys, _mod_verify)
+    # union-find over emitted pairs
+    parent = list(range(L))
+
+    def find(p, x):
+        while p[x] != x:
+            p[x] = p[p[x]]
+            x = p[x]
+        return x
+
+    for a, b in zip(lo, hi):
+        ra, rb = find(parent, int(a)), find(parent, int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    got_roots = np.array([find(parent, i) for i in range(L)])
+    # serial full-pair union-find
+    parent2 = list(range(L))
+    for i in range(L):
+        for j in range(i):
+            if (vals[i] - vals[j]) % 7 == 0:
+                ra, rb = find(parent2, j), find(parent2, i)
+                if ra != rb:
+                    parent2[max(ra, rb)] = min(ra, rb)
+    want_roots = np.array([find(parent2, i) for i in range(L)])
+    assert np.array_equal(got_roots, want_roots)
+
+
+def test_chain_fallback_beyond_exact_cap(monkeypatch):
+    """Runs beyond EXACT_RUN_CAP degrade to first+chain pairs: every
+    member still links to the run min and its predecessor."""
+    from tesseract_wasm_ray.pipelines import dedup as dd
+
+    monkeypatch.setattr(dd, "EXACT_RUN_CAP", 100)
+    monkeypatch.setattr(dd, "PAIR_CAP", 10)
+    L = 200
+    keys = np.zeros(L, np.int64)
+    vals = np.arange(L, dtype=np.int64) * 7  # every pair verifies
+    t = pa.table({"val": pa.array(vals, pa.int64())})
+    got = dd._run_dup_rows(t, keys, _mod_verify)
+    assert np.array_equal(got, np.arange(1, L))

@@ -213,18 +213,70 @@ def ivf_topk(
     return partials.sort(["cos_sim", id_col], descending=[True, False]).limit(k)
 
 
+def _topk_rows(
+    sims: np.ndarray,
+    my_ids: np.ndarray,
+    nbr_ids: np.ndarray,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized per-row top-k with self-exclusion and deterministic
+    (sim desc, neighbor id asc) tie-break.  ``sims`` is (q, N) against
+    neighbor ids ``nbr_ids``; a neighbor equal to the row's own id is
+    excluded.  Returns flat (query_idx, neighbor_idx, sim)."""
+    q, N = sims.shape
+    if q == 0 or N == 0:
+        return (np.empty(0, np.int64),) * 2 + (np.empty(0, np.float64),)
+    kk = min(k + 1, N)
+    top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk] if kk < N else (
+        np.broadcast_to(np.arange(N), (q, N)).copy()
+    )
+    s_top = np.take_along_axis(sims, top, axis=1)
+    nbr = nbr_ids[top]
+    self_mask = nbr == my_ids[:, None]
+    s_top = np.where(self_mask, -np.inf, s_top)
+    # Per-row (sim desc, neighbor asc): lexsort's last key is primary.
+    order = np.lexsort((nbr, -s_top), axis=1)
+    s_ord = np.take_along_axis(s_top, order, axis=1)
+    valid = kk - self_mask.sum(axis=1)  # self appears at most once
+    col = np.arange(kk)
+    keep = col[None, :] < np.minimum(valid, k)[:, None]
+    rows = np.broadcast_to(np.arange(q)[:, None], (q, kk))[keep]
+    picked = np.take_along_axis(top, order, axis=1)[keep]
+    return rows, picked, s_ord[keep]
+
+
 def knn_self_join(
     ds: rd.Dataset,
     k: int = 5,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     max_rows_broadcast: int = 100_000,
+    strategy: str = "auto",
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    num_partitions: int = 16,
 ) -> rd.Dataset:
-    """All-pairs k-NN (small-side broadcast strategy): the (id, unit
-    vector) matrix is materialized ONCE into the object store and each
-    batch matmuls against it.  Correct while the index side fits the
-    object store (guarded); at larger scale use IVF cells as the join
-    key instead."""
+    """All-pairs k-NN over the corpus itself.
+
+    - ``broadcast`` (exact): the (id, unit vector) matrix is
+      materialized ONCE into the object store and each batch matmuls
+      against it.  Right while the index fits a worker heap.
+    - ``cells`` (distributed, IVF-partitioned): no broadcast, no
+      driver materialization — see :func:`knn_self_join_cells`.
+      Approximate with the standard IVF recall semantics (exact when
+      ``nprobe == n_centroids``).
+    - ``auto`` (default): one metadata ``count()``; broadcast up to
+      ``max_rows_broadcast`` rows, cells beyond."""
+    if strategy == "auto":
+        strategy = "broadcast" if ds.count() <= max_rows_broadcast else "cells"
+    if strategy == "cells":
+        return knn_self_join_cells(
+            ds, k, emb_col, id_col,
+            n_centroids=n_centroids, nprobe=nprobe,
+            num_partitions=num_partitions,
+        )
+    if strategy != "broadcast":
+        raise ValueError(f"unknown knn strategy {strategy!r}")
     index_rows = []
     total = 0
     for b in ds.map_batches(
@@ -235,7 +287,8 @@ def knn_self_join(
         total += b.num_rows
         if total > max_rows_broadcast:
             raise ValueError(
-                f"index side exceeds {max_rows_broadcast} rows; use IVF partitioning"
+                f"index side exceeds {max_rows_broadcast} rows; "
+                f"use strategy='cells' (IVF-partitioned)"
             )
         index_rows.append(b)
     index = pa.concat_tables(index_rows)
@@ -248,25 +301,162 @@ def knn_self_join(
         m = _unit(_matrix(batch, emb_col))
         sims = m @ m_all.T  # (b, N)
         my_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        out_src, out_nbr, out_sim = [], [], []
-        kk = min(k + 1, sims.shape[1])
-        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        for i in range(len(my_ids)):
-            cand = top[i][ids_all[top[i]] != my_ids[i]][:k]
-            order = np.argsort(-sims[i][cand], kind="stable")
-            cand = cand[order]
-            out_src.extend([my_ids[i]] * len(cand))
-            out_nbr.extend(ids_all[cand].tolist())
-            out_sim.extend(sims[i][cand].tolist())
+        rows, picked, sim = _topk_rows(sims, my_ids, ids_all, k)
         return pa.table(
             {
-                id_col: pa.array(out_src, batch.column(id_col).type),
-                "neighbor_id": pa.array(out_nbr, batch.column(id_col).type),
-                "cos_sim": pa.array(out_sim, pa.float64()),
+                id_col: pa.array(my_ids[rows], batch.column(id_col).type),
+                "neighbor_id": pa.array(ids_all[picked], batch.column(id_col).type),
+                "cos_sim": pa.array(sim, pa.float64()),
             }
         )
 
     return ds.map_batches(nn, batch_format="pyarrow")
+
+
+def knn_self_join_cells(
+    ds: rd.Dataset,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    centroids: np.ndarray | None = None,
+    num_partitions: int = 16,
+    query_chunk: int = 4096,
+) -> rd.Dataset:
+    """Distributed all-pairs k-NN via IVF cell co-partitioning — the
+    100 TB shape: NO broadcast index, NO driver-side materialization.
+
+    Plan: fit coarse centroids on a bounded unbiased sample
+    (:func:`fit_centroids`); each row enters ONE shuffle keyed by cell —
+    once as INDEX in its primary (nearest-centroid) cell and ``nprobe``
+    times as QUERY in its nearest cells.  Per cell group, queries
+    matmul against the cell's index vectors (chunked to bound memory on
+    hot cells) and emit per-query partial top-k (id, neighbor_id,
+    cos_sim).  A neighbor lives in exactly one primary cell, so each
+    (query, neighbor) pair is scored at most once — the second,
+    sketch-sized shuffle (bucket by query id) just merges partials to
+    the global top-k.
+
+    Recall: a true neighbor is missed iff its primary cell is outside
+    the query's ``nprobe`` probes — standard IVF semantics; ``nprobe ==
+    n_centroids`` is exact.  Partitioning assumption: k-means cells are
+    roughly balanced; a pathologically hot cell degrades to a large
+    (chunked) per-cell matmul, not a failure."""
+    if centroids is None:
+        centroids = fit_centroids(ds, n_centroids, emb_col)
+    nprobe = min(nprobe, len(centroids))
+    cent_ref = ray.put(centroids)
+    id_type = ds.schema().base_schema.field(id_col).type
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        m = _unit(_matrix(batch, emb_col))
+        n = m.shape[0]
+        if n == 0:
+            return pa.table(
+                {"__cell": pa.array([], pa.int32()),
+                 "__side": pa.array([], pa.int8()),
+                 id_col: pa.array([], id_type),
+                 "u": pa.array([], pa.list_(pa.float64()))}
+            )
+        cent = ray.get(cent_ref)
+        aff = m @ cent.T  # (n, C)
+        # nprobe nearest cells, nearest first; column 0 is the primary.
+        probes = np.argsort(-aff, axis=1, kind="stable")[:, :nprobe]
+        reps = nprobe + 1
+        cells = np.concatenate([probes[:, :1], probes], axis=1)  # (n, 1+nprobe)
+        sides = np.concatenate(
+            [np.zeros((n, 1), np.int8), np.ones((n, nprobe), np.int8)], axis=1
+        )
+        row_idx = np.repeat(np.arange(n), reps)
+        u_rep = m[row_idx]
+        dim = m.shape[1]
+        # Plain list<double> (not fixed-size): the zero-row branch has no
+        # dim to declare, and blocks must agree on schema exactly.
+        offsets = pa.array(
+            np.arange(0, (len(u_rep) + 1) * dim, dim, dtype=np.int64), pa.int64()
+        )
+        u_arr = pa.LargeListArray.from_arrays(
+            offsets, pa.array(u_rep.ravel(), pa.float64())
+        ).cast(pa.list_(pa.float64()))
+        return pa.table(
+            {
+                "__cell": pa.array(cells.ravel().astype(np.int32), pa.int32()),
+                "__side": pa.array(sides.ravel(), pa.int8()),
+                id_col: _single_chunk(batch.column(id_col)).take(
+                    pa.array(row_idx, pa.int64())
+                ),
+                "u": u_arr,
+            }
+        )
+
+    out_schema = pa.schema(
+        [(id_col, id_type), ("neighbor_id", id_type), ("cos_sim", pa.float64())]
+    )
+
+    def cell_knn(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "__side" not in group.column_names:
+            return out_schema.empty_table()
+        t = group
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        m = _matrix(t, "u")
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        is_idx = side == 0
+        idx_ids, idx_m = ids[is_idx], m[is_idx]
+        q_ids, q_m = ids[~is_idx], m[~is_idx]
+        if len(idx_ids) == 0 or len(q_ids) == 0:
+            return out_schema.empty_table()
+        outs = []
+        for c0 in range(0, len(q_ids), query_chunk):
+            c1 = min(c0 + query_chunk, len(q_ids))
+            sims = q_m[c0:c1] @ idx_m.T
+            rows, picked, sim = _topk_rows(sims, q_ids[c0:c1], idx_ids, k)
+            outs.append(
+                pa.table(
+                    {
+                        id_col: pa.array(q_ids[c0:c1][rows], id_type),
+                        "neighbor_id": pa.array(idx_ids[picked], id_type),
+                        "cos_sim": pa.array(sim, pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    partials = (
+        ds.map_batches(fan_out, batch_format="pyarrow")
+        .groupby("__cell", num_partitions=min(n_centroids, 32))
+        .map_groups(cell_knn, batch_format="pyarrow")
+    )
+
+    def add_qbucket(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or id_col not in b.column_names:
+            return out_schema.append(pa.field("__qb", pa.int32())).empty_table()
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            mixed = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        return b.append_column(
+            "__qb", pa.array((mixed % np.uint64(num_partitions)).astype(np.int32), pa.int32())
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or id_col not in group.column_names:
+            return out_schema.empty_table()
+        t = group.drop_columns(["__qb"]).sort_by(
+            [(id_col, "ascending"), ("cos_sim", "descending"),
+             ("neighbor_id", "ascending")]
+        )
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        new = np.r_[True, ids[1:] != ids[:-1]]
+        starts = np.flatnonzero(new)
+        run_of = np.cumsum(new) - 1
+        rank = np.arange(len(ids)) - starts[run_of]
+        return t.filter(pa.array(rank < k))
+
+    return (
+        partials.map_batches(add_qbucket, batch_format="pyarrow")
+        .groupby("__qb", num_partitions=num_partitions)
+        .map_groups(merge_topk, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -80,3 +80,61 @@ def test_ivf_index_on_disk(emb_ds, tmp_path):
     assert len(pruned & set(exact_ids.tolist())) >= 5  # pruned recall
     import os
     assert os.path.exists(os.path.join(idx, "centroids.npy"))
+
+
+def test_knn_cells_exact_with_full_probe(emb_ds):
+    """Distributed IVF-cell kNN with nprobe == n_centroids must equal
+    the exact broadcast result row for row (no broadcast, no driver
+    index materialization)."""
+    from tesseract_wasm_ray.pipelines.similarity import (
+        knn_self_join,
+        knn_self_join_cells,
+    )
+
+    ds, _ = emb_ds
+    exact = (
+        knn_self_join(ds, k=3, strategy="broadcast")
+        .to_pandas()
+        .sort_values(["vec_id", "cos_sim", "neighbor_id"],
+                     ascending=[True, False, True], ignore_index=True)
+    )
+    cells = (
+        knn_self_join_cells(ds, k=3, n_centroids=8, nprobe=8)
+        .to_pandas()
+        .sort_values(["vec_id", "cos_sim", "neighbor_id"],
+                     ascending=[True, False, True], ignore_index=True)
+    )
+    assert exact["vec_id"].tolist() == cells["vec_id"].tolist()
+    assert exact["neighbor_id"].tolist() == cells["neighbor_id"].tolist()
+    np.testing.assert_allclose(
+        exact["cos_sim"].to_numpy(), cells["cos_sim"].to_numpy(), atol=1e-12
+    )
+
+
+def test_knn_cells_pruned_recall(emb_ds):
+    """nprobe < n_centroids prunes work; neighbor-set recall vs the
+    exact join must stay high on this well-spread corpus."""
+    from tesseract_wasm_ray.pipelines.similarity import (
+        knn_self_join,
+        knn_self_join_cells,
+    )
+
+    ds, _ = emb_ds
+    exact = knn_self_join(ds, k=3, strategy="broadcast").to_pandas()
+    pruned = knn_self_join_cells(ds, k=3, n_centroids=8, nprobe=4).to_pandas()
+    want = set(map(tuple, exact[["vec_id", "neighbor_id"]].to_numpy()))
+    got = set(map(tuple, pruned[["vec_id", "neighbor_id"]].to_numpy()))
+    assert len(got & want) / len(want) >= 0.7
+
+
+def test_knn_auto_switches_to_cells(emb_ds):
+    """auto strategy must route large inputs to the cells path instead
+    of raising the broadcast guard."""
+    from tesseract_wasm_ray.pipelines.similarity import knn_self_join
+
+    ds, _ = emb_ds
+    out = knn_self_join(
+        ds, k=2, max_rows_broadcast=50, n_centroids=4, nprobe=4
+    ).to_pandas()
+    # 300 rows > 50 -> cells path; full probe -> complete result.
+    assert len(out) == 300 * 2

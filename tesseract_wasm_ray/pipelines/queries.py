@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 import os
 import re
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -551,13 +552,20 @@ def q_boilerplate_strip(sf_dir: str):
 
 
 def q_media_decode(sf_dir: str):
-    """Multimodal decode -> resize plumbing over REAL container codecs:
-    every gray page is wrapped as a binary PGM (P5) and every RGBA page
-    as an uncompressed 32-bit BMP, then the actor pool decodes the
-    containers from scratch (pure numpy — see stages.multimodal) and
-    resizes to 32x32 thumbnails.  Entropy-coded formats (jpeg/png/webp)
-    remain stubbed per the driver brief."""
-    from ..stages.multimodal import decode_media, encode_bmp, encode_pnm, resize_nearest
+    """Multimodal decode -> resize plumbing over REAL codecs: every
+    third page (stable crc32 of its ref) is wrapped as a COMPRESSED
+    PNG (from-scratch codec on stdlib zlib), the remaining gray pages
+    as binary PGM (P5) and RGBA pages as uncompressed 32-bit BMP; the
+    actor pool then decodes all three from scratch (pure numpy — see
+    stages.multimodal) and resizes to 32x32 thumbnails.  jpeg/webp
+    remain stubbed per the driver brief (no codec libs here)."""
+    from ..stages.multimodal import (
+        decode_media,
+        encode_bmp,
+        encode_png,
+        encode_pnm,
+        resize_nearest,
+    )
 
     paths = corpus_for(sf_dir)
     media = rd.read_parquet(paths["media"])
@@ -570,10 +578,14 @@ def q_media_decode(sf_dir: str):
         heights = b.column("height").to_pylist()
         chans = b.column("channels").to_pylist()
         payloads, codecs = [], []
+        refs = single_chunk(b.column("media_ref")).to_pylist()
         for i in range(b.num_rows):
             w, h, c = widths[i], heights[i], chans[i]
             img = np.frombuffer(pixels[i].as_py(), np.uint8).reshape(h, w, c)
-            if c == 1:
+            if zlib.crc32(refs[i].encode()) % 3 == 0:
+                payloads.append(encode_png(img))
+                codecs.append("png")
+            elif c == 1:
                 payloads.append(encode_pnm(img))
                 codecs.append("pgm")
             else:

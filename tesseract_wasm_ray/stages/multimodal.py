@@ -5,8 +5,9 @@ Images/audio/video are carried as Arrow ``binary`` columns with
 actor-pool ``map_batches`` stages.  Raw-raster operations (resize,
 feature extraction, frame slicing) are REAL numpy implementations, and
 so are the BMP (uncompressed 24/32-bit) and binary PNM (P5/P6)
-container decoders — genuine from-scratch codec branches with no image
-libraries.  The entropy-coded codecs (jpeg/png/webp/...) are STUBBED
+container decoders and the PNG codec (chunk parse + stdlib-zlib
+inflate + per-row unfilter — a real compressed format, from scratch).
+The remaining entropy-coded codecs (jpeg/webp/...) are STUBBED
 (no codec libs in this container — driver brief): they raise
 ``NotImplementedError`` unless ``fake="deterministic"``, which produces
 a seeded synthetic raster so the Ray-side plumbing (schema, batch
@@ -26,9 +27,11 @@ import pyarrow as pa
 from ..functions.arrow_util import single_chunk as _single_chunk
 
 RAW_CODECS = {"raw", "raw-rgba", "raw-gray"}
-# Real pure-numpy container decoders (no image libs needed).
-REAL_CODECS = {"bmp", "pnm", "pgm", "ppm"}
-STUB_CODECS = {"jpeg", "png", "webp", "mp3", "wav", "h264"}
+# Real pure-numpy container decoders (no image libs needed).  PNG is a
+# genuinely COMPRESSED codec implemented from scratch on stdlib zlib
+# (chunk parse + inflate + per-row unfilter) — see decode_png.
+REAL_CODECS = {"bmp", "pnm", "pgm", "ppm", "png"}
+STUB_CODECS = {"jpeg", "webp", "mp3", "wav", "h264"}
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
@@ -121,6 +124,130 @@ def decode_pnm(payload: bytes) -> np.ndarray:
 
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """From-scratch PNG decode on stdlib ``zlib`` only — a REAL
+    entropy-coded codec branch (the reference delegates this to sharp /
+    createImageBitmap, examples/node-cli/ocr.js:10-18, src/utils.ts:4-21;
+    public spec: RFC 2083 / ISO 15948).
+
+    Supported: 8-bit gray / gray+alpha / RGB / RGBA / palette,
+    non-interlaced, all five row filters (None/Sub/Up/Average/Paeth),
+    chunk CRC validation.  -> (H, W, C) uint8.  Sub rows reconstruct as
+    a vectorized per-lane cumsum; Up is a vectorized add; only
+    Average/Paeth rows (left+up recurrences) loop over pixels."""
+    import struct
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload (missing signature)")
+    pos = 8
+    ihdr = b""
+    plte = b""
+    idat: list[bytes] = []
+    while pos + 12 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        crc = int.from_bytes(payload[pos + 8 + ln : pos + 12 + ln], "big")
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if not ihdr or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunks")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (depth {depth})")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7 interlaced PNG unsupported")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color}")
+    nch = _PNG_CHANNELS[color]
+    stride = w * nch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    rows = arr[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        f = int(ftypes[y])
+        row = rows[y]
+        if f == 0:  # None
+            rec = row
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp] == lane cumsum
+            rec = (np.cumsum(row.reshape(w, nch), axis=0) % 256).reshape(stride)
+        elif f == 2:  # Up
+            rec = (row + prev) % 256
+        elif f == 3:  # Average
+            rec = np.empty(stride, np.int64)
+            for x in range(stride):
+                left = rec[x - nch] if x >= nch else 0
+                rec[x] = (row[x] + (left + prev[x]) // 2) % 256
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, np.int64)
+            for x in range(stride):
+                a = rec[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                rec[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG row filter {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    img = out.reshape(h, w, nch)
+    if color == 3:  # indexed: expand through the palette
+        if len(plte) < 3:
+            raise ValueError("indexed PNG without PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        img = pal[img[:, :, 0]]
+    return np.ascontiguousarray(img)
+
+
+def encode_png(img: np.ndarray, level: int = 6) -> bytes:
+    """(H, W, 1|2|3|4) uint8 -> PNG bytes (8-bit, non-interlaced,
+    filter-None rows, zlib-compressed IDAT)."""
+    import struct
+
+    h, w, c = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
+    if color is None:
+        raise ValueError(f"PNG encode needs 1/2/3/4 channels, got {c}")
+    body = img.reshape(h, w * c)
+    raw = np.zeros((h, w * c + 1), np.uint8)
+    raw[:, 1:] = body
+    idat = zlib.compress(raw.tobytes(), level)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
 def _fake_raster(ref: str, width: int, height: int, channels: int) -> np.ndarray:
     """Deterministic stand-in decode: seeded gradient + noise raster."""
     rng = np.random.default_rng(zlib.crc32(ref.encode()))
@@ -155,13 +282,15 @@ class MediaDecodeActor:
             if codec in RAW_CODECS:
                 out.append(payloads[i].as_py())
             elif codec in REAL_CODECS:
-                # Genuine container decode (pure numpy) — decoded
-                # dimensions are authoritative over the metadata columns.
-                img = (
-                    decode_bmp(payloads[i].as_py())
-                    if codec == "bmp"
-                    else decode_pnm(payloads[i].as_py())
-                )
+                # Genuine codec decode (pure numpy + stdlib zlib) —
+                # decoded dimensions are authoritative over the metadata
+                # columns.
+                if codec == "bmp":
+                    img = decode_bmp(payloads[i].as_py())
+                elif codec == "png":
+                    img = decode_png(payloads[i].as_py())
+                else:
+                    img = decode_pnm(payloads[i].as_py())
                 heights[i], widths[i], channels[i] = (
                     img.shape[0],
                     img.shape[1],

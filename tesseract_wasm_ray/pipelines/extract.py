@@ -66,9 +66,11 @@ class ExtractConfig:
     coalesce_partitions: int = 16
     # Resume: media pages of completed buckets are pruned BEFORE the OCR
     # pool via a broadcast set of still-needed media_refs, bounded by
-    # this cap (a near-complete resume has few refs; an early-crash
-    # resume may exceed it, in which case only the stitch/write work is
-    # skipped and OCR re-runs — correct, just less cheap).
+    # this cap (a near-complete resume has few refs).  An early-crash
+    # resume exceeding the cap switches to a bucketed SEMI join of the
+    # media table against the needed-ref stream — same pruning, one
+    # extra shuffle of the (not-yet-OCR'd) media payloads, no driver
+    # set, no re-OCR of completed buckets.
     max_resume_refs: int = 5_000_000
     emit_boxes: bool = False
     model_blob: bytes = field(default_factory=lambda: GlyphModel.build().to_bytes(), repr=False)
@@ -85,12 +87,16 @@ def ocr_media(
     cfg: ExtractConfig,
     emit_boxes: bool | None = None,
     ref_filter=None,
+    ref_filter_ds: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """media table -> per-page OCR results (actor-pool stage).
 
     ``ref_filter``: optional ``ray.ObjectRef`` of a pa.Array of
     media_refs still needed (resume pruning) — rows outside it never
-    reach the recognition pool."""
+    reach the recognition pool.  ``ref_filter_ds``: the same pruning as
+    a DATASET of needed refs, applied via a bucketed semi join (one
+    shuffle of the media table) — the scale path when the ref set is
+    too large to broadcast."""
     media = read_media(media_path)
     if ref_filter is not None:
         import pyarrow.compute as _pc
@@ -101,6 +107,14 @@ def ocr_media(
             )
 
         media = media.map_batches(keep_needed, batch_format="pyarrow")
+    elif ref_filter_ds is not None:
+        from .joins import bucket_semi_filter
+
+        media = bucket_semi_filter(
+            media, ref_filter_ds, "media_ref",
+            num_buckets=cfg.join_partitions * 4,
+            num_partitions=cfg.join_partitions,
+        )
     return media.map_batches(
         OcrActor,
         fn_constructor_kwargs={
@@ -230,18 +244,19 @@ def _span_rows(
         rows = prune_done(explode_spans(batch))
         kind = rows.column("kind")
         is_text = pc.equal(kind, "text").to_numpy(zero_copy_only=False)
-        texts = rows.column("text").to_pylist()
         from ..functions.boilerplate import strip_boilerplate
 
-        stripped = pa.array(
-            [
-                strip_boilerplate(t or "") if is_text[i] else (t or "")
-                for i, t in enumerate(texts)
-            ],
-            pa.string(),
-        )
+        # Slice to TEXT rows before the (inherently Python) stripper:
+        # media placeholder rows never cross the Arrow->Python boundary,
+        # and the scatter-back is one replace_with_mask kernel.
+        text_col = pc.fill_null(rows.column("text").combine_chunks(), "")
+        idx = np.flatnonzero(is_text)
+        if len(idx):
+            sliced = text_col.take(pa.array(idx, pa.int64())).to_pylist()
+            repl = pa.array([strip_boilerplate(t) for t in sliced], pa.string())
+            text_col = pc.replace_with_mask(text_col, pa.array(is_text), repl)
         i = rows.schema.get_field_index("text")
-        rows = rows.set_column(i, "text", stripped)
+        rows = rows.set_column(i, "text", text_col)
         # Bucket: media rows by media_ref (co-locate with __ocr rows),
         # text rows by doc_id (even spread; they only pass through).
         # crc32 runs once per DISTINCT key (dictionary-encoded): doc_ids
@@ -317,6 +332,7 @@ def _span_rows(
     )
 
     ref_filter = None
+    ref_filter_ds = None
     if skip_buckets:
         # Collect the still-needed media_refs (one lightweight pass over
         # the docs table — cheap next to the OCR it saves) and broadcast
@@ -337,9 +353,19 @@ def _span_rows(
                 break
         if not too_many:
             ref_filter = ray.put(pa.array(sorted(refs), pa.string()))
+        else:
+            # Scale path (early-crash resume on a huge corpus): the
+            # needed-ref set exceeds the broadcast cap, so prune via a
+            # bucketed SEMI join — media payloads shuffle once against
+            # the sketch-sized needed-ref stream instead of the whole
+            # completed portion re-paying the OCR pool.  ``probe`` is a
+            # lazy plan; re-executing it re-reads the (pruned) docs
+            # table, which is cheap next to recognition.
+            ref_filter_ds = probe
 
     ocr_rows = ocr_media(
-        media_path, cfg, emit_boxes=False, ref_filter=ref_filter
+        media_path, cfg, emit_boxes=False, ref_filter=ref_filter,
+        ref_filter_ds=ref_filter_ds,
     ).map_batches(
         lambda b: pad_ocr(b.select(["media_ref", "text"])), batch_format="pyarrow"
     )

@@ -153,3 +153,66 @@ def bucket_lookup_join(
     return both.groupby("__jb", num_partitions=num_partitions).map_groups(
         fill, batch_format="pyarrow"
     )
+
+
+def bucket_semi_filter(
+    ds: rd.Dataset,
+    keys: rd.Dataset,
+    key_col: str,
+    num_buckets: int = 64,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """SEMI join as a filter: keep ``ds`` rows whose ``key_col`` value
+    appears in ``keys`` (a Dataset carrying ``key_col``; duplicates
+    fine).  Both sides shuffle ONCE on the key hash — payload rows move
+    exactly once, the key side is sketch-sized — so this scales where a
+    driver-collected broadcast set does not.  Null keys never match.
+    Schema-robust to Ray 2.49's schema-less empty partitions."""
+    schema = ds.schema().base_schema
+    key_type = schema.field(key_col).type
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        return b.append_column("__m", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def pad_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows if key_col in b.column_names else 0
+        cols = {}
+        for f in schema:
+            if f.name == key_col and n:
+                cols[f.name] = pc.cast(_single_chunk(b.column(key_col)), f.type)
+            else:
+                cols[f.name] = pa.nulls(n, f.type)
+        return pa.table(cols).append_column(
+            "__m", pa.array(np.ones(n, np.int8))
+        )
+
+    both = ds.map_batches(tag_left, batch_format="pyarrow").union(
+        keys.map_batches(pad_right, batch_format="pyarrow")
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bk = _bucket_of_array(_single_chunk(b.column(key_col)), num_buckets)
+        return b.append_column("__sb", pa.array(bk, pa.int32()))
+
+    out_schema = schema
+
+    def filter_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "__m" not in group.column_names:
+            return out_schema.empty_table()
+        t = group.drop_columns(["__sb"])
+        is_key = pc.equal(t.column("__m"), 1)
+        key_set = t.filter(is_key).column(key_col)
+        left = t.filter(pc.invert(is_key))
+        if len(key_set) == 0:
+            return out_schema.empty_table()
+        mask = pc.fill_null(
+            pc.is_in(left.column(key_col), value_set=_single_chunk(key_set)), False
+        )
+        return left.filter(mask).drop_columns(["__m"])
+
+    return (
+        both.map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(min(num_partitions, 16))
+        .groupby("__sb", num_partitions=num_partitions)
+        .map_groups(filter_group, batch_format="pyarrow")
+    )

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..engine import OCREngine
 from ..schema import OCR_RESULT_SCHEMA
@@ -136,27 +137,22 @@ class LayoutActor:
         self.engine = OCREngine()  # no model: layout works regardless
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = []
-        for j in range(batch.num_rows):
+        # Column-wise output (the _items_column pattern): the engine work
+        # is per-image by nature, but the batch assembles as three arrays
+        # — no per-row dicts / Table.from_pylist.
+        n = batch.num_rows
+        n_words = np.empty(n, np.int32)
+        n_lines = np.empty(n, np.int32)
+        for j in range(n):
             _load_row(self.engine, batch, j)
-            words = self.engine.get_bounding_boxes("word")
-            lines = self.engine.get_bounding_boxes("line")
-            rows.append(
-                {
-                    "media_ref": batch.column("media_ref")[j].as_py(),
-                    "n_word_boxes": len(words),
-                    "n_line_boxes": len(lines),
-                }
-            )
-        return pa.Table.from_pylist(
-            rows,
-            schema=pa.schema(
-                [
-                    ("media_ref", pa.string()),
-                    ("n_word_boxes", pa.int32()),
-                    ("n_line_boxes", pa.int32()),
-                ]
-            ),
+            n_words[j] = len(self.engine.get_bounding_boxes("word"))
+            n_lines[j] = len(self.engine.get_bounding_boxes("line"))
+        return pa.table(
+            {
+                "media_ref": pc.cast(batch.column("media_ref"), pa.string()),
+                "n_word_boxes": pa.array(n_words, pa.int32()),
+                "n_line_boxes": pa.array(n_lines, pa.int32()),
+            }
         )
 
 
@@ -173,25 +169,19 @@ class HocrActor:
         self._md5 = hashlib.md5
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = []
-        for j in range(batch.num_rows):
+        n = batch.num_rows
+        hocrs: list[str] = []
+        digests: list[str] = []
+        for j in range(n):
             _load_row(self.engine, batch, j)
             self.engine.orient_and_recognize()
             hocr = self.engine.get_hocr()
-            rows.append(
-                {
-                    "media_ref": batch.column("media_ref")[j].as_py(),
-                    "hocr": hocr,
-                    "hocr_md5": self._md5(hocr.encode()).hexdigest(),
-                }
-            )
-        return pa.Table.from_pylist(
-            rows,
-            schema=pa.schema(
-                [
-                    ("media_ref", pa.string()),
-                    ("hocr", pa.string()),
-                    ("hocr_md5", pa.string()),
-                ]
-            ),
+            hocrs.append(hocr)
+            digests.append(self._md5(hocr.encode()).hexdigest())
+        return pa.table(
+            {
+                "media_ref": pc.cast(batch.column("media_ref"), pa.string()),
+                "hocr": pa.array(hocrs, pa.string()),
+                "hocr_md5": pa.array(digests, pa.string()),
+            }
         )

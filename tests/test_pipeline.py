@@ -99,6 +99,52 @@ def test_extract_write_manifest_and_resume(small_corpus, tmp_path):
     assert [r["output_file"] for r in rows3] == [victim]
 
 
+def test_resume_semi_join_scale_path(small_corpus, tmp_path, monkeypatch):
+    """Early-crash resume ABOVE max_resume_refs must not re-OCR the
+    completed buckets: with the broadcast cap forced to 0 the pipeline
+    switches to the bucketed SEMI join (joins.bucket_semi_filter), which
+    prunes media against the still-needed ref stream with no driver-side
+    set.  Only the deleted partition's pages may reach the recognition
+    pool, and the redone output must still match the golden spans."""
+    import ray.data as rd
+
+    import tesseract_wasm_ray.pipelines.extract as ex
+    from tesseract_wasm_ray.stages.ocr_actor import OcrActor
+
+    out = str(tmp_path / "out")
+    cfg = _cfg()
+    rows1 = run_extract(small_corpus["documents"], small_corpus["media"], cfg, out_dir=out)
+    assert len(rows1) > 1
+    total_pages = rd.read_parquet(small_corpus["media"]).count()
+
+    victim = rows1[0]["output_file"]
+    os.remove(os.path.join(out, victim))
+
+    trace = str(tmp_path / "ocr_trace")
+
+    class TracingOcr(OcrActor):
+        def __call__(self, batch):
+            with open(trace, "a") as f:
+                f.write(f"{batch.num_rows}\n")
+            return super().__call__(batch)
+
+    monkeypatch.setattr(ex, "OcrActor", TracingOcr)
+    cfg.max_resume_refs = 0  # force the semi-join scale path
+    rows2 = run_extract(small_corpus["documents"], small_corpus["media"], cfg, out_dir=out)
+    assert [r["output_file"] for r in rows2] == [victim]
+
+    recognized = (
+        sum(int(line) for line in open(trace)) if os.path.exists(trace) else 0
+    )
+    assert 0 < recognized < total_pages  # pruned, but the victim's pages ran
+
+    written = rd.read_parquet(
+        [os.path.join(out, f) for f in os.listdir(out) if f.startswith("part-")]
+    )
+    report = validate_against_golden(written, small_corpus["golden_spans"])
+    assert report["docs_mismatched"] == 0 and report["docs_missing"] == 0
+
+
 def test_reassemble_preserves_offset_order(ray_session):
     import ray.data as rd
 

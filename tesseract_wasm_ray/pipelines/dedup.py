@@ -418,18 +418,19 @@ def anti_join_ids(
     ds: rd.Dataset,
     dup_ids: rd.Dataset,
     id_col: str,
-    strategy: str = "broadcast",
+    strategy: str = "auto",
     num_buckets: int = 64,
+    broadcast_byte_cap: int = 256 << 20,
 ) -> rd.Dataset:
     """Drop corpus rows whose id appears in ``dup_ids``.
 
     ``Dataset.join(join_type="left_anti")`` is unusable here: Ray
     2.49's hash-join aggregator builds schema-less empty tables for
     partitions that receive no right-side rows, and pyarrow then fails
-    with "No match for FieldRef" — any sparse dup set crashes.  Two
-    strategies of our own instead:
+    with "No match for FieldRef" — any sparse dup set crashes.  Our own
+    strategies instead:
 
-    - ``broadcast`` (default): stream the dup-id column to the driver
+    - ``broadcast``: stream the dup-id column to the driver
       (compact Arrow array — ids only, never payloads), ``ray.put`` it
       once, and filter every batch with a vectorized ``is_in``.  No
       corpus shuffle at all.  Right choice while the dup-id set fits in
@@ -438,14 +439,35 @@ def anti_join_ids(
       dup ids to the corpus schema, union, hash-bucket by id, and filter
       inside each bucket group.  One corpus-wide shuffle, same movement
       a hash join would cost, but robust to empty partitions.
+    - ``auto`` (default): stream dup ids as for broadcast, but stop at
+      ``broadcast_byte_cap`` accumulated Arrow bytes and switch to the
+      shuffle plan — the caller never has to know the dup-set size up
+      front.  (The switch re-executes the dup-id plan; ids are sketch-
+      sized next to the corpus, so the recompute is cheap relative to
+      the shuffle it gates.)
     """
     import ray
 
-    if strategy == "broadcast":
+    if strategy in ("broadcast", "auto"):
+        cap = broadcast_byte_cap if strategy == "auto" else None
         chunks = []
+        nbytes = 0
         for b in dup_ids.iter_batches(batch_format="pyarrow", batch_size=65536):
             if id_col in b.column_names and b.num_rows:
-                chunks.append(_single_chunk(b.column(id_col)))
+                arr = _single_chunk(b.column(id_col))
+                chunks.append(arr)
+                nbytes += arr.nbytes
+                if cap is not None and nbytes > cap:
+                    import logging
+
+                    logging.getLogger(__name__).info(
+                        "anti_join_ids[auto]: dup-id stream exceeded %d bytes; "
+                        "switching to bucketed shuffle",
+                        cap,
+                    )
+                    return anti_join_ids(
+                        ds, dup_ids, id_col, "shuffle", num_buckets
+                    )
         dup_arr = (
             pa.concat_arrays(chunks)
             if chunks
@@ -833,7 +855,7 @@ def minhash_lsh_dedup(
     shingle_n: int = 3,
     num_buckets: int = 64,
     join_partitions: int = 16,  # kept for API compat; no longer used
-    anti_strategy: str = "broadcast",
+    anti_strategy: str = "auto",
     cluster: str = "bucket",  # "bucket" | "components"
 ) -> rd.Dataset:
     """MinHash+LSH near-dup removal: keep one survivor (min id) per
@@ -870,7 +892,7 @@ def simhash_dedup(
     max_hamming: int = 3,
     num_buckets: int = 64,
     join_partitions: int = 16,  # kept for API compat; no longer used
-    anti_strategy: str = "broadcast",
+    anti_strategy: str = "auto",
 ) -> rd.Dataset:
     """SimHash near-dup removal: 4-block pigeonhole candidates (complete
     for hamming ≤ 3), verified by exact hamming distance."""
@@ -953,7 +975,7 @@ def ngram_jaccard_dedup(
     shingle_n: int = 3,
     num_buckets: int = 64,
     join_partitions: int = 16,
-    anti_strategy: str = "broadcast",
+    anti_strategy: str = "auto",
 ) -> rd.Dataset:
     """EXACT word n-gram Jaccard dedup.  Candidates come from MinHash
     LSH (cheap, sketch-only shuffle) with a permissive signature screen
@@ -1091,7 +1113,7 @@ def embedding_neardup(
     seed: int = 11,
     num_buckets: int = 64,
     join_partitions: int = 16,  # kept for API compat; no longer used
-    anti_strategy: str = "broadcast",
+    anti_strategy: str = "auto",
 ) -> rd.Dataset:
     """Embedding-cosine near-dup removal: BANDED random-hyperplane
     sign-LSH (``n_tables`` independent tables of ``planes`` bits each —

@@ -470,18 +470,33 @@ def build_ivf_index(
     n_centroids: int = 16,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    rows_per_file: int = 1 << 17,
 ) -> np.ndarray:
     """Write a cell-partitioned copy of the embedding table: one parquet
     directory per IVF cell plus ``centroids.npy``.  Search then READS
     ONLY the probed cells — pruning happens at storage level, the way a
     100 TB ANN corpus must work (scanning all rows per query, as the
     in-memory ivf_topk does, stops being viable).  Cells are written via
-    the bucketed-groupby pattern (no aggregator actors)."""
+    the bucketed-groupby pattern (no aggregator actors).
+
+    A hot cell is chunked into ``rows_per_file``-row files
+    (``part-00000.parquet``, ``part-00001.parquet``, ...) rather than
+    one giant file; chunk-indexed names are deterministic, so a Ray
+    task retry overwrites its own files instead of duplicating them.
+    Rebuilding into an existing directory first clears stale ``cell=``
+    dirs, and ``cells.json`` is published atomically (tmp + rename) so
+    a reader never sees a half-written manifest."""
+    import glob
     import os
+    import shutil
 
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
+    # A rebuild replaces the index: stale cell dirs from a previous
+    # (possibly larger) build must not survive into the new manifest.
+    for stale in glob.glob(os.path.join(out_dir, "cell=*")):
+        shutil.rmtree(stale)
     centroids = fit_centroids(ds, n_centroids, emb_col)
     cent_ref = ray.put(centroids)
 
@@ -495,9 +510,16 @@ def build_ivf_index(
         t = group.drop_columns(["__cell"])
         cell_dir = os.path.join(out_dir, f"cell={cell:04d}")
         os.makedirs(cell_dir, exist_ok=True)
-        pq.write_table(t, os.path.join(cell_dir, "part-0.parquet"))
+        n_files = 0
+        for off in range(0, t.num_rows, rows_per_file):
+            chunk = t.slice(off, rows_per_file)
+            pq.write_table(
+                chunk, os.path.join(cell_dir, f"part-{n_files:05d}.parquet")
+            )
+            n_files += 1
         return pa.table({"cell": pa.array([cell], pa.int32()),
-                         "rows": pa.array([t.num_rows], pa.int64())})
+                         "rows": pa.array([t.num_rows], pa.int64()),
+                         "files": pa.array([n_files], pa.int32())})
 
     manifest = (
         ds.map_batches(assign, batch_format="pyarrow")
@@ -506,7 +528,9 @@ def build_ivf_index(
         .to_pandas()
     )
     np.save(os.path.join(out_dir, "centroids.npy"), centroids)
-    manifest.to_json(os.path.join(out_dir, "cells.json"), orient="records")
+    tmp = os.path.join(out_dir, f".cells.json.tmp-{os.getpid()}")
+    manifest.to_json(tmp, orient="records")
+    os.replace(tmp, os.path.join(out_dir, "cells.json"))
     return centroids
 
 

@@ -204,10 +204,46 @@ def test_anti_join_preserves_null_id_rows(ray_session):
         )
     )
     dups = rd.from_arrow(pa.table({"doc_id": pa.array([3], pa.int64())}))
-    for strategy in ("broadcast", "shuffle"):
+    for strategy in ("broadcast", "shuffle", "auto"):
         out = anti_join_ids(ds, dups, "doc_id", strategy=strategy).to_pandas()
         assert len(out) == 2, strategy
         assert "null-id survives" in set(out["text"]), strategy
+
+
+def test_anti_join_auto_switches_to_shuffle(ray_session, caplog):
+    """'auto' broadcasts small dup sets but must flip to the bucketed
+    shuffle plan once the streamed dup-id bytes exceed the cap — same
+    result either way."""
+    import logging
+
+    import ray.data as rd
+
+    from tesseract_wasm_ray.pipelines.dedup import anti_join_ids
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(200), pa.int64()),
+                "text": pa.array([f"t{i}" for i in range(200)]),
+            }
+        )
+    )
+    dups = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(0, 200, 2), pa.int64())})
+    )
+    with caplog.at_level(logging.INFO, logger="tesseract_wasm_ray.pipelines.dedup"):
+        out = anti_join_ids(
+            ds, dups, "doc_id", strategy="auto", broadcast_byte_cap=64
+        ).to_pandas()
+    assert any("switching to bucketed shuffle" in r.message for r in caplog.records)
+    assert sorted(out["doc_id"]) == list(range(1, 200, 2))
+
+    # Under the cap: stays broadcast (no switch logged), same answer.
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="tesseract_wasm_ray.pipelines.dedup"):
+        out2 = anti_join_ids(ds, dups, "doc_id", strategy="auto").to_pandas()
+    assert not any("switching to bucketed shuffle" in r.message for r in caplog.records)
+    assert sorted(out2["doc_id"]) == list(range(1, 200, 2))
 
 
 def test_ngram_dedup_no_duplicates_corpus(ray_session):

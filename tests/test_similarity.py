@@ -82,6 +82,43 @@ def test_ivf_index_on_disk(emb_ds, tmp_path):
     assert os.path.exists(os.path.join(idx, "centroids.npy"))
 
 
+def test_ivf_index_multi_block_cells_and_rebuild(emb_ds, tmp_path):
+    """Hot cells split into rows_per_file chunks (no one-giant-file
+    cell); search result identical to the single-file build; a rebuild
+    into the same dir clears stale cell dirs so the manifest and the
+    files on disk always agree."""
+    import glob
+    import json
+    import os
+
+    from tesseract_wasm_ray.pipelines.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    ds, mat = emb_ds
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ds, idx, n_centroids=4, rows_per_file=16)
+    files = glob.glob(os.path.join(idx, "cell=*", "*.parquet"))
+    cells = {os.path.dirname(f) for f in files}
+    assert len(files) > len(cells)  # at least one cell has multiple blocks
+    manifest = json.load(open(os.path.join(idx, "cells.json")))
+    assert sum(c["rows"] for c in manifest) == 300
+    assert sum(c["files"] for c in manifest) == len(files)
+
+    q = mat[11].astype(np.float64)
+    exact_ids, _ = _oracle_topk(mat, q, 10)
+    full = ivf_index_topk(idx, q, k=10, nprobe=4).to_pandas()
+    assert full["vec_id"].tolist() == exact_ids.tolist()
+
+    # Rebuild with more centroids: no stale cell=* dirs may survive.
+    build_ivf_index(ds, idx, n_centroids=2, rows_per_file=1024)
+    dirs = glob.glob(os.path.join(idx, "cell=*"))
+    assert len(dirs) <= 2
+    full2 = ivf_index_topk(idx, q, k=10, nprobe=2).to_pandas()
+    assert full2["vec_id"].tolist() == exact_ids.tolist()
+
+
 def test_knn_cells_exact_with_full_probe(emb_ds):
     """Distributed IVF-cell kNN with nprobe == n_centroids must equal
     the exact broadcast result row for row (no broadcast, no driver

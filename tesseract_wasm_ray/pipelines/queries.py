@@ -554,11 +554,16 @@ def q_boilerplate_strip(sf_dir: str):
 def q_media_decode(sf_dir: str):
     """Multimodal decode -> resize plumbing over REAL codecs: every
     third page (stable crc32 of its ref) is wrapped as a COMPRESSED
-    PNG (from-scratch codec on stdlib zlib), the remaining gray pages
-    as binary PGM (P5) and RGBA pages as uncompressed 32-bit BMP; the
-    actor pool then decodes all three from scratch (pure numpy — see
-    stages.multimodal) and resizes to 32x32 thumbnails.  jpeg/webp
-    remain stubbed per the driver brief (no codec libs here)."""
+    PNG (from-scratch codec on stdlib zlib), a slice of the remaining
+    grayscale pages as baseline JPEG (from-scratch DCT + Huffman codec,
+    functions/jpegcodec.py — lossy, which is safe here because the
+    query output is metadata + thumbnail byte counts), the other gray
+    pages as binary PGM (P5) and RGBA pages as uncompressed 32-bit
+    BMP; the actor pool then decodes all four from scratch (pure
+    numpy — see stages.multimodal) and resizes to 32x32 thumbnails.
+    webp/audio/video remain stubbed per the driver brief (no codec
+    libs here)."""
+    from ..functions.jpegcodec import encode_jpeg
     from ..stages.multimodal import (
         decode_media,
         encode_bmp,
@@ -582,9 +587,13 @@ def q_media_decode(sf_dir: str):
         for i in range(b.num_rows):
             w, h, c = widths[i], heights[i], chans[i]
             img = np.frombuffer(pixels[i].as_py(), np.uint8).reshape(h, w, c)
-            if zlib.crc32(refs[i].encode()) % 3 == 0:
+            crc = zlib.crc32(refs[i].encode())
+            if crc % 3 == 0:
                 payloads.append(encode_png(img))
                 codecs.append("png")
+            elif c == 1 and crc % 5 == 1:
+                payloads.append(encode_jpeg(img, quality=92))
+                codecs.append("jpeg")
             elif c == 1:
                 payloads.append(encode_pnm(img))
                 codecs.append("pgm")

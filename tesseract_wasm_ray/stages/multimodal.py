@@ -5,10 +5,11 @@ Images/audio/video are carried as Arrow ``binary`` columns with
 actor-pool ``map_batches`` stages.  Raw-raster operations (resize,
 feature extraction, frame slicing) are REAL numpy implementations, and
 so are the BMP (uncompressed 24/32-bit) and binary PNM (P5/P6)
-container decoders and the PNG codec (chunk parse + stdlib-zlib
-inflate + per-row unfilter — a real compressed format, from scratch).
-The remaining entropy-coded codecs (jpeg/webp/...) are STUBBED
-(no codec libs in this container — driver brief): they raise
+container decoders, the PNG codec (chunk parse + stdlib-zlib inflate +
+per-row unfilter) and the baseline JPEG codec (8x8 DCT + Huffman
+entropy coding, functions/jpegcodec.py) — both real compressed
+formats, from scratch.  The remaining codecs (webp/audio/video) are
+STUBBED (no codec libs in this container — driver brief): they raise
 ``NotImplementedError`` unless ``fake="deterministic"``, which produces
 a seeded synthetic raster so the Ray-side plumbing (schema, batch
 sizing, actor signature, output layout) is fully exercised and tested.
@@ -27,11 +28,13 @@ import pyarrow as pa
 from ..functions.arrow_util import single_chunk as _single_chunk
 
 RAW_CODECS = {"raw", "raw-rgba", "raw-gray"}
-# Real pure-numpy container decoders (no image libs needed).  PNG is a
-# genuinely COMPRESSED codec implemented from scratch on stdlib zlib
-# (chunk parse + inflate + per-row unfilter) — see decode_png.
-REAL_CODECS = {"bmp", "pnm", "pgm", "ppm", "png"}
-STUB_CODECS = {"jpeg", "webp", "mp3", "wav", "h264"}
+# Real pure-numpy container decoders (no image libs needed).  PNG and
+# JPEG are genuinely COMPRESSED codecs implemented from scratch — PNG
+# on stdlib zlib (chunk parse + inflate + per-row unfilter, see
+# decode_png) and baseline JPEG on nothing but numpy (DCT + Huffman,
+# functions/jpegcodec.py).
+REAL_CODECS = {"bmp", "pnm", "pgm", "ppm", "png", "jpeg"}
+STUB_CODECS = {"webp", "mp3", "wav", "h264"}
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
@@ -289,6 +292,10 @@ class MediaDecodeActor:
                     img = decode_bmp(payloads[i].as_py())
                 elif codec == "png":
                     img = decode_png(payloads[i].as_py())
+                elif codec == "jpeg":
+                    from ..functions.jpegcodec import decode_jpeg
+
+                    img = decode_jpeg(payloads[i].as_py())
                 else:
                     img = decode_pnm(payloads[i].as_py())
                 heights[i], widths[i], channels[i] = (

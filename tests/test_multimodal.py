@@ -26,9 +26,11 @@ def _raw_batch():
                 "channels": 1,
             },
             {
-                "media_ref": "m-jpg",
-                "payload": b"\xff\xd8fakejpeg",
-                "codec": "jpeg",
+                # webp is a stub codec (jpeg became a REAL from-scratch
+                # codec in round 3 — see test_jpeg.py)
+                "media_ref": "m-webp",
+                "payload": b"RIFFfakewebp",
+                "codec": "webp",
                 "width": 4,
                 "height": 4,
                 "channels": 4,
@@ -107,7 +109,7 @@ def test_decode_actor_pool_pipeline(ray_session):
             {
                 "media_ref": f"m{i:03d}",
                 "payload": bytes(range(12)) if i % 2 == 0 else b"x",
-                "codec": "raw" if i % 2 == 0 else "jpeg",
+                "codec": "raw" if i % 2 == 0 else "webp",
                 "width": 4 if i % 2 == 0 else 2,
                 "height": 3 if i % 2 == 0 else 2,
                 "channels": 1,

@@ -228,3 +228,46 @@ def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("md5", pa.array(md5s, pa.string())).append_column(
         "rolling_hash", pa.array(roll.astype(np.int64), pa.int64())
     )
+
+
+def term_counts(
+    batch: pa.Table, text_col: str = "text", group_col: str = "lang"
+) -> pa.Table:
+    """Map-side combined (group, term, cnt) partial counts — the
+    pre-aggregation half of a distributed term-frequency rollup.  The
+    downstream ``groupby([group, term]).sum(cnt)`` then shuffles one
+    row per DISTINCT (group, term) per block instead of one per token
+    instance (~30x smaller on the synthetic corpus), which is what
+    keeps a vocabulary rollup feasible at corpus scale.
+
+    Tokenization is `_tokens` (lowercase whitespace pieces, empties
+    dropped) so the DuckDB oracle can reproduce it with
+    ``regexp_split_to_array(lower(text), '\\s+')`` + an empty filter.
+    Fully vectorized: terms and groups are dictionary-encoded and the
+    per-pair count is one ``np.bincount`` over composite codes."""
+    texts = _single_chunk(batch.column(text_col))
+    flat, parents, _ = _tokens(texts)
+    groups = _single_chunk(pc.cast(batch.column(group_col), pa.string()))
+    g_enc = _single_chunk(pc.dictionary_encode(groups))
+    g_codes_row = g_enc.indices.to_numpy(zero_copy_only=False)
+    t_enc = _single_chunk(pc.dictionary_encode(flat))
+    t_codes = t_enc.indices.to_numpy(zero_copy_only=False)
+    n_terms = len(t_enc.dictionary)
+    if n_terms == 0:
+        return pa.table(
+            {
+                group_col: pa.array([], pa.string()),
+                "term": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    composite = g_codes_row[parents].astype(np.int64) * n_terms + t_codes
+    counts = np.bincount(composite, minlength=len(g_enc.dictionary) * n_terms)
+    nz = np.flatnonzero(counts)
+    return pa.table(
+        {
+            group_col: g_enc.dictionary.take(pa.array(nz // n_terms)),
+            "term": t_enc.dictionary.take(pa.array(nz % n_terms)),
+            "cnt": pa.array(counts[nz], pa.int64()),
+        }
+    )

@@ -392,6 +392,246 @@ def q_mktsegment_orders(sf_dir: str):
     return out
 
 
+def q_events_asof_order(sf_dir: str):
+    """Backward as-of join (kdb+ aj / merge_asof semantics): each event
+    picks up the o_orderkey of the same customer's latest order at or
+    before the event timestamp — via relational.asof_join (one key-hash
+    shuffle per side, vectorized lexsort + running-maximum resolve per
+    bucket; min-orderkey tie-break at equal order dates).  The oracle
+    reproduces it with the classic union + last_value(IGNORE NULLS)
+    window, pre-reducing equal (custkey, date) orders to min(orderkey)
+    exactly like the pipeline's tie-break."""
+    from .relational import asof_join
+
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"]
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    )
+    out = asof_join(
+        events,
+        orders,
+        left_key="user_id",
+        left_ts="ts",
+        right_key="o_custkey",
+        right_ts="o_orderdate",
+        value_col="o_orderkey",
+        out_col="o_orderkey",
+        num_buckets=32,
+        num_partitions=8,
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "o_orderkey"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_top_suppliers_per_nation(sf_dir: str):
+    """Heavy-hitters per group over a join: top-3 suppliers by lineitem
+    revenue within each nation.  Shape for scale: the big fact table is
+    pre-aggregated to one row per supplier (map-side combine inside
+    Ray's groupby-sum), the tiny supplier dim is BROADCAST (`ray.put`
+    once, dictionary lookup per batch — no shuffle join), and the final
+    per-nation top-k ranks one row per supplier, not per lineitem."""
+    import ray
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_suppkey": b.column("l_suppkey"),
+                "revenue": pc.multiply(
+                    b.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                ),
+            }
+        )
+
+    per_supp = (
+        li.map_batches(revenue, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("revenue"))
+    )
+
+    import pyarrow.parquet as pq
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    supp_ref = ray.put(
+        (
+            supp.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64),
+            supp.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+    )
+
+    def add_nation(b: pa.Table) -> pa.Table:
+        keys, nats = ray.get(supp_ref)
+        order = np.argsort(keys)
+        sk = b.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = order[np.searchsorted(keys, sk, sorter=order)]
+        return b.append_column("s_nationkey", pa.array(nats[pos], pa.int64()))
+
+    def topk(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("sum(revenue)", "descending"), ("s_suppkey", "ascending")]
+        ).slice(0, 3)
+        return pa.table(
+            {
+                "s_nationkey": t.column("s_nationkey"),
+                "s_suppkey": t.column("s_suppkey"),
+                "revenue": pc.round(t.column("sum(revenue)"), ndigits=2),
+                "rk": pa.array(np.arange(1, t.num_rows + 1), pa.int64()),
+            }
+        )
+
+    return (
+        per_supp.map_batches(add_nation, batch_format="pyarrow")
+        .groupby("s_nationkey", num_partitions=4)
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
+def q_quantity_quantiles(sf_dir: str):
+    """Exact per-flag quantiles of l_quantity via the distributed
+    (group, value)->count histogram (relational.exact_group_quantiles):
+    the shuffle and the driver both hold one row per distinct (flag,
+    quantity) — 150 rows regardless of lineitem size.  Selection rule
+    is bit-matched to DuckDB quantile_disc (rank = ceil(q*n))."""
+    from .relational import exact_group_quantiles
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity"],
+    )
+    return exact_group_quantiles(
+        li,
+        "l_returnflag",
+        "l_quantity",
+        {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9},
+    )
+
+
+def q_events_sliding_window(sf_dir: str):
+    """Sliding-window aggregate (1 h window, 15 min hop): each event
+    fans out to its 4 containing windows BEFORE the groupby
+    (relational.expand_sliding_windows — one numpy repeat, shuffle
+    moves only (window_start, value)), then a plain map-side-combined
+    groupby.  The tumbling analogue is events_hourly."""
+    from .relational import expand_sliding_windows
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
+    )
+    out = (
+        ds.map_batches(
+            lambda b: expand_sliding_windows(
+                b, "ts", window_us=3_600_000_000, slide_us=900_000_000
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("window_start")
+        .aggregate(Count(), Sum("value"))
+        .to_pandas()
+        .rename(columns={"count()": "n_events", "sum(value)": "total_value"})
+    )
+    out["total_value"] = out["total_value"].round(2)
+    return out
+
+
+def q_top_terms_per_lang(sf_dir: str):
+    """Distributed vocabulary rollup: top-10 terms per language by
+    frequency (ties broken alphabetically).  Map-side combine via
+    textstats.term_counts (one bincount per batch, shuffle moves one
+    row per distinct (lang, term) per block), global sum, then a tiny
+    per-lang rank."""
+    from ..functions.textstats import term_counts
+
+    counts = (
+        _docs(sf_dir)
+        .map_batches(
+            lambda b: term_counts(b, "text", "lang"), batch_format="pyarrow"
+        )
+        .groupby(["lang", "term"])
+        .aggregate(Sum("cnt"))
+    )
+
+    def topk(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("sum(cnt)", "descending"), ("term", "ascending")]
+        ).slice(0, 10)
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "term": t.column("term"),
+                "n": pc.cast(t.column("sum(cnt)"), pa.int64()),
+                "rk": pa.array(np.arange(1, t.num_rows + 1), pa.int64()),
+            }
+        )
+
+    return counts.groupby("lang", num_partitions=4).map_groups(
+        topk, batch_format="pyarrow"
+    )
+
+
+def q_pattern_scrub(sf_dir: str):
+    """Regex redaction over the corpus (the PII-scrub shape: at real
+    scale the pattern is emails/SSNs; here a pattern the synthetic text
+    actually contains).  Fully vectorized Arrow RE2 kernels
+    (count_substring_regex + replace_substring_regex); DuckDB's
+    regexp_* are RE2 too, so the oracle is engine-exact."""
+    PAT = "[aeiou]{2,}"
+
+    def fn(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_redacted": pc.cast(
+                    pc.count_substring_regex(text, PAT), pa.int64()
+                ),
+                "scrubbed": pc.replace_substring_regex(text, PAT, replacement="*"),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def q_quantity_band_join(sf_dir: str):
+    """Broadcast range join: lineitem rows banded by quantity against a
+    small static [lo, hi] band table (relational.band_lookup — one
+    searchsorted per batch; the band side never shuffles), then a
+    map-side-combined rollup per band."""
+    from .relational import band_lookup
+
+    BANDS = [
+        (1, "low", 1.0, 10.0),
+        (2, "mid", 11.0, 25.0),
+        (3, "high", 26.0, 40.0),
+        (4, "peak", 41.0, 50.0),
+    ]
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_quantity"]
+    )
+    out = (
+        li.map_batches(
+            lambda b: band_lookup(b, "l_quantity", BANDS), batch_format="pyarrow"
+        )
+        .groupby(["band_id", "band_name"])
+        .aggregate(Count(), Sum("l_quantity"))
+        .to_pandas()
+        .rename(columns={"count()": "n_items", "sum(l_quantity)": "sum_qty"})
+    )
+    out["sum_qty"] = out["sum_qty"].round(2)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # extraction queries (synthetic interleaved corpus — rows-only checks)
 # ---------------------------------------------------------------------------
@@ -779,6 +1019,13 @@ QUERIES = {
     "emb_topk_cosine": q_emb_topk,
     "tpch_q1": q_tpch_q1,
     "mktsegment_orders": q_mktsegment_orders,
+    "events_asof_order": q_events_asof_order,
+    "top_suppliers_per_nation": q_top_suppliers_per_nation,
+    "quantity_quantiles": q_quantity_quantiles,
+    "events_sliding_window": q_events_sliding_window,
+    "top_terms_per_lang": q_top_terms_per_lang,
+    "pattern_scrub": q_pattern_scrub,
+    "quantity_band_join": q_quantity_band_join,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -907,6 +1154,95 @@ ORACLE_SQL = {
                round(sum(o_totalprice), 2) AS total_price
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
+    """,
+    # Classic as-of-join-as-window formulation: union both sides, fill
+    # the latest right value forward per key.  Right rows sort BEFORE
+    # left rows at equal timestamps (side 0 < 1) => "<=" semantics, and
+    # equal (custkey, date) orders pre-reduce to min(o_orderkey) — both
+    # exactly the pipeline's tie-break.
+    "events_asof_order": """
+        WITH r AS (
+            SELECT o_custkey AS k, o_orderdate AS t, min(o_orderkey) AS okey
+            FROM orders GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT k, t, 0 AS side, okey, NULL::BIGINT AS event_id FROM r
+            UNION ALL
+            SELECT user_id, ts, 1, NULL, event_id FROM events
+        ),
+        f AS (
+            SELECT *, last_value(okey IGNORE NULLS) OVER (
+                       PARTITION BY k ORDER BY t, side
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS fill
+            FROM m
+        )
+        SELECT event_id, k AS user_id, fill AS o_orderkey FROM f WHERE side = 1
+    """,
+    "top_suppliers_per_nation": """
+        SELECT s_nationkey, s_suppkey, round(rev, 2) AS revenue, rk FROM (
+            SELECT s.s_nationkey::BIGINT AS s_nationkey, l.l_suppkey AS s_suppkey,
+                   sum(l_extendedprice * (1 - l_discount)) AS rev,
+                   row_number() OVER (
+                       PARTITION BY s.s_nationkey
+                       ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC,
+                                l.l_suppkey ASC
+                   ) AS rk
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY s.s_nationkey, l.l_suppkey
+        ) WHERE rk <= 3
+    """,
+    "quantity_quantiles": """
+        SELECT l_returnflag,
+               quantile_disc(l_quantity, 0.25) AS p25,
+               quantile_disc(l_quantity, 0.5)  AS p50,
+               quantile_disc(l_quantity, 0.75) AS p75,
+               quantile_disc(l_quantity, 0.9)  AS p90
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    # time_bucket's default origin (2000-01-03 for DuckDB) is a whole
+    # multiple of 15 min from the epoch, so it equals the pipeline's
+    # epoch-aligned floor.
+    "events_sliding_window": """
+        SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE,
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+        GROUP BY 1
+    """,
+    # Tokenizer parity with textstats._tokens: lowercase whitespace
+    # split, empty pieces dropped.
+    "top_terms_per_lang": """
+        WITH toks AS (
+            SELECT lang, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+            FROM documents
+        ),
+        c AS (
+            SELECT lang, term, count(*) AS n FROM toks WHERE term <> '' GROUP BY 1, 2
+        )
+        SELECT lang, term, n, rk FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY lang ORDER BY n DESC, term ASC) AS rk
+            FROM c
+        ) WHERE rk <= 10
+    """,
+    "pattern_scrub": """
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[aeiou]{2,}')) AS n_redacted,
+               regexp_replace(text, '[aeiou]{2,}', '*', 'g') AS scrubbed
+        FROM documents
+    """,
+    "quantity_band_join": """
+        WITH bands(band_id, band_name, lo, hi) AS (VALUES
+            (1::BIGINT, 'low',  1.0, 10.0),
+            (2::BIGINT, 'mid',  11.0, 25.0),
+            (3::BIGINT, 'high', 26.0, 40.0),
+            (4::BIGINT, 'peak', 41.0, 50.0))
+        SELECT band_id, band_name, count(*) AS n_items,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem JOIN bands ON l_quantity BETWEEN lo AND hi
+        GROUP BY 1, 2
     """,
 }
 

@@ -1,0 +1,165 @@
+"""Relational operators (pipelines/relational.py): as-of join semantics
+vs pandas merge_asof, exact quantiles vs DuckDB quantile_disc, sliding
+window fan-out invariants, band (range) join boundaries, and the
+map-side term-count combine."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from tesseract_wasm_ray.functions.textstats import term_counts
+from tesseract_wasm_ray.pipelines.relational import (
+    asof_join,
+    band_lookup,
+    exact_group_quantiles,
+    expand_sliding_windows,
+)
+
+
+def _asof(left_df, right_df, **kw):
+    left = rd.from_pandas(left_df)
+    right = rd.from_pandas(right_df)
+    defaults = dict(
+        left_key="k",
+        left_ts="t",
+        right_key="rk",
+        right_ts="rt",
+        value_col="v",
+        out_col="v",
+        num_buckets=4,
+        num_partitions=2,
+    )
+    defaults.update(kw)
+    out = asof_join(left, right, **defaults).to_pandas()
+    return out.sort_values(list(left_df.columns), ignore_index=True)
+
+
+def test_asof_matches_merge_asof(ray_session):
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {
+            "id": np.arange(300),
+            "k": rng.integers(0, 12, 300),
+            "t": rng.integers(0, 1000, 300).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": rng.integers(0, 15, 120),  # some keys never on the left
+            "rt": rng.integers(0, 1000, 120).astype(np.int64),
+            "v": np.arange(120, dtype=np.int64) + 1000,
+        }
+    )
+    # merge_asof demands unique (key, ts) on the right for a defined
+    # answer; dedupe to min v like the pipeline's tie-break.
+    r = right.sort_values("v").drop_duplicates(["rk", "rt"]).sort_values("rt")
+    want = pd.merge_asof(
+        left.sort_values("t"),
+        r.rename(columns={"rk": "k", "rt": "t"}),
+        on="t",
+        by="k",
+        direction="backward",
+    ).sort_values(["id"], ignore_index=True)[["id", "k", "t", "v"]]
+    got = _asof(left, right).sort_values("id", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"v": "float64"}), want.astype({"v": "float64"})
+    )
+
+
+def test_asof_inclusive_and_tiebreak(ray_session):
+    left = pd.DataFrame({"k": [1, 1, 1, 2], "t": [5, 9, 4, 5]})
+    right = pd.DataFrame(
+        {
+            # two right rows at the same (k=1, rt=5): min v (=30) wins
+            "rk": [1, 1, 1, 3],
+            "rt": [5, 5, 7, 1],
+            "v": [40, 30, 99, 7],
+        }
+    )
+    got = _asof(left, right)
+    # rows sorted by (k, t): (1,4)->null  (1,5)->30 inclusive  (1,9)->99  (2,5)->null
+    assert got["k"].tolist() == [1, 1, 1, 2]
+    vals = got.sort_values(["k", "t"])["v"].tolist()
+    assert pd.isna(vals[0])
+    assert vals[1] == 30 and vals[2] == 99
+    assert pd.isna(vals[3])
+
+
+def test_asof_empty_right(ray_session):
+    left = pd.DataFrame({"k": [1, 2], "t": [5, 6]})
+    right = pd.DataFrame(
+        {"rk": pd.array([], dtype="int64"), "rt": pd.array([], dtype="int64"),
+         "v": pd.array([], dtype="int64")}
+    )
+    got = _asof(left, right)
+    assert len(got) == 2 and got["v"].isna().all()
+
+
+def test_exact_group_quantiles_matches_duckdb(ray_session):
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 5000),
+            "x": rng.integers(1, 43, 5000).astype(np.float64),
+        }
+    )
+    got = (
+        exact_group_quantiles(
+            rd.from_pandas(df), "g", "x", {"p25": 0.25, "p50": 0.5, "p90": 0.9}
+        )
+        .sort_values("g", ignore_index=True)
+    )
+    want = duckdb.sql(
+        """SELECT g, quantile_disc(x, 0.25) AS p25, quantile_disc(x, 0.5) AS p50,
+                  quantile_disc(x, 0.9) AS p90
+           FROM df GROUP BY g ORDER BY g"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sliding_window_fanout_invariant():
+    ts = pd.to_datetime(
+        ["2024-01-01 00:07:00", "2024-01-01 00:59:59", "2024-01-01 01:00:00"]
+    )
+    b = pa.table({"ts": pa.array(ts, pa.timestamp("us")), "value": [1.0, 2.0, 3.0]})
+    out = expand_sliding_windows(b, "ts", window_us=3_600_000_000, slide_us=900_000_000)
+    assert out.num_rows == 12  # 4x fan-out
+    ws = pd.to_datetime(out.column("window_start").to_pylist())
+    orig = np.repeat(ts.values.astype("datetime64[us]"), 4)
+    # every emitted window contains its event: ws <= ts < ws + 1h
+    delta = (orig - ws.values.astype("datetime64[us]")).astype("timedelta64[us]")
+    assert (delta >= np.timedelta64(0, "us")).all()
+    assert (delta < np.timedelta64(1, "h")).all()
+    # each event's 4 windows are distinct 15-min steps
+    assert len(set(ws)) >= 4
+    with pytest.raises(ValueError, match="multiple"):
+        expand_sliding_windows(b, "ts", window_us=3_600_000_000, slide_us=700_000_000)
+
+
+def test_band_lookup_boundaries():
+    bands = [(1, "low", 1.0, 10.0), (2, "high", 26.0, 40.0)]
+    b = pa.table({"l_quantity": [0.5, 1.0, 10.0, 10.5, 26.0, 40.0, 41.0]})
+    out = band_lookup(b, "l_quantity", bands)
+    assert out.column("l_quantity").to_pylist() == [1.0, 10.0, 26.0, 40.0]
+    assert out.column("band_id").to_pylist() == [1, 1, 2, 2]
+    assert out.column("band_name").to_pylist() == ["low", "low", "high", "high"]
+
+
+def test_term_counts_partials():
+    b = pa.table(
+        {
+            "text": ["the cat  sat", "el gato", "the the dog", None, ""],
+            "lang": ["en", "es", "en", "en", "es"],
+        }
+    )
+    out = term_counts(b).to_pandas().set_index(["lang", "term"])["cnt"]
+    assert out[("en", "the")] == 3
+    assert out[("en", "cat")] == 1
+    assert out[("es", "gato")] == 1
+    assert len(out) == 6
+    empty = term_counts(pa.table({"text": pa.array([], pa.string()),
+                                  "lang": pa.array([], pa.string())}))
+    assert empty.num_rows == 0

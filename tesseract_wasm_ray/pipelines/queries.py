@@ -632,6 +632,220 @@ def q_quantity_band_join(sf_dir: str):
     return out
 
 
+def q_user_event_diversity(sf_dir: str):
+    """Distinct-count aggregation: distinct event types per user, as a
+    two-level groupby (dedupe on (user, type) with map-side combine,
+    then a count rollup) — the scale-safe shape for COUNT(DISTINCT):
+    no per-group hash sets, every stage pre-combines."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+    return (
+        ds.groupby(["user_id", "event_type"])
+        .aggregate(Count())
+        .groupby("user_id")
+        .aggregate(Count())
+        .map_batches(
+            lambda b: _rename(b, {"count()": "n_types"}), batch_format="pyarrow"
+        )
+    )
+
+
+def q_nation_order_revenue(sf_dir: str):
+    """Three-way join rollup orders ⋈ customer ⋈ nation with MIXED join
+    strategies, picked by side size: orders⋈customer is the engine's
+    bucketed task-shuffle lookup join (both sides large-ish), while the
+    25-row nation dim is resolved by a broadcast numpy lookup inside
+    the final aggregation's map stage — no second shuffle."""
+    import pyarrow.parquet as pq
+
+    from .joins import bucket_lookup_join
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    customer = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    joined = bucket_lookup_join(
+        orders, customer, "o_custkey", "c_custkey", "c_nationkey", "c_nationkey",
+        num_buckets=64, num_partitions=16,
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nkeys = nation.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nnames = np.asarray(nation.column("n_name").to_pylist(), dtype=object)
+
+    def add_name(b: pa.Table) -> pa.Table:
+        order = np.argsort(nkeys)
+        ck = pc.cast(b.column("c_nationkey"), pa.int64()).to_numpy(zero_copy_only=False)
+        pos = order[np.searchsorted(nkeys, ck, sorter=order)]
+        return pa.table(
+            {
+                "n_name": pa.array(list(nnames[pos]), pa.string()),
+                "o_totalprice": b.column("o_totalprice"),
+            }
+        )
+
+    out = (
+        joined.map_batches(add_name, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(), Sum("o_totalprice"))
+        .to_pandas()
+        .rename(columns={"count()": "n_orders", "sum(o_totalprice)": "revenue"})
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+def q_emb_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (the vector-aggregation shape used
+    for class prototypes / cluster summaries).  Map-side combine: each
+    batch reduces to one (label, dim) partial-sum row per label — a
+    10x64-row sketch regardless of batch size — so the shuffle moves
+    O(|labels| x dims) per block, never vectors."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["label", "embedding"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        mat = np.stack(b.column("embedding").to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        lab = b.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, codes = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]))
+        np.add.at(sums, codes, mat)
+        cnt = np.bincount(codes).astype(np.float64)
+        k, d = sums.shape
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), k)),
+                "s": pa.array(sums.ravel(), pa.float64()),
+                "n": pa.array(np.repeat(cnt, d), pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s"), Sum("n"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "label": b.column("label"),
+                    "dim": b.column("dim"),
+                    "centroid": pc.round(
+                        pc.divide(b.column("sum(s)"), b.column("sum(n)")), ndigits=6
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return out
+
+
+def _doc_freq(sf_dir: str) -> rd.Dataset:
+    """Distributed document frequency: one (term, df) row per term.
+    Per-batch partial = distinct (doc, term) pairs counted per term
+    (each doc lives wholly in one batch, so partial dfs sum exactly)."""
+    from ..functions.textstats import _tokens
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b.column("text")
+        texts = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+        flat, parents, _ = _tokens(texts)
+        enc = pc.dictionary_encode(flat)
+        enc = enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        n_terms = len(enc.dictionary)
+        if n_terms == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        pair = np.unique(parents.astype(np.int64) * n_terms + codes)
+        df = np.bincount(pair % n_terms, minlength=n_terms).astype(np.int64)
+        nz = np.flatnonzero(df)
+        return pa.table(
+            {
+                "term": enc.dictionary.take(pa.array(nz)),
+                "df": pa.array(df[nz], pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df"))
+        .map_batches(
+            lambda b: _rename(b, {"sum(df)": "df"}), batch_format="pyarrow"
+        )
+    )
+
+
+def q_term_doc_freq(sf_dir: str):
+    """Top-20 terms by document frequency (the df half of TF-IDF):
+    distributed distinct-(doc, term) rollup, deterministic ties."""
+    top = (
+        _doc_freq(sf_dir)
+        .sort(["df", "term"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    top["rk"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top
+
+
+def q_tfidf_doc_scores(sf_dir: str):
+    """Per-document TF-IDF mass: sum over token instances of
+    ln(N / df(term)).  The df table is computed distributed
+    (_doc_freq) and BROADCAST via ray.put — a (term -> df) lookup read
+    once per task, no shuffle join; at corpus scale where the
+    vocabulary outgrows a broadcast, the same rollup feeds a bucketed
+    term join instead (joins.bucket_lookup_join).  Scoring is one
+    weighted bincount per batch."""
+    import math as _math
+
+    import ray
+
+    from ..functions.textstats import _tokens
+
+    df_tbl = _doc_freq(sf_dir).to_pandas()
+    n_docs = _docs(sf_dir).count()
+    idf = {
+        t: _math.log(n_docs / d) for t, d in zip(df_tbl["term"], df_tbl["df"])
+    }
+    idf_ref = ray.put(idf)
+
+    def score(b: pa.Table) -> pa.Table:
+        lut = ray.get(idf_ref)
+        texts = b.column("text")
+        texts = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+        flat, parents, n_rows = _tokens(texts)
+        enc = pc.dictionary_encode(flat)
+        enc = enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc
+        dist_idf = np.array(
+            [lut[t] for t in enc.dictionary.to_pylist()], dtype=np.float64
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        w = dist_idf[codes] if len(codes) else np.empty(0, np.float64)
+        tot = np.zeros(n_rows)
+        if len(parents):
+            tot = np.bincount(parents, weights=w, minlength=n_rows)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "tfidf": pa.array(np.round(tot, 4), pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # extraction queries (synthetic interleaved corpus — rows-only checks)
 # ---------------------------------------------------------------------------
@@ -1026,6 +1240,11 @@ QUERIES = {
     "top_terms_per_lang": q_top_terms_per_lang,
     "pattern_scrub": q_pattern_scrub,
     "quantity_band_join": q_quantity_band_join,
+    "emb_label_centroids": q_emb_label_centroids,
+    "term_doc_freq": q_term_doc_freq,
+    "tfidf_doc_scores": q_tfidf_doc_scores,
+    "user_event_diversity": q_user_event_diversity,
+    "nation_order_revenue": q_nation_order_revenue,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -1243,6 +1462,57 @@ ORACLE_SQL = {
                round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem JOIN bands ON l_quantity BETWEEN lo AND hi
         GROUP BY 1, 2
+    """,
+    "emb_label_centroids": """
+        SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+               round(avg(v::DOUBLE), 6) AS centroid
+        FROM (
+            SELECT label, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings
+        ) GROUP BY 1, 2
+    """,
+    "term_doc_freq": """
+        WITH toks AS (
+            SELECT DISTINCT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+            FROM documents
+        ),
+        c AS (
+            SELECT term, count(*) AS df FROM toks WHERE term <> '' GROUP BY term
+        )
+        SELECT term, df, rk FROM (
+            SELECT *, row_number() OVER (ORDER BY df DESC, term ASC) AS rk FROM c
+        ) WHERE rk <= 20
+    """,
+    "tfidf_doc_scores": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+            FROM documents
+        ),
+        t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+        n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+        SELECT d.doc_id,
+               round(coalesce(sum(ln(n.n / df.df)), 0), 4) AS tfidf
+        FROM documents d
+        LEFT JOIN t ON d.doc_id = t.doc_id
+        LEFT JOIN df ON t.term = df.term
+        CROSS JOIN n
+        GROUP BY d.doc_id
+    """,
+    "user_event_diversity": """
+        SELECT user_id, count(DISTINCT event_type) AS n_types
+        FROM events GROUP BY user_id
+    """,
+    "nation_order_revenue": """
+        SELECT n_name, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
     """,
 }
 

@@ -393,6 +393,92 @@ def run_dedup_scale(num_cpus: int, n_rows: int | None = None) -> dict:
     }
 
 
+def run_knn_scale(num_cpus: int, n_rows: int | None = None, k: int = 10) -> dict:
+    """Distributed k-NN self-join at a scale the broadcast path refuses
+    (VERDICT r2 item 1 done-criterion): 200k x 64-dim embeddings through
+    ``knn_self_join_cells`` — IVF cell co-partitioning, NO broadcast
+    index, NO driver materialization — plus recall measured against an
+    exact numpy brute-force answer on a 1k-query sample."""
+    n_rows = n_rows or int(os.environ.get("TWR_KNN_ROWS", "200000"))
+    _init_ray(num_cpus)
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tesseract_wasm_ray.pipelines.similarity import knn_self_join
+
+    dim = 64
+    path = os.path.join("/tmp/twr_fixtures", f"knn{n_rows}.parquet")
+    if not os.path.exists(path):
+        rng = np.random.default_rng(11)
+        # 32 soft clusters so IVF cells are meaningful (uniform noise
+        # would make every cell equidistant and flatter recall).
+        centers = rng.normal(size=(32, dim))
+        lab = rng.integers(0, 32, n_rows)
+        emb = (centers[lab] + 0.6 * rng.normal(size=(n_rows, dim))).astype(np.float32)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(n_rows), pa.int64()),
+                    "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+                }
+            ),
+            path,
+        )
+    ds = rd.read_parquet(path)
+    t0 = time.monotonic()
+    n_out = knn_self_join(
+        ds, k=k, strategy="cells", n_centroids=128, nprobe=16,
+        num_partitions=max(16, num_cpus),
+    ).count()
+    dt = time.monotonic() - t0
+
+    # recall@k vs exact brute force on a deterministic 1k-row sample
+    t = pq.read_table(path)
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    mat = np.stack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(
+        np.float64
+    )
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sample = ids[:: max(1, n_rows // 1000)][:1000]
+    sims = mat[sample] @ mat.T
+    sims[np.arange(len(sample)), sample] = -np.inf  # exclude self
+    exact = np.argpartition(-sims, k, axis=1)[:, :k]
+    got = (
+        knn_self_join(
+            ds, k=k, strategy="cells", n_centroids=128, nprobe=16,
+            num_partitions=max(16, num_cpus),
+        )
+        .to_pandas()
+        .groupby("vec_id")["neighbor_id"]
+        .apply(set)
+    )
+    hits = tot = 0
+    for qi, row in zip(sample, exact):
+        mine = got.get(qi, set())
+        hits += len(mine & set(ids[row]))
+        tot += k
+    recall = hits / tot
+    out = {
+        "metric": f"distributed knn_self_join_cells on {n_rows}x{dim} embeddings",
+        "value": round(n_rows / dt, 1),
+        "unit": "rows/sec",
+        "queries": {"knn_cells": round(dt, 2)},
+        "sf": 0.1,
+        "num_cpus": num_cpus,
+        "k": k,
+        "rows": n_rows,
+        "pairs_out": n_out,
+        "wall_sec": round(dt, 2),
+        "recall_at_k_vs_bruteforce": round(recall, 4),
+        "nprobe": 16,
+        "n_centroids": 128,
+    }
+    print(f"[knn-scale] {out}", file=sys.stderr)
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -401,10 +487,13 @@ def main() -> int:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--n-docs", type=int, default=None)
     ap.add_argument("--dedup-scale", action="store_true")
+    ap.add_argument("--knn-scale", action="store_true")
     args = ap.parse_args()
 
     if args.dedup_scale:
         out = run_dedup_scale(args.cpus)
+    elif args.knn_scale:
+        out = run_knn_scale(args.cpus)
     elif args.scaling:
         out = run_scaling(args.sf_dir)
     else:

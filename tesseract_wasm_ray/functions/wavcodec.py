@@ -1,0 +1,84 @@
+"""From-scratch WAV/RIFF PCM codec (stdlib struct + numpy).
+
+Audio enters the engine the same way images do — an opaque Arrow
+``binary`` column with typed metadata (driver brief: multimodal columns
+with decode/feature-extract as actor-pool stages).  WAV is an
+uncompressed RIFF container, the audio analogue of BMP: a real parser
+is ~60 lines of public-spec chunk walking, so the engine implements it
+instead of stubbing (the remaining compressed codecs — mp3/webp/h264 —
+stay stubbed; no codec libs in this container).
+
+Supports canonical PCM: 8-bit unsigned and 16-bit signed little-endian,
+any channel count / sample rate, and tolerates extra chunks (LIST,
+fact, ...) before/after ``data`` as the RIFF spec allows.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Samples ``(n,)`` or ``(n, channels)`` int16 (or uint8) ->
+    canonical RIFF/WAVE PCM bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.ndim != 2 or samples.size == 0:
+        raise ValueError("samples must be non-empty (n,) or (n, channels)")
+    if samples.dtype == np.uint8:
+        bits = 8
+    elif samples.dtype == np.int16:
+        bits = 16
+    else:
+        raise ValueError(f"unsupported sample dtype {samples.dtype}")
+    n, ch = samples.shape
+    block_align = ch * bits // 8
+    data = samples.astype("<u1" if bits == 8 else "<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * block_align, block_align, bits
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        body += b"\x00"  # RIFF chunks are word-aligned
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM bytes -> ``(samples (n, channels), sample_rate)``.
+    Samples are int16 for 16-bit streams, uint8 for 8-bit.  Walks the
+    chunk list per the RIFF spec; non-PCM formats (compressed, float)
+    raise ``ValueError``."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, end = 12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV without fmt/data chunks")
+    audio_format, ch, rate, _byte_rate, _block, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"only PCM WAV supported (format tag {audio_format})")
+    if bits == 8:
+        arr = np.frombuffer(data, "<u1")
+    elif bits == 16:
+        arr = np.frombuffer(data[: len(data) // 2 * 2], "<i2")
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    if ch < 1:
+        raise ValueError("channel count must be >= 1")
+    n = len(arr) // ch
+    return arr[: n * ch].reshape(n, ch), rate

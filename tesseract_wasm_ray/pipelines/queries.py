@@ -632,6 +632,38 @@ def q_quantity_band_join(sf_dir: str):
     return out
 
 
+def q_audio_features(sf_dir: str):
+    """Audio-modality plumbing over a REAL from-scratch WAV/PCM codec
+    (functions/wavcodec.py): each doc gets a deterministic ±A square
+    wave synthesized from md5(doc_id) (amplitude and length both
+    md5-derived so DuckDB recomputes them in closed form), encoded to
+    RIFF/WAVE, then decoded + feature-extracted by the actor-pool stage
+    (stages.multimodal.audio_features).  A ±A square wave has RMS
+    exactly A and peak exactly A, so the oracle verifies the whole
+    encode → RIFF parse → PCM decode → feature chain, not just row
+    counts."""
+    from ..functions.wavcodec import encode_wav
+    from ..stages.multimodal import audio_features
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            h = hashlib.md5(str(d).encode()).hexdigest()
+            amp = int(h[:2], 16) % 50 + 50
+            n = 4000 + int(h[2:4], 16) * 8
+            wave = ((np.arange(n) % 2) * 2 - 1).astype(np.int16) * np.int16(amp)
+            payloads.append(encode_wav(wave, 8000))
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(synth, batch_format="pyarrow")
+    return audio_features(ds, id_col="doc_id", concurrency=4, batch_size=64)
+
+
 def q_user_event_diversity(sf_dir: str):
     """Distinct-count aggregation: distinct event types per user, as a
     two-level groupby (dedupe on (user, type) with map-side combine,
@@ -1245,6 +1277,7 @@ QUERIES = {
     "tfidf_doc_scores": q_tfidf_doc_scores,
     "user_event_diversity": q_user_event_diversity,
     "nation_order_revenue": q_nation_order_revenue,
+    "audio_features": q_audio_features,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -1513,6 +1546,17 @@ ORACLE_SQL = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
+    """,
+    # closed-form truth for the WAV chain: amplitude/length are
+    # md5-derived, a ±A square wave has RMS = peak = A exactly
+    "audio_features": """
+        SELECT doc_id,
+               8000::BIGINT AS sample_rate,
+               4000 + ('0x' || substr(md5(doc_id::VARCHAR), 3, 2))::INT * 8 AS n_samples,
+               1::BIGINT AS n_channels,
+               (('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INT % 50 + 50)::DOUBLE AS rms,
+               (('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INT % 50 + 50)::BIGINT AS peak
+        FROM documents
     """,
 }
 

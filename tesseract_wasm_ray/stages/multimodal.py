@@ -32,7 +32,9 @@ RAW_CODECS = {"raw", "raw-rgba", "raw-gray"}
 # JPEG are genuinely COMPRESSED codecs implemented from scratch — PNG
 # on stdlib zlib (chunk parse + inflate + per-row unfilter, see
 # decode_png) and baseline JPEG on nothing but numpy (DCT + Huffman,
-# functions/jpegcodec.py).
+# functions/jpegcodec.py).  WAV is REAL too but is audio, handled by
+# AudioFeatureActor / functions/wavcodec.py — a wav payload reaching
+# the IMAGE decode actor is a mis-typed row and stays stub-gated here.
 REAL_CODECS = {"bmp", "pnm", "pgm", "ppm", "png", "jpeg"}
 STUB_CODECS = {"webp", "mp3", "wav", "h264"}
 
@@ -443,4 +445,59 @@ def sample_frames(batch: pa.Table, every_nth: int = 10) -> pa.Table:
                 ("pixels", pa.binary()),
             ]
         ),
+    )
+
+
+class AudioFeatureActor:
+    """Actor-pool audio stage: decode WAV payloads (REAL from-scratch
+    RIFF/PCM codec, functions/wavcodec.py) and emit per-clip features.
+    Same shape as MediaDecodeActor: stateful setup in ``__init__`` once
+    per actor, per-batch decode loop over opaque binary payloads,
+    column-wise Arrow output."""
+
+    def __init__(self, id_col: str = "media_ref"):
+        from ..functions.wavcodec import decode_wav
+
+        self._decode = decode_wav
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = _single_chunk(batch.column("payload"))
+        n = batch.num_rows
+        rate = np.zeros(n, np.int64)
+        n_samples = np.zeros(n, np.int64)
+        n_ch = np.zeros(n, np.int64)
+        rms = np.zeros(n, np.float64)
+        peak = np.zeros(n, np.int64)
+        for i in range(n):
+            samples, r = self._decode(payloads[i].as_py())
+            f = samples.astype(np.float64)
+            rate[i] = r
+            n_samples[i], n_ch[i] = samples.shape
+            rms[i] = float(np.sqrt(np.mean(f * f))) if samples.size else 0.0
+            peak[i] = int(np.abs(f).max()) if samples.size else 0
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "sample_rate": pa.array(rate, pa.int64()),
+                "n_samples": pa.array(n_samples, pa.int64()),
+                "n_channels": pa.array(n_ch, pa.int64()),
+                "rms": pa.array(rms, pa.float64()),
+                "peak": pa.array(peak, pa.int64()),
+            }
+        )
+
+
+def audio_features(ds, id_col: str = "media_ref", concurrency: int = 4, batch_size: int = 64):
+    """Actor-pool WAV decode + feature extraction over a Dataset with
+    (id_col, payload) columns."""
+    import functools
+
+    return ds.map_batches(
+        AudioFeatureActor,
+        fn_constructor_kwargs={"id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+        num_cpus=1,
     )

@@ -632,6 +632,34 @@ def q_quantity_band_join(sf_dir: str):
     return out
 
 
+def q_dataset_split(sf_dir: str):
+    """Deterministic train/val/test split assignment keyed on
+    md5(text) — the rerun-stable split a training pipeline needs (a
+    re-ingested or resumed corpus lands every doc in the same split;
+    RNG splits don't survive re-sharding).  ~80/10/10 via hex-prefix
+    thresholds; emits per-(lang, split) counts."""
+
+    def assign(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        # md5 per row is the split key itself (DuckDB-recomputable);
+        # same bounded-Python-hash precedent as sample_docs/fingerprint.
+        pfx = [hashlib.md5((t or "").encode()).hexdigest()[:2] for t in texts]
+        split = pa.array(
+            ["train" if p < "cc" else "val" if p < "e6" else "test" for p in pfx]
+        )
+        return pa.table({"lang": b.column("lang"), "split": split})
+
+    return (
+        _docs(sf_dir)
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby(["lang", "split"])
+        .aggregate(Count())
+        .map_batches(
+            lambda b: _rename(b, {"count()": "n_docs"}), batch_format="pyarrow"
+        )
+    )
+
+
 def q_audio_features(sf_dir: str):
     """Audio-modality plumbing over a REAL from-scratch WAV/PCM codec
     (functions/wavcodec.py): each doc gets a deterministic ±A square
@@ -1278,6 +1306,7 @@ QUERIES = {
     "user_event_diversity": q_user_event_diversity,
     "nation_order_revenue": q_nation_order_revenue,
     "audio_features": q_audio_features,
+    "dataset_split": q_dataset_split,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -1557,6 +1586,14 @@ ORACLE_SQL = {
                (('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INT % 50 + 50)::DOUBLE AS rms,
                (('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INT % 50 + 50)::BIGINT AS peak
         FROM documents
+    """,
+    "dataset_split": """
+        SELECT lang,
+               CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+                    WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1, 2
     """,
 }
 

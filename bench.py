@@ -156,12 +156,36 @@ def headline(sf_dir: str, num_cpus: int, n_docs: int | None = None) -> dict:
     }
 
 
+def _spin_mips(secs: float = 1.0) -> float:
+    """Single-process spin throughput (M iterations/s) — an ABSOLUTE
+    host-speed calibration.  The shared sandbox host has noisy phases
+    where identical code runs 3-6x slower (measured 2026-08-17:
+    headline 8.5s vs 37.0s within minutes); recording the calibration
+    inside the artifact lets a reader normalize a noisy-window run
+    instead of reading it as a code regression."""
+    end = time.monotonic() + secs
+    n = 0
+    while time.monotonic() < end:
+        for _ in range(100_000):
+            n += 1
+    return round(n / secs / 1e6, 1)
+
+
+def _loadavg() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return -1.0
+
+
 def run_default(
     sf_dir: str, num_cpus: int, headline_only: bool = False, n_docs: int | None = None
 ) -> dict:
     _init_ray(num_cpus)
     from tesseract_wasm_ray.pipelines.queries import QUERIES, sf_of
 
+    load0, mips0 = _loadavg(), _spin_mips()
     head = headline(sf_dir, num_cpus, n_docs=n_docs)
     qtimes: dict[str, float] = {}
     if not headline_only:
@@ -200,6 +224,12 @@ def run_default(
         "sf": float(sf_of(sf_dir)),
         "num_cpus": num_cpus,
         **head,
+        # host-state attribution (see _spin_mips): compare across runs
+        # — a low spin_mips / high loadavg marks a noisy-host window
+        "host_loadavg_start": load0,
+        "host_loadavg_end": _loadavg(),
+        "host_spin_mips_start": mips0,
+        "host_spin_mips_end": _spin_mips(),
     }
     return out
 

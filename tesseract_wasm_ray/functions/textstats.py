@@ -230,6 +230,136 @@ def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition metrics (public-rule reimplementation of
+    the repetition family in Rae et al. 2021 §A1.1): per document the
+    fraction of tokens taken by the single most frequent token
+    (``top_unigram_frac``) and the fraction of bigrams that are repeats
+    of an earlier bigram in the same document (``dup_bigram_frac``),
+    plus a ``keep`` flag under fixed thresholds.  Highly repetitive
+    machine-generated text scores high on both and is dropped before
+    training.
+
+    Vectorized: tokens are dictionary-encoded once per batch; the
+    per-(row, token) counts come from one ``np.bincount`` over composite
+    codes and the per-row max via ``np.maximum.at``; bigram dedup is the
+    sorted-run-boundary count over composite (first, second) codes.
+    """
+    texts = _single_chunk(batch.column(text_col))
+    flat, parents, n_rows = _tokens(texts)
+    n_tokens = (
+        np.bincount(parents, minlength=n_rows).astype(np.int64)
+        if len(parents)
+        else np.zeros(n_rows, np.int64)
+    )
+
+    enc = _single_chunk(pc.dictionary_encode(flat))
+    codes = (
+        enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat)
+        else np.empty(0, np.int64)
+    )
+    n_terms = max(len(enc.dictionary) if len(flat) else 0, 1)
+
+    top_cnt = np.zeros(n_rows, np.int64)
+    if len(codes):
+        composite = parents.astype(np.int64) * n_terms + codes
+        pair_cnt = np.bincount(composite)
+        nz = np.flatnonzero(pair_cnt)
+        np.maximum.at(top_cnt, nz // n_terms, pair_cnt[nz])
+
+    # bigrams: consecutive token pairs within the same row (parents are
+    # non-decreasing and order-preserving through _tokens' filter)
+    n_bigrams = np.zeros(n_rows, np.int64)
+    n_distinct_bg = np.zeros(n_rows, np.int64)
+    if len(codes) > 1:
+        same_row = parents[1:] == parents[:-1]
+        bg_parents = parents[1:][same_row]
+        bg_codes = codes[:-1][same_row] * n_terms + codes[1:][same_row]
+        n_bigrams = np.bincount(bg_parents, minlength=n_rows).astype(np.int64)
+        n_distinct_bg = _distinct_per_row(bg_codes, bg_parents, n_rows).astype(
+            np.int64
+        )
+
+    # round BEFORE thresholding: 1 - 76/80 is 0.05000...044 in float64,
+    # and the keep flag must agree with an engine comparing the rounded
+    # published metric (the DuckDB oracle thresholds its rounded column)
+    top_frac = np.round(top_cnt / np.maximum(n_tokens, 1), 6)
+    dup_frac = np.round(
+        np.where(n_bigrams > 0, 1.0 - n_distinct_bg / np.maximum(n_bigrams, 1), 0.0),
+        6,
+    )
+    keep = ((top_frac <= 0.12) & (dup_frac <= 0.05)).astype(np.int64)
+    out = batch
+    for name, arr, typ in (
+        ("n_tokens", n_tokens, pa.int64()),
+        ("top_unigram_frac", top_frac, pa.float64()),
+        ("dup_bigram_frac", dup_frac, pa.float64()),
+        ("keep", keep, pa.int64()),
+    ):
+        out = out.append_column(name, pa.array(arr, typ))
+    return out
+
+
+def chunk_tokens(
+    batch: pa.Table,
+    chunk_size: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Fan each document out into fixed-size token windows — the
+    context-window chunking a training pipeline runs before sequence
+    packing.  Emits one row per chunk: (doc_id, chunk_id, n_chunk_tokens,
+    chunk_text); documents with zero tokens emit zero chunks.
+
+    Vectorized fan-out: tokens keep original case and order
+    (whitespace split, empties dropped); chunk boundaries are computed
+    as offsets into the flat token array and the chunk text is a single
+    ``pc.binary_join`` over a ListArray rebuilt on those offsets — no
+    per-row Python in the hot path."""
+    texts = _single_chunk(batch.column(text_col))
+    toks = pc.utf8_split_whitespace(texts)
+    flat = _single_chunk(pc.list_flatten(toks))
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    flat, parents = flat.filter(pa.array(nonempty)), parents[nonempty]
+
+    ids = _single_chunk(batch.column(id_col))
+    if len(parents) == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], ids.type),
+                "chunk_id": pa.array([], pa.int64()),
+                "n_chunk_tokens": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+            }
+        )
+
+    n_rows = len(texts)
+    n_tok = np.bincount(parents, minlength=n_rows)
+    row_starts = np.r_[0, np.cumsum(n_tok)]
+    # position of each token within its row, then its chunk ordinal
+    pos = np.arange(len(parents)) - row_starts[parents]
+    chunk_of = pos // chunk_size
+    # chunk boundary wherever the (row, chunk) pair changes
+    new_chunk = np.r_[
+        True, (parents[1:] != parents[:-1]) | (chunk_of[1:] != chunk_of[:-1])
+    ]
+    starts = np.flatnonzero(new_chunk)
+    offsets = np.r_[starts, len(parents)].astype(np.int32)
+    chunk_list = pa.ListArray.from_arrays(pa.array(offsets), flat)
+    chunk_text = pc.binary_join(chunk_list, " ")
+    lengths = np.diff(offsets).astype(np.int64)
+    return pa.table(
+        {
+            id_col: ids.take(pa.array(parents[starts])),
+            "chunk_id": pa.array(chunk_of[starts].astype(np.int64), pa.int64()),
+            "n_chunk_tokens": pa.array(lengths, pa.int64()),
+            "chunk_text": chunk_text,
+        }
+    )
+
+
 def term_counts(
     batch: pa.Table, text_col: str = "text", group_col: str = "lang"
 ) -> pa.Table:

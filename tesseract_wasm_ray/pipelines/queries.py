@@ -660,6 +660,81 @@ def q_dataset_split(sf_dir: str):
     )
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality filter: per-doc top-unigram and
+    duplicate-bigram fractions plus the keep flag (textstats
+    .repetition_stats; vectorized bincount/run-boundary kernels)."""
+    from ..functions.textstats import repetition_stats
+
+    return _docs(sf_dir).map_batches(
+        lambda b: repetition_stats(b).select(
+            ["doc_id", "n_tokens", "top_unigram_frac", "dup_bigram_frac", "keep"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_doc_chunks(sf_dir: str):
+    """Context-window chunking: fan each doc into 32-token windows
+    (one output row per chunk) — the fan-out stage before sequence
+    packing.  Pure-Arrow offset surgery (textstats.chunk_tokens), no
+    shuffle: chunking is embarrassingly parallel per block."""
+    from ..functions.textstats import chunk_tokens
+
+    return _docs(sf_dir).map_batches(
+        lambda b: chunk_tokens(b, chunk_size=32), batch_format="pyarrow"
+    )
+
+
+def q_domain_cap(sf_dir: str):
+    """Per-domain down-sampling cap (CommonCrawl-style): keep at most
+    10 docs per source, chosen by md5(text) order (deterministic,
+    content-keyed — rerun- and reshard-stable, unlike RNG sampling).
+    One hash-shuffle on source; the md5 sort key is computed map-side
+    so the shuffle moves (doc_id, source, key) only."""
+
+    def key(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        k = pa.array(
+            [hashlib.md5((t or "").encode()).hexdigest() for t in texts],
+            pa.string(),
+        )
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "source": b.column("source"), "__k": k}
+        )
+
+    ds = _docs(sf_dir).map_batches(key, batch_format="pyarrow")
+
+    def cap(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = group.to_pandas().sort_values(["source", "__k", "doc_id"])
+        out = df.groupby("source", sort=False).head(10)[["doc_id", "source"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.groupby("source", num_partitions=4).map_groups(
+        cap, batch_format="pyarrow"
+    )
+
+
+def q_sequence_pack(sf_dir: str):
+    """Greedy sequence packing (training-context packing): docs are
+    token-counted map-side, hash-shuffled once on source, and packed
+    in doc_id order into 256-token sequences (relational
+    .pack_sequences — cumsum+searchsorted scan, one loop iteration per
+    emitted sequence).  Oracle recomputes the greedy recurrence with a
+    recursive CTE."""
+    from .relational import pack_sequences
+
+    def fn(b: pa.Table) -> pa.Table:
+        return token_count(b).select(["doc_id", "source", "n_tokens"])
+
+    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return pack_sequences(
+        ds, group_col="source", order_col="doc_id", size_col="n_tokens", budget=256
+    )
+
+
 def q_audio_features(sf_dir: str):
     """Audio-modality plumbing over a REAL from-scratch WAV/PCM codec
     (functions/wavcodec.py): each doc gets a deterministic ±A square
@@ -1307,6 +1382,10 @@ QUERIES = {
     "nation_order_revenue": q_nation_order_revenue,
     "audio_features": q_audio_features,
     "dataset_split": q_dataset_split,
+    "repetition_stats": q_repetition_stats,
+    "doc_chunks": q_doc_chunks,
+    "domain_cap": q_domain_cap,
+    "sequence_pack": q_sequence_pack,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -1594,6 +1673,74 @@ ORACLE_SQL = {
                     ELSE 'test' END AS split,
                count(*) AS n_docs
         FROM documents GROUP BY 1, 2
+    """,
+    # Gopher-style repetition metrics: DuckDB recomputes the top-unigram
+    # and duplicate-bigram fractions from scratch with list kernels
+    # (bigrams via a list comprehension over generate_series).
+    "repetition_stats": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts
+            FROM documents
+        ), bi AS (
+            SELECT doc_id, ts,
+                   [ts[i] || ' ' || ts[i+1] FOR i IN generate_series(1, len(ts)-1)] AS bg
+            FROM toks
+        )
+        SELECT doc_id,
+               len(ts) AS n_tokens,
+               round(list_max(list_transform(list_distinct(ts),
+                     u -> len(list_filter(ts, x -> x = u))))::DOUBLE
+                     / greatest(len(ts), 1), 6) AS top_unigram_frac,
+               round(CASE WHEN len(bg) = 0 THEN 0.0
+                     ELSE 1.0 - len(list_distinct(bg))::DOUBLE / len(bg) END,
+                     6) AS dup_bigram_frac,
+               (CASE WHEN top_unigram_frac <= 0.12 AND dup_bigram_frac <= 0.05
+                     THEN 1 ELSE 0 END)::BIGINT AS keep
+        FROM bi
+    """,
+    "doc_chunks": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents
+        ), fan AS (
+            SELECT doc_id, ts,
+                   unnest(generate_series(1, cast(ceil(len(ts)/32.0) AS BIGINT))) AS i
+            FROM toks
+        )
+        SELECT doc_id, i - 1 AS chunk_id,
+               least(32, len(ts) - (i-1)*32)::BIGINT AS n_chunk_tokens,
+               array_to_string(ts[((i-1)*32+1):(i*32)], ' ') AS chunk_text
+        FROM fan
+    """,
+    "domain_cap": """
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY md5(text), doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= 10
+    """,
+    # greedy first-fit packing recurrence, re-run row-by-row per source
+    # with a recursive CTE (rows step in doc_id order; all sources
+    # advance in parallel per recursion round)
+    "sequence_pack": r"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id, source,
+                   len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+                   row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+            FROM documents
+        ), packs AS (
+            SELECT source, rn, doc_id, n_tokens,
+                   0::BIGINT AS seq_id, n_tokens AS acc
+            FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+                   CASE WHEN p.acc + t.n_tokens > 256
+                        THEN p.seq_id + 1 ELSE p.seq_id END,
+                   CASE WHEN p.acc + t.n_tokens > 256
+                        THEN t.n_tokens ELSE p.acc + t.n_tokens END
+            FROM packs p JOIN t ON t.source = p.source AND t.rn = p.rn + 1
+        )
+        SELECT doc_id, source, n_tokens, seq_id FROM packs
     """,
 }
 

@@ -258,6 +258,72 @@ def expand_sliding_windows(
 
 
 # ---------------------------------------------------------------------------
+# greedy sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    ds: rd.Dataset,
+    group_col: str,
+    order_col: str,
+    size_col: str,
+    budget: int,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Greedy in-order sequence packing — the operator a training
+    pipeline runs to pack token-counted documents into fixed-budget
+    context sequences (GPT-style sequence packing).  Within each group
+    (rows hash-shuffle ONCE on ``group_col``), rows are taken in
+    ascending ``order_col`` order and assigned a ``seq_id``: a row opens
+    a new sequence when adding its ``size_col`` would push the running
+    total over ``budget``; a row larger than the whole budget gets a
+    sequence of its own.  Deterministic (no RNG, no block-order
+    dependence), so a resumed run reproduces identical packing.
+
+    Per group the assignment is the classic cumsum + searchsorted scan:
+    the driver holds nothing, and the per-group loop iterates once per
+    EMITTED SEQUENCE (not per row) with the row range between two
+    boundaries assigned in one vectorized slice.
+    """
+
+    def pack(group: pa.Table) -> pa.Table:
+        # defensive multi-group handling (same convention as the other
+        # map_groups callables): sort by (group, order) and reset the
+        # scan at each group boundary
+        order = pc.sort_indices(
+            group,
+            sort_keys=[(group_col, "ascending"), (order_col, "ascending")],
+        )
+        g = group.take(order)
+        sizes = pc.cast(_single_chunk(g.column(size_col)), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = len(sizes)
+        codes = (
+            _single_chunk(pc.dictionary_encode(pc.cast(g.column(group_col), pa.string())))
+            .indices.to_numpy(zero_copy_only=False)
+        )
+        bounds = np.r_[0, np.flatnonzero(codes[1:] != codes[:-1]) + 1, n]
+        cum = np.cumsum(sizes)
+        seq = np.empty(n, np.int64)
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            i, s = int(a), 0
+            while i < b:
+                base = cum[i - 1] if i > a else cum[a] - sizes[a]
+                j = int(np.searchsorted(cum[:b], base + budget, side="right"))
+                j = max(j, i + 1)  # an oversized row still packs alone
+                seq[i:j] = s
+                s += 1
+                i = j
+            # seq_id restarts at 0 for each group
+        return g.append_column("seq_id", pa.array(seq, pa.int64()))
+
+    return ds.groupby(group_col, num_partitions=num_partitions).map_groups(
+        pack, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
 # broadcast range join
 # ---------------------------------------------------------------------------
 

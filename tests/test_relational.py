@@ -163,3 +163,45 @@ def test_term_counts_partials():
     empty = term_counts(pa.table({"text": pa.array([], pa.string()),
                                   "lang": pa.array([], pa.string())}))
     assert empty.num_rows == 0
+
+
+def test_pack_sequences_matches_reference_greedy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tesseract_wasm_ray.pipelines.relational import pack_sequences
+
+    rng = np.random.default_rng(11)
+    n = 300
+    groups = rng.integers(0, 7, n)
+    sizes = rng.integers(1, 90, n)
+    sizes[5] = 400  # oversized row must pack alone
+    t = pa.table(
+        {
+            "g": pa.array([f"g{x}" for x in groups]),
+            "oid": pa.array(np.arange(n), pa.int64()),
+            "sz": pa.array(sizes, pa.int64()),
+        }
+    )
+    out = (
+        pack_sequences(
+            rd.from_arrow(t), group_col="g", order_col="oid", size_col="sz", budget=128
+        )
+        .to_pandas()
+        .sort_values(["g", "oid"])
+    )
+
+    # reference greedy per group, row by row
+    for g, sub in out.groupby("g"):
+        acc, seq = 0, 0
+        for _, row in sub.iterrows():
+            if acc and acc + row.sz > 128:
+                seq += 1
+                acc = 0
+            acc += row.sz
+            assert row.seq_id == seq, (g, row.oid)
+        # every sequence except possibly the last is within budget unless
+        # it holds a single oversized row
+        tot = sub.groupby("seq_id").sz.agg(["sum", "count"])
+        assert all((tot["sum"] <= 128) | (tot["count"] == 1))

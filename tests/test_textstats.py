@@ -92,3 +92,59 @@ def test_rolling_hash_vectorization_matches_scalar_reference():
         return h - (1 << 64) if h >= (1 << 63) else h
 
     assert out.column("rolling_hash").to_pylist() == [scalar(t) for t in texts]
+
+
+def test_repetition_stats_planted():
+    from tesseract_wasm_ray.functions.textstats import repetition_stats
+
+    out = repetition_stats(
+        _t(
+            [
+                "spam spam spam spam spam spam spam spam spam spam",
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+                "ab cd ab cd ab cd ab cd ab cd",
+                "",
+            ]
+        )
+    )
+    top = out.column("top_unigram_frac").to_pylist()
+    dup = out.column("dup_bigram_frac").to_pylist()
+    keep = out.column("keep").to_pylist()
+    assert top[0] == 1.0 and keep[0] == 0  # pure repetition dropped
+    assert top[1] == 0.1 and dup[1] == 0.0 and keep[1] == 1  # all distinct
+    # "ab cd" x5: bigrams = 9, distinct = 2 ("ab cd", "cd ab")
+    # metrics are published rounded to 6dp
+    assert abs(dup[2] - (1 - 2 / 9)) < 1e-6 and keep[2] == 0
+    assert out.column("n_tokens").to_pylist()[3] == 0 and dup[3] == 0.0
+
+
+def test_repetition_stats_bigrams_do_not_cross_rows():
+    from tesseract_wasm_ray.functions.textstats import repetition_stats
+
+    # last token of row 0 + first token of row 1 must NOT form a bigram:
+    # each row's bigrams are all-distinct within the row
+    out = repetition_stats(_t(["x y", "y x"]))
+    assert out.column("dup_bigram_frac").to_pylist() == [0.0, 0.0]
+
+
+def test_chunk_tokens_boundaries_and_roundtrip():
+    from tesseract_wasm_ray.functions.textstats import chunk_tokens
+
+    toks = [f"t{i}" for i in range(70)]
+    t = pa.table({"doc_id": [7, 8, 9], "text": [" ".join(toks), "a b", ""]})
+    out = chunk_tokens(t, chunk_size=32)
+    df = out.to_pandas()
+    d7 = df[df.doc_id == 7]
+    assert list(d7.chunk_id) == [0, 1, 2]
+    assert list(d7.n_chunk_tokens) == [32, 32, 6]
+    assert " ".join(d7.chunk_text) == " ".join(toks)  # exact round-trip
+    assert df[df.doc_id == 8].chunk_text.tolist() == ["a b"]
+    assert 9 not in set(df.doc_id)  # empty doc emits zero chunks
+
+
+def test_chunk_tokens_exact_multiple():
+    from tesseract_wasm_ray.functions.textstats import chunk_tokens
+
+    t = pa.table({"doc_id": [1], "text": [" ".join(["w"] * 64)]})
+    df = chunk_tokens(t, chunk_size=32).to_pandas()
+    assert list(df.n_chunk_tokens) == [32, 32]  # no empty trailing chunk

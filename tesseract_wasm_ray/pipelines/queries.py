@@ -1143,15 +1143,18 @@ def q_boilerplate_strip(sf_dir: str):
 def q_media_decode(sf_dir: str):
     """Multimodal decode -> resize plumbing over REAL codecs: every
     third page (stable crc32 of its ref) is wrapped as a COMPRESSED
-    PNG (from-scratch codec on stdlib zlib), a slice of the remaining
-    grayscale pages as baseline JPEG (from-scratch DCT + Huffman codec,
-    functions/jpegcodec.py — lossy, which is safe here because the
-    query output is metadata + thumbnail byte counts), the other gray
-    pages as binary PGM (P5) and RGBA pages as uncompressed 32-bit
-    BMP; the actor pool then decodes all four from scratch (pure
-    numpy — see stages.multimodal) and resizes to 32x32 thumbnails.
-    webp/audio/video remain stubbed per the driver brief (no codec
-    libs here)."""
+    PNG (from-scratch codec on stdlib zlib), one slice of the
+    remaining grayscale pages as baseline JPEG (from-scratch DCT +
+    Huffman codec, functions/jpegcodec.py — lossy, which is safe here
+    because the query output is metadata + thumbnail byte counts),
+    another slice as GIF (from-scratch LZW codec with variable code
+    widths + dictionary resets, functions/gifcodec.py — lossless), the
+    other gray pages as binary PGM (P5) and RGBA pages as uncompressed
+    32-bit BMP; the actor pool then decodes all five from scratch
+    (pure numpy — see stages.multimodal) and resizes to 32x32
+    thumbnails.  webp/audio/video remain stubbed per the driver brief
+    (no codec libs here)."""
+    from ..functions.gifcodec import encode_gif
     from ..functions.jpegcodec import encode_jpeg
     from ..stages.multimodal import (
         decode_media,
@@ -1183,6 +1186,9 @@ def q_media_decode(sf_dir: str):
             elif c == 1 and crc % 5 == 1:
                 payloads.append(encode_jpeg(img, quality=92))
                 codecs.append("jpeg")
+            elif c == 1 and crc % 5 == 2:
+                payloads.append(encode_gif(img))
+                codecs.append("gif")
             elif c == 1:
                 payloads.append(encode_pnm(img))
                 codecs.append("pgm")

@@ -331,3 +331,69 @@ def test_decode_actor_png_branch(ray_session):
     assert out.loc[0, "width"] == 6 and out.loc[0, "height"] == 8
     assert out.loc[0, "channels"] == 4
     assert bytes(out.loc[0, "pixels"]) == img.tobytes()
+
+
+def test_gif_roundtrip_exact():
+    import numpy as np
+
+    from tesseract_wasm_ray.functions.gifcodec import decode_gif, encode_gif
+
+    rng = np.random.default_rng(3)
+    for shape in [(1, 1, 1), (17, 33, 1), (64, 64, 1)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+def test_gif_lzw_dict_reset_and_kwkwk():
+    import numpy as np
+
+    from tesseract_wasm_ray.functions.gifcodec import decode_gif, encode_gif
+
+    # big repetitive frame forces the 4096-entry dictionary reset
+    img = np.tile(np.arange(256, dtype=np.uint8), 500).reshape(160, 800, 1)
+    enc = encode_gif(img)
+    assert len(enc) < img.size // 3  # genuinely compressed
+    assert np.array_equal(decode_gif(enc), img)
+    # alternating pattern exercises the KwKwK (code == next_code) case
+    ab = np.tile(np.array([5, 9], np.uint8), 600).reshape(1, 1200, 1)
+    assert np.array_equal(decode_gif(encode_gif(ab)), ab)
+
+
+def test_gif_interlaced_and_extensions():
+    import struct
+
+    import numpy as np
+
+    from tesseract_wasm_ray.functions import gifcodec as g
+
+    rng = np.random.default_rng(4)
+    h, w = 16, 8
+    base = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    order = np.r_[
+        np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)
+    ]
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += g._GRAY_PALETTE.tobytes()
+    out += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])  # graphic control extension
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40)  # interlaced frame
+    out.append(8)
+    stream = g._lzw_encode(base[order].ravel(), 8)
+    for i in range(0, len(stream), 255):
+        blk = stream[i : i + 255]
+        out.append(len(blk))
+        out += blk
+    out.append(0)
+    out.append(0x3B)
+    dec = g.decode_gif(bytes(out))
+    assert dec.shape == (h, w, 1)
+    assert np.array_equal(dec[:, :, 0], base)
+
+
+def test_gif_rejects_garbage():
+    import pytest
+
+    from tesseract_wasm_ray.functions.gifcodec import decode_gif
+
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF" + b"\x00" * 32)

@@ -360,6 +360,48 @@ def chunk_tokens(
     )
 
 
+def bigram_partials(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Map-side combined (w1, w2, cnt) bigram partial counts — the
+    pre-aggregation half of a distributed bigram language model (the
+    LM behind CCNet-style perplexity quality filtering).  Same shuffle
+    discipline as :func:`term_counts`: one composite-code
+    ``np.bincount`` per batch, so the downstream
+    ``groupby([w1, w2]).sum(cnt)`` moves one row per DISTINCT bigram
+    per block instead of one per instance."""
+    texts = _single_chunk(batch.column(text_col))
+    flat, parents, _ = _tokens(texts)
+    if len(flat) < 2:
+        return pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    enc = _single_chunk(pc.dictionary_encode(flat))
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_terms = len(enc.dictionary)
+    same_row = parents[1:] == parents[:-1]
+    composite = codes[:-1][same_row] * n_terms + codes[1:][same_row]
+    if len(composite) == 0:
+        return pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    counts = np.bincount(composite)
+    nz = np.flatnonzero(counts)
+    return pa.table(
+        {
+            "w1": enc.dictionary.take(pa.array(nz // n_terms)),
+            "w2": enc.dictionary.take(pa.array(nz % n_terms)),
+            "cnt": pa.array(counts[nz], pa.int64()),
+        }
+    )
+
+
 def term_counts(
     batch: pa.Table, text_col: str = "text", group_col: str = "lang"
 ) -> pa.Table:

@@ -29,6 +29,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Mean, Sum
 
 from ..fixtures import generate_corpus
+from ..functions.arrow_util import single_chunk as _single_chunk_q
 from ..functions.textstats import (
     detect_language,
     fingerprint,
@@ -735,6 +736,140 @@ def q_sequence_pack(sf_dir: str):
     )
 
 
+def q_lm_perplexity(sf_dir: str):
+    """Bigram-LM perplexity scoring (the CCNet-style quality signal:
+    score each doc by a language model trained on the corpus itself).
+    Two distributed stages: (1) bigram counts via map-side combined
+    partials (textstats.bigram_partials — the shuffle moves one row
+    per DISTINCT bigram per block) + a small groupby-sum; (2) the LM
+    table is collected driver-side — bounded by the corpus' DISTINCT
+    bigram vocabulary, NOT its row count — and broadcast into a
+    vectorized scorer (at 100-TB scale: prune to top-K bigrams and
+    ``ray.put`` the arrays; the scorer shape is unchanged).  Per doc:
+    perplexity = exp(mean over bigrams of -ln c(w1,w2)/c(w1·)).
+    MLE probabilities are exact (every scored bigram is in the LM by
+    construction)."""
+    from ..functions.textstats import _tokens, bigram_partials
+
+    lm = (
+        _docs(sf_dir)
+        .map_batches(lambda b: bigram_partials(b), batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("cnt"))
+        .to_pandas()
+    )
+    # driver-side LM build: |distinct bigrams| rows (documented bound)
+    c2 = {
+        (a, b): int(c) for a, b, c in zip(lm["w1"], lm["w2"], lm["sum(cnt)"])
+    }
+    c1: dict[str, int] = {}
+    for (a, _b), c in c2.items():
+        c1[a] = c1.get(a, 0) + c
+
+    def score(b: pa.Table) -> pa.Table:
+        flat, parents, n_rows = _tokens(_single_chunk_q(b.column("text")))
+        if len(flat) < 2:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], b.column("doc_id").type),
+                    "n_bigrams": pa.array([], pa.int64()),
+                    "perplexity": pa.array([], pa.float64()),
+                }
+            )
+        toks = flat.to_pylist()
+        same = parents[1:] == parents[:-1]
+        # surprisal per bigram occurrence; the dict lookups run once
+        # per OCCURRENCE of a bigram but stay O(batch tokens) — the
+        # heavy part (log/mean) is numpy
+        surp = np.array(
+            [
+                -np.log(c2[(toks[i], toks[i + 1])] / c1[toks[i]])
+                for i in np.flatnonzero(same)
+            ]
+        )
+        bg_parents = parents[1:][same]
+        n_bg = np.bincount(bg_parents, minlength=n_rows)
+        sums = np.bincount(bg_parents, weights=surp, minlength=n_rows)
+        has = n_bg > 0
+        perp = np.round(np.exp(sums[has] / n_bg[has]), 4)
+        return pa.table(
+            {
+                "doc_id": _single_chunk_q(b.column("doc_id")).filter(
+                    pa.array(has)
+                ),
+                "n_bigrams": pa.array(n_bg[has].astype(np.int64), pa.int64()),
+                "perplexity": pa.array(perp, pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag every doc sharing a 5-token
+    shingle with the held-out benchmark slice (doc_id % 29 == 0) — the
+    n-gram-overlap contamination check run before training.  The
+    benchmark shingle set is the SMALL side: built distributed, then
+    collected and broadcast into a vectorized membership scan (at
+    cluster scale: ``ray.put`` once, read per task — never a shuffle
+    of the big side).  Shingle strings are built with a strided gather
+    + one ``binary_join`` per batch; membership is one Arrow ``is_in``."""
+    N = 5
+
+    def shingles_of(b: pa.Table) -> tuple[pa.Array, np.ndarray, int]:
+        texts = _single_chunk_q(b.column("text"))
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+        flat = _single_chunk_q(pc.list_flatten(toks))
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ok = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        flat, parents = flat.filter(pa.array(ok)), parents[ok]
+        n_rows = b.num_rows
+        n_tok = np.bincount(parents, minlength=n_rows)
+        row_starts = np.r_[0, np.cumsum(n_tok)]
+        pos = np.arange(len(parents)) - row_starts[parents]
+        starts = np.flatnonzero(pos <= n_tok[parents] - N)
+        if len(starts) == 0:
+            return pa.array([], pa.string()), np.empty(0, np.int64), n_rows
+        gather = (starts[:, None] + np.arange(N)[None, :]).ravel()
+        window_list = pa.ListArray.from_arrays(
+            pa.array(np.arange(len(starts) + 1, dtype=np.int32) * N),
+            flat.take(pa.array(gather)),
+        )
+        return pc.binary_join(window_list, " "), parents[starts], n_rows
+
+    def bench_shingles(b: pa.Table) -> pa.Table:
+        ids = pc.cast(_single_chunk_q(b.column("doc_id")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        sub = b.filter(pa.array(ids % 29 == 0))
+        sh, _, _ = shingles_of(sub)
+        return pa.table({"s": pc.unique(sh)})
+
+    bench = (
+        _docs(sf_dir)
+        .map_batches(bench_shingles, batch_format="pyarrow")
+        .to_pandas()["s"]
+        .unique()
+    )
+    bench_arr = pa.array(sorted(bench), pa.string())
+
+    def flag(b: pa.Table) -> pa.Table:
+        sh, parents, n_rows = shingles_of(b)
+        hit = np.zeros(n_rows, bool)
+        if len(sh):
+            m = pc.is_in(sh, value_set=bench_arr).to_numpy(zero_copy_only=False)
+            if m.any():
+                hit[np.unique(parents[m])] = True
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "contaminated": pa.array(hit.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(flag, batch_format="pyarrow")
+
+
 def q_audio_features(sf_dir: str):
     """Audio-modality plumbing over a REAL from-scratch WAV/PCM codec
     (functions/wavcodec.py): each doc gets a deterministic ±A square
@@ -1392,6 +1527,8 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "domain_cap": q_domain_cap,
     "sequence_pack": q_sequence_pack,
+    "lm_perplexity": q_lm_perplexity,
+    "decontaminate": q_decontaminate,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -1747,6 +1884,48 @@ ORACLE_SQL = {
             FROM packs p JOIN t ON t.source = p.source AND t.rn = p.rn + 1
         )
         SELECT doc_id, source, n_tokens, seq_id FROM packs
+    """,
+    # corpus-trained bigram LM, rebuilt from scratch in SQL: P(w2|w1) =
+    # c(w1,w2) / c(w1 as a bigram head); perplexity = exp(mean surprisal)
+    "lm_perplexity": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts
+            FROM documents
+        ), flat AS (
+            SELECT doc_id,
+                   unnest([{'w1': ts[i], 'w2': ts[i+1]}
+                           FOR i IN generate_series(1, len(ts)-1)]) AS p
+            FROM toks
+        ), pairs AS (
+            SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM flat
+        ), uni AS (
+            SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1
+        ), bi AS (
+            SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2
+        )
+        SELECT doc_id,
+               count(*)::BIGINT AS n_bigrams,
+               round(exp(avg(-ln(c2::DOUBLE / c1))), 4) AS perplexity
+        FROM pairs JOIN bi USING (w1, w2) JOIN uni USING (w1)
+        GROUP BY doc_id
+    """,
+    # 5-token shingle overlap against the held-out benchmark slice
+    "decontaminate": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   [array_to_string(ts[i:i+4], ' ')
+                    FOR i IN generate_series(1, len(ts)-4)] AS shs
+            FROM toks
+        ), bench AS (
+            SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id % 29 = 0
+        )
+        SELECT d.doc_id,
+               (EXISTS (SELECT 1 FROM bench b
+                        WHERE list_contains(d.shs, b.s)))::BIGINT AS contaminated
+        FROM sh d
     """,
 }
 

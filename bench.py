@@ -55,6 +55,12 @@ BENCH_QUERIES = [
     "events_asof_order",
     "top_terms_per_lang",
     "tfidf_doc_scores",
+    # round-3 training-prep additions
+    "repetition_stats",
+    "sequence_pack",
+    "lm_perplexity",
+    "decontaminate",
+    "media_decode",
 ]
 
 

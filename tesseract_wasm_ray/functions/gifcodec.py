@@ -43,7 +43,13 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     """GIF-flavor LZW: codes are packed LSB-first, start at
     ``min_code_size + 1`` bits, grow after the dictionary fills the
     current width, and reset on the clear code.  Returns uint8 indices.
-    """
+
+    Expansion uses the position-reference trick: every dictionary
+    entry's string is, by construction, a CONTIGUOUS slice of the
+    already-decoded output (entry = prev's string + the first byte of
+    the string decoded right after it), so the table stores (position,
+    length) into ``out`` and each code expands as one numpy slice copy
+    — the Python loop runs per CODE, not per pixel."""
     clear = 1 << min_code_size
     eoi = clear + 1
     # bit reader over the whole concatenated sub-block stream
@@ -52,39 +58,26 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     ).ravel()
     pos = 0
     width = min_code_size + 1
+    n_bits = len(bits)
+    pows = 1 << np.arange(13, dtype=np.int64)
 
-    # dictionary as parent-pointer table: entry = (prefix_code, last_byte)
-    prefix = np.full(4096, -1, np.int32)
-    suffix = np.zeros(4096, np.uint8)
-    length = np.zeros(4096, np.int32)
-    for i in range(clear):
-        suffix[i] = i
-        length[i] = 1
+    # dictionary entry = slice of out: (start position, length);
+    # roots are synthesized inline
+    start = np.zeros(4096, np.int64)
+    length = np.zeros(4096, np.int64)
+    length[:clear] = 1
     next_code = eoi + 1
 
     out = np.empty(n_pixels, np.uint8)
     n_out = 0
     prev = -1
-
-    def read_code() -> int:
-        nonlocal pos
-        if pos + width > len(bits):
-            return eoi
-        v = int(bits[pos : pos + width] @ (1 << np.arange(width, dtype=np.int64)))
-        pos += width
-        return v
-
-    def expand(code: int) -> np.ndarray:
-        n = length[code]
-        seq = np.empty(n, np.uint8)
-        c = code
-        for i in range(n - 1, -1, -1):
-            seq[i] = suffix[c]
-            c = prefix[c]
-        return seq
+    prev_at = 0  # where prev's expansion was written
 
     while n_out < n_pixels:
-        code = read_code()
+        if pos + width > n_bits:
+            break  # truncated stream; raise below if pixels are missing
+        code = int(bits[pos : pos + width] @ pows[:width])
+        pos += width
         if code == clear:
             next_code = eoi + 1
             width = min_code_size + 1
@@ -92,27 +85,36 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
             continue
         if code == eoi:
             break
-        if prev < 0:
-            seq = expand(code)
+        at = n_out
+        if code < clear:  # root: single literal byte
+            out[n_out] = code
+            n_out += 1
         elif code < next_code:
-            seq = expand(code)
-            if next_code < 4096:
-                prefix[next_code] = prev
-                suffix[next_code] = seq[0]
-                length[next_code] = length[prev] + 1
-                next_code += 1
-        else:  # the KwKwK case: code == next_code
-            prev_seq = expand(prev)
-            seq = np.append(prev_seq, prev_seq[0])
-            if next_code < 4096:
-                prefix[next_code] = prev
-                suffix[next_code] = prev_seq[0]
-                length[next_code] = length[prev] + 1
-                next_code += 1
-        take = min(len(seq), n_pixels - n_out)
-        out[n_out : n_out + take] = seq[:take]
-        n_out += take
-        prev = code
+            s, ln = start[code], length[code]
+            take = min(ln, n_pixels - n_out)
+            out[n_out : n_out + take] = out[s : s + take]
+            n_out += take
+        elif prev >= 0 and code == next_code:  # KwKwK
+            # string = prev's string + its own first byte; prev's bytes
+            # end exactly at n_out, so source and dest never overlap
+            ln = length[prev] + 1
+            src = prev_at
+            take = min(ln - 1, n_pixels - n_out)
+            out[n_out : n_out + take] = out[src : src + take]
+            n_out += take
+            if n_out < n_pixels:
+                out[n_out] = out[src]
+            n_out += 1
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} > {next_code}")
+        if prev >= 0 and next_code < 4096:
+            # new entry = prev's string + first byte of this one —
+            # contiguous at prev_at because this string was written
+            # immediately after prev's
+            start[next_code] = prev_at
+            length[next_code] = length[prev] + 1
+            next_code += 1
+        prev, prev_at = code, at
         if next_code >= (1 << width) and width < 12:
             width += 1
     if n_out < n_pixels:

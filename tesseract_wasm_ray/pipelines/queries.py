@@ -776,17 +776,25 @@ def q_lm_perplexity(sf_dir: str):
                     "perplexity": pa.array([], pa.float64()),
                 }
             )
-        toks = flat.to_pylist()
+        enc = _single_chunk_q(pc.dictionary_encode(flat))
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_terms = len(enc.dictionary)
+        words = enc.dictionary.to_pylist()
         same = parents[1:] == parents[:-1]
-        # surprisal per bigram occurrence; the dict lookups run once
-        # per OCCURRENCE of a bigram but stay O(batch tokens) — the
-        # heavy part (log/mean) is numpy
-        surp = np.array(
+        comp = codes[:-1][same] * n_terms + codes[1:][same]
+        # Python dict lookups run once per DISTINCT bigram in the
+        # batch, then gather back to occurrences; log/mean are numpy
+        uniq, inv = np.unique(comp, return_inverse=True)
+        surp_u = np.array(
             [
-                -np.log(c2[(toks[i], toks[i + 1])] / c1[toks[i]])
-                for i in np.flatnonzero(same)
+                -np.log(
+                    c2[(words[u // n_terms], words[u % n_terms])]
+                    / c1[words[u // n_terms]]
+                )
+                for u in uniq
             ]
         )
+        surp = surp_u[inv] if len(uniq) else np.empty(0)
         bg_parents = parents[1:][same]
         n_bg = np.bincount(bg_parents, minlength=n_rows)
         sums = np.bincount(bg_parents, weights=surp, minlength=n_rows)

@@ -185,6 +185,28 @@ def _loadavg() -> float:
         return -1.0
 
 
+def _spin_worker(_i) -> int:
+    end = time.monotonic() + 1.0
+    n = 0
+    while time.monotonic() < end:
+        for _ in range(100_000):
+            n += 1
+    return n
+
+
+def _parallel_mips(nproc: int = 32) -> float:
+    """Aggregate spin throughput of ``nproc`` concurrent processes
+    (M iters/s).  THE host-noise signal that matters for a 32-cpu
+    bench: a single-process spin still gets one full core when
+    co-tenants steal the rest, so only the parallel aggregate exposes
+    a phase where fewer core-equivalents are actually available
+    (healthy on this 16-physical-core host: ~0.7 x nproc x single)."""
+    import multiprocessing as mp
+
+    with mp.Pool(nproc) as p:
+        return round(sum(p.map(_spin_worker, range(nproc))) / 1e6, 1)
+
+
 def run_default(
     sf_dir: str, num_cpus: int, headline_only: bool = False, n_docs: int | None = None
 ) -> dict:
@@ -192,6 +214,7 @@ def run_default(
     from tesseract_wasm_ray.pipelines.queries import QUERIES, sf_of
 
     load0, mips0 = _loadavg(), _spin_mips()
+    pmips0 = _parallel_mips(num_cpus)
     head = headline(sf_dir, num_cpus, n_docs=n_docs)
     qtimes: dict[str, float] = {}
     if not headline_only:
@@ -236,6 +259,8 @@ def run_default(
         "host_loadavg_end": _loadavg(),
         "host_spin_mips_start": mips0,
         "host_spin_mips_end": _spin_mips(),
+        "host_parallel_mips_start": pmips0,
+        "host_parallel_mips_end": _parallel_mips(num_cpus),
     }
     return out
 

@@ -736,6 +736,42 @@ def q_sequence_pack(sf_dir: str):
     )
 
 
+def q_global_rank(sf_dir: str):
+    """Global window rank — ``row_number() OVER (ORDER BY n_chars DESC,
+    doc_id)`` — an operator Ray Data lacks natively, composed with the
+    same bounded-histogram discipline as exact_group_quantiles: pass 1
+    collects the per-value counts of the LOW-CARDINALITY sort key
+    (driver holds |distinct n_chars| rows, NOT the corpus), turning the
+    cumulative histogram into a broadcast base-offset table; pass 2
+    hash-shuffles once on the value and assigns the within-value order
+    by doc_id + base offset per group.  No global sort of the data, no
+    driver materialization of rows."""
+    ds = _docs(sf_dir).map_batches(
+        lambda b: b.select(["doc_id", "n_chars"]), batch_format="pyarrow"
+    )
+    hist = ds.groupby("n_chars").aggregate(Count()).to_pandas()
+    hist = hist.sort_values("n_chars", ascending=False)
+    base = dict(
+        zip(hist["n_chars"], hist["count()"].cumsum().shift(fill_value=0).astype(int))
+    )
+
+    def rk(group: pa.Table) -> pa.Table:
+        g = group.take(pc.sort_indices(group, sort_keys=[("n_chars", "descending"), ("doc_id", "ascending")]))
+        nc = g.column("n_chars").to_numpy(zero_copy_only=False)
+        # within-call offsets restart at each distinct value (defensive
+        # multi-group handling, same convention as pack_sequences)
+        new = np.r_[True, nc[1:] != nc[:-1]]
+        seg = np.flatnonzero(new)
+        local = np.arange(len(nc)) - np.repeat(seg, np.diff(np.r_[seg, len(nc)]))
+        offs = np.array([base[v] for v in nc[seg]])
+        rank = np.repeat(offs, np.diff(np.r_[seg, len(nc)])) + local + 1
+        return g.append_column("rank", pa.array(rank.astype(np.int64), pa.int64()))
+
+    return ds.groupby("n_chars", num_partitions=4).map_groups(
+        rk, batch_format="pyarrow"
+    )
+
+
 def q_lm_perplexity(sf_dir: str):
     """Bigram-LM perplexity scoring (the CCNet-style quality signal:
     score each doc by a language model trained on the corpus itself).
@@ -1349,10 +1385,17 @@ def q_media_decode(sf_dir: str):
             }
         )
 
+    # autoscaling decode pool up to 8 actors: the compressed branches
+    # (PNG inflate+unfilter, JPEG Huffman+IDCT, GIF LZW) are CPU-bound
+    # Python/numpy — at sf0.1 ~6k pages through 2 actors measured 40s,
+    # through 8+ it's ~4x less.  The (4, 12) min/max keeps the pool
+    # schedulable in small sessions (a FIXED 8-actor pool consumes
+    # every CPU of an 8-cpu session and starves the upstream encode
+    # tasks — measured as a full deadlock in the oracle harness).
     decoded = decode_media(
         media.map_batches(as_payload, batch_format="pyarrow"),
-        concurrency=2,
-        batch_size=32,
+        concurrency=(4, 12),
+        batch_size=16,
     )
     thumbs = decoded.map_batches(
         lambda b: resize_nearest(b, 32, 32), batch_format="pyarrow"
@@ -1537,6 +1580,7 @@ QUERIES = {
     "sequence_pack": q_sequence_pack,
     "lm_perplexity": q_lm_perplexity,
     "decontaminate": q_decontaminate,
+    "global_rank": q_global_rank,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -1916,6 +1960,11 @@ ORACLE_SQL = {
                round(exp(avg(-ln(c2::DOUBLE / c1))), 4) AS perplexity
         FROM pairs JOIN bi USING (w1, w2) JOIN uni USING (w1)
         GROUP BY doc_id
+    """,
+    "global_rank": """
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank
+        FROM documents
     """,
     # 5-token shingle overlap against the held-out benchmark slice
     "decontaminate": r"""

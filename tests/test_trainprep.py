@@ -77,3 +77,32 @@ def test_decontaminate_planted_overlap(ray_session, tmp_path):
     assert out.loc[1] == 1
     assert out.loc[2] == 0
     assert out.loc[3] == 0
+
+
+def test_global_rank_matches_duckdb(ray_session, tmp_path):
+    import duckdb
+
+    from tesseract_wasm_ray.pipelines.queries import q_global_rank
+
+    rows = [(i, "x " * ((i * 7) % 13 + 1)) for i in range(60)]  # many ties
+    sf = _write_docs(tmp_path, rows)
+    got = (
+        q_global_rank(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[["doc_id", "n_chars", "rank"]]
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    exp = (
+        con.execute(
+            "SELECT doc_id, n_chars, row_number() OVER "
+            "(ORDER BY n_chars DESC, doc_id ASC) AS rank FROM documents"
+        )
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (got["rank"].to_numpy() == exp["rank"].to_numpy()).all()

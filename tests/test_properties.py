@@ -107,3 +107,57 @@ def test_explode_stitch_roundtrip_random_span_shapes(sizes):
     assert sorted(back.to_pylist(), key=lambda r: r["doc_id"]) == sorted(
         docs, key=lambda r: r["doc_id"]
     )
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.lists(st.integers(0, 30), max_size=40), min_size=1, max_size=8),
+    st.integers(2, 12),
+)
+def test_chunk_tokens_partitions_exactly(token_lists, chunk_size):
+    from tesseract_wasm_ray.functions.textstats import chunk_tokens
+
+    texts = [" ".join(f"w{x}" for x in toks) for toks in token_lists]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    df = chunk_tokens(t, chunk_size=chunk_size).to_pandas()
+    for i, toks in enumerate(token_lists):
+        sub = df[df.doc_id == i].sort_values("chunk_id")
+        # chunk ids are 0..k-1, all full except possibly the last,
+        # concatenation reproduces the token stream exactly
+        assert list(sub.chunk_id) == list(range(len(sub)))
+        assert (sub.n_chunk_tokens.iloc[:-1] == chunk_size).all() if len(sub) > 1 else True
+        rebuilt = " ".join(sub.chunk_text) if len(sub) else ""
+        assert rebuilt == " ".join(f"w{x}" for x in toks)
+        assert sub.n_chunk_tokens.sum() == len(toks)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(1, 50), min_size=1, max_size=60),
+    st.integers(10, 120),
+)
+def test_greedy_pack_scan_matches_row_reference(sizes, budget):
+    """The cumsum+searchsorted scan inside pack_sequences must equal the
+    row-by-row greedy recurrence for any sizes/budget."""
+    import numpy as np
+
+    cum = np.cumsum(sizes)
+    n = len(sizes)
+    seq = np.empty(n, np.int64)
+    i, s = 0, 0
+    while i < n:
+        base = cum[i - 1] if i else 0
+        j = int(np.searchsorted(cum, base + budget, side="right"))
+        j = max(j, i + 1)
+        seq[i:j] = s
+        s += 1
+        i = j
+    # reference recurrence
+    acc, ref_s, ref = 0, 0, []
+    for sz in sizes:
+        if acc and acc + sz > budget:
+            ref_s += 1
+            acc = 0
+        acc += sz
+        ref.append(ref_s)
+    assert seq.tolist() == ref

@@ -1327,14 +1327,17 @@ def q_media_decode(sf_dir: str):
     Huffman codec, functions/jpegcodec.py — lossy, which is safe here
     because the query output is metadata + thumbnail byte counts),
     another slice as GIF (from-scratch LZW codec with variable code
-    widths + dictionary resets, functions/gifcodec.py — lossless), the
-    other gray pages as binary PGM (P5) and RGBA pages as uncompressed
-    32-bit BMP; the actor pool then decodes all five from scratch
-    (pure numpy — see stages.multimodal) and resizes to 32x32
+    widths + dictionary resets, functions/gifcodec.py — lossless), a
+    third as TIFF (functions/tiffcodec.py — MSB/early-change LZW with
+    horizontal-differencing predictor for gray, PackBits for an RGBA
+    slice), the other gray pages as binary PGM (P5) and RGBA pages as
+    uncompressed 32-bit BMP; the actor pool then decodes all six from
+    scratch (pure numpy — see stages.multimodal) and resizes to 32x32
     thumbnails.  webp/audio/video remain stubbed per the driver brief
     (no codec libs here)."""
     from ..functions.gifcodec import encode_gif
     from ..functions.jpegcodec import encode_jpeg
+    from ..functions.tiffcodec import encode_tiff
     from ..stages.multimodal import (
         decode_media,
         encode_bmp,
@@ -1368,6 +1371,12 @@ def q_media_decode(sf_dir: str):
             elif c == 1 and crc % 5 == 2:
                 payloads.append(encode_gif(img))
                 codecs.append("gif")
+            elif c == 1 and crc % 5 == 3:
+                payloads.append(encode_tiff(img, compression="lzw", predictor=True))
+                codecs.append("tiff")
+            elif c == 4 and crc % 5 == 1:
+                payloads.append(encode_tiff(img, compression="packbits"))
+                codecs.append("tiff")
             elif c == 1:
                 payloads.append(encode_pnm(img))
                 codecs.append("pgm")

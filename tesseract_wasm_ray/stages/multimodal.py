@@ -7,9 +7,11 @@ feature extraction, frame slicing) are REAL numpy implementations, and
 so are the BMP (uncompressed 24/32-bit) and binary PNM (P5/P6)
 container decoders, the PNG codec (chunk parse + stdlib-zlib inflate +
 per-row unfilter), the baseline JPEG codec (8x8 DCT + Huffman
-entropy coding, functions/jpegcodec.py) and the GIF codec (full LZW
+entropy coding, functions/jpegcodec.py), the GIF codec (full LZW
 with variable code widths + dictionary resets, functions/gifcodec.py)
-— all real compressed formats, from scratch.  The remaining codecs (webp/audio/video) are
+and the TIFF codec (PackBits RLE + TIFF-flavor MSB/early-change LZW +
+predictor 2, functions/tiffcodec.py) — all real compressed formats,
+from scratch.  The remaining codecs (webp/audio/video) are
 STUBBED (no codec libs in this container — driver brief): they raise
 ``NotImplementedError`` unless ``fake="deterministic"``, which produces
 a seeded synthetic raster so the Ray-side plumbing (schema, batch
@@ -36,7 +38,7 @@ RAW_CODECS = {"raw", "raw-rgba", "raw-gray"}
 # functions/jpegcodec.py).  WAV is REAL too but is audio, handled by
 # AudioFeatureActor / functions/wavcodec.py — a wav payload reaching
 # the IMAGE decode actor is a mis-typed row and stays stub-gated here.
-REAL_CODECS = {"bmp", "pnm", "pgm", "ppm", "png", "jpeg", "gif"}
+REAL_CODECS = {"bmp", "pnm", "pgm", "ppm", "png", "jpeg", "gif", "tiff"}
 STUB_CODECS = {"webp", "mp3", "wav", "h264"}
 
 
@@ -303,6 +305,10 @@ class MediaDecodeActor:
                     from ..functions.gifcodec import decode_gif
 
                     img = decode_gif(payloads[i].as_py())
+                elif codec == "tiff":
+                    from ..functions.tiffcodec import decode_tiff
+
+                    img = decode_tiff(payloads[i].as_py())
                 else:
                     img = decode_pnm(payloads[i].as_py())
                 heights[i], widths[i], channels[i] = (

@@ -397,3 +397,93 @@ def test_gif_rejects_garbage():
 
     with pytest.raises(ValueError):
         decode_gif(b"NOTAGIF" + b"\x00" * 32)
+
+
+def test_tiff_roundtrip_matrix():
+    import numpy as np
+
+    from tesseract_wasm_ray.functions.tiffcodec import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(5)
+    for c in (1, 3, 4):
+        for comp in ("none", "packbits", "lzw"):
+            for pred in (False, True):
+                img = rng.integers(0, 256, (19, 31, c), dtype=np.uint8)
+                rt = decode_tiff(encode_tiff(img, compression=comp, predictor=pred))
+                assert rt.shape == img.shape
+                assert np.array_equal(rt, img), (c, comp, pred)
+
+
+def test_tiff_lzw_compresses_and_resets():
+    import numpy as np
+
+    from tesseract_wasm_ray.functions.tiffcodec import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    img = np.tile(np.arange(200, dtype=np.uint8), 300).reshape(100, 600, 1)
+    enc = encode_tiff(img, compression="lzw")
+    assert len(enc) < img.size // 4  # genuinely compressed
+    assert np.array_equal(decode_tiff(enc), img)
+    # long noisy stream exercises the 4094 dictionary reset
+    rng = np.random.default_rng(6)
+    big = rng.integers(0, 256, 150_000).astype(np.uint8)
+    assert np.array_equal(_lzw_decode_tiff(_lzw_encode_tiff(big), len(big)), big)
+
+
+def test_tiff_big_endian_and_white_is_zero():
+    import struct
+
+    import numpy as np
+
+    from tesseract_wasm_ray.functions.tiffcodec import decode_tiff
+
+    w, h = 3, 2
+    px = np.arange(6, dtype=np.uint8).reshape(h, w, 1)
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 0), (273, 4, 1, None), (277, 3, 1, 1), (278, 4, 1, h),
+        (279, 4, 1, w * h),
+    ]
+    strip_off = 8 + 2 + len(entries) * 12 + 4
+    out = bytearray(struct.pack(">2sHI", b"MM", 42, 8))
+    out += struct.pack(">H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if tag == 273:
+            val = strip_off
+        if typ == 3:  # SHORT inline values are left-justified in MM
+            out += struct.pack(">HHI", tag, typ, cnt)
+            out += struct.pack(">H", val) + b"\x00\x00"
+        else:
+            out += struct.pack(">HHII", tag, typ, cnt, val)
+    out += struct.pack(">I", 0)
+    out += px.tobytes()
+    assert np.array_equal(decode_tiff(bytes(out)), 255 - px)
+
+
+def test_tiff_rejects_garbage():
+    import pytest
+
+    from tesseract_wasm_ray.functions.tiffcodec import decode_tiff
+
+    with pytest.raises(ValueError):
+        decode_tiff(b"XX" + b"\x00" * 16)
+
+
+def test_tiff_packbits_run_length_mod_128_tail():
+    """Regression: a uniform run of length 128k+1 leaves a 1-byte tail
+    that must be emitted as a literal (257-1 overflows a byte)."""
+    import numpy as np
+
+    from tesseract_wasm_ray.functions.tiffcodec import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    for n in (129, 257, 128, 130, 385):
+        row = np.full(n, 42, np.uint8)
+        enc = _packbits_encode(row)
+        assert np.array_equal(_packbits_decode(enc, n), row), n

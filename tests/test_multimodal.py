@@ -487,3 +487,48 @@ def test_tiff_packbits_run_length_mod_128_tail():
         row = np.full(n, 42, np.uint8)
         enc = _packbits_encode(row)
         assert np.array_equal(_packbits_decode(enc, n), row), n
+
+
+def test_decode_actor_gif_and_tiff_branches(ray_session):
+    """GIF and TIFF payloads flow through the decode actor pool
+    end-to-end; decoded dims override metadata."""
+    import ray.data as rd
+
+    from tesseract_wasm_ray.functions.gifcodec import encode_gif
+    from tesseract_wasm_ray.functions.tiffcodec import encode_tiff
+    from tesseract_wasm_ray.stages.multimodal import decode_media
+
+    rng = np.random.default_rng(56)
+    gray = rng.integers(0, 256, (9, 7, 1), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (5, 11, 4), dtype=np.uint8)
+    ds = rd.from_arrow(
+        pa.Table.from_pylist(
+            [
+                {
+                    "media_ref": "m-gif",
+                    "payload": encode_gif(gray),
+                    "codec": "gif",
+                    "width": 1,
+                    "height": 1,
+                    "channels": 1,
+                },
+                {
+                    "media_ref": "m-tiff",
+                    "payload": encode_tiff(rgba, compression="packbits"),
+                    "codec": "tiff",
+                    "width": 1,
+                    "height": 1,
+                    "channels": 1,
+                },
+            ]
+        )
+    )
+    out = (
+        decode_media(ds, concurrency=1, batch_size=4)
+        .to_pandas()
+        .set_index("media_ref")
+    )
+    assert out.loc["m-gif", ["width", "height", "channels"]].tolist() == [7, 9, 1]
+    assert bytes(out.loc["m-gif", "pixels"]) == gray.tobytes()
+    assert out.loc["m-tiff", ["width", "height", "channels"]].tolist() == [11, 5, 4]
+    assert bytes(out.loc["m-tiff", "pixels"]) == rgba.tobytes()

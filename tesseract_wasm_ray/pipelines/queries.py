@@ -772,6 +772,77 @@ def q_global_rank(sf_dir: str):
     )
 
 
+def q_heavy_hitters(sf_dir: str, k: int = 30):
+    """Distributed heavy hitters (terms with global frequency >
+    total_tokens/k) via the two-pass sketch-then-verify pattern — the
+    shape that works when the vocabulary does NOT fit a groupby at
+    corpus scale:
+
+    1. candidate pass: each batch emits only terms with batch count >
+       batch_tokens/k.  Pigeonhole guarantees this is a SUPERSET of
+       the global heavy hitters (a term ≤ the threshold in every batch
+       is ≤ it globally), and each batch emits at most k-1 candidates,
+       so the collected candidate set is bounded by k x n_blocks
+       before dedup — independent of vocabulary size.
+    2. verify pass: broadcast the candidate set, count ONLY candidate
+       occurrences per batch (Arrow is_in + bincount), sum, and apply
+       the exact global threshold.  Result is exact, not approximate.
+    """
+    from ..functions.textstats import _tokens
+
+    def candidates(b: pa.Table) -> pa.Table:
+        flat, parents, _ = _tokens(_single_chunk_q(b.column("text")))
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], pa.string())})
+        enc = _single_chunk_q(pc.dictionary_encode(flat))
+        cnt = np.bincount(enc.indices.to_numpy(zero_copy_only=False))
+        keep = np.flatnonzero(cnt > len(flat) / k)
+        return pa.table({"term": enc.dictionary.take(pa.array(keep))})
+
+    cand = (
+        _docs(sf_dir)
+        .map_batches(candidates, batch_format="pyarrow")
+        .to_pandas()["term"]
+        .unique()
+    )
+    cand_arr = pa.array(sorted(cand), pa.string())
+    cand_idx = {t: i for i, t in enumerate(cand_arr.to_pylist())}
+
+    def verify(b: pa.Table) -> pa.Table:
+        flat, _, _ = _tokens(_single_chunk_q(b.column("text")))
+        n_tok = len(flat)
+        counts = np.zeros(len(cand_arr), np.int64)
+        if n_tok:
+            m = pc.is_in(flat, value_set=cand_arr).to_numpy(zero_copy_only=False)
+            if m.any():
+                hits = flat.filter(pa.array(m))
+                enc = _single_chunk_q(pc.dictionary_encode(hits))
+                local = np.bincount(enc.indices.to_numpy(zero_copy_only=False))
+                for t, c in zip(enc.dictionary.to_pylist(), local):
+                    counts[cand_idx[t]] += int(c)
+        return pa.table(
+            {
+                "term": cand_arr,
+                "cnt": pa.array(counts, pa.int64()),
+                "n_tok": pa.array(np.full(len(cand_arr), n_tok), pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(verify, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt"), Sum("n_tok"))
+        .to_pandas()
+    )
+    total = int(agg["sum(n_tok)"].iloc[0]) if len(agg) else 0
+    out = agg[agg["sum(cnt)"] > total / k][["term", "sum(cnt)"]].rename(
+        columns={"sum(cnt)": "cnt"}
+    )
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def q_lm_perplexity(sf_dir: str):
     """Bigram-LM perplexity scoring (the CCNet-style quality signal:
     score each doc by a language model trained on the corpus itself).
@@ -1590,6 +1661,7 @@ QUERIES = {
     "lm_perplexity": q_lm_perplexity,
     "decontaminate": q_decontaminate,
     "global_rank": q_global_rank,
+    "heavy_hitters": q_heavy_hitters,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -1974,6 +2046,17 @@ ORACLE_SQL = {
         SELECT doc_id, n_chars,
                row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank
         FROM documents
+    """,
+    # exact heavy hitters: terms with global frequency > total/30
+    "heavy_hitters": r"""
+        WITH toks AS (
+            SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+            FROM documents
+        ), tot AS (SELECT count(*) AS n FROM toks)
+        SELECT term, count(*)::BIGINT AS cnt
+        FROM toks, tot
+        GROUP BY term, n
+        HAVING count(*) > n / 30.0
     """,
     # 5-token shingle overlap against the held-out benchmark slice
     "decontaminate": r"""

@@ -106,3 +106,26 @@ def test_global_rank_matches_duckdb(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert (got["rank"].to_numpy() == exp["rank"].to_numpy()).all()
+
+
+def test_heavy_hitters_exact_vs_bruteforce(ray_session, tmp_path):
+    from collections import Counter
+
+    from tesseract_wasm_ray.pipelines.queries import q_heavy_hitters
+
+    # skewed corpus: 'hot' terms dominate, long tail of rare terms
+    rows = []
+    for i in range(40):
+        toks = (["hot"] * 6 + ["warm"] * 3 + [f"rare{i}_{j}" for j in range(4)])
+        rows.append((i, " ".join(toks)))
+    sf = _write_docs(tmp_path, rows)
+    got = q_heavy_hitters(sf, k=10).set_index("term")["cnt"]
+
+    counts = Counter()
+    for _, text in rows:
+        counts.update(text.lower().split())
+    total = sum(counts.values())
+    expect = {t: c for t, c in counts.items() if c > total / 10}
+    assert dict(got) == expect
+    assert "hot" in got.index and "warm" in got.index
+    assert not any(t.startswith("rare") for t in got.index)

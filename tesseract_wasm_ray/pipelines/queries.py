@@ -66,8 +66,13 @@ def corpus_for(sf_dir: str, n_docs: int | None = None) -> dict[str, str]:
     return generate_corpus(os.path.join(FIXTURE_ROOT, f"n{n_docs}"), n_docs)
 
 
-def _docs(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+def _docs(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Documents read with column pruning at the parquet scan — pass
+    only the columns the query touches (the text column is ~80% of the
+    table's bytes, so a stats-only query should never read it)."""
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
 
 
 def _round(t: pa.Table, cols: dict[str, int]) -> pa.Table:
@@ -88,7 +93,7 @@ def _rename(t: pa.Table, mapping: dict[str, str]) -> pa.Table:
 
 def q_doc_token_stats(sf_dir: str):
     """Token counting (whitespace + BPE-ish regex) per document."""
-    return _docs(sf_dir).map_batches(
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         lambda b: token_count(b).select(["doc_id", "n_tokens", "n_bpe_tokens"]),
         batch_format="pyarrow",
     )
@@ -103,12 +108,12 @@ def q_doc_quality(sf_dir: str):
         )
         return _round(t, {"distinct_ratio": 6, "mean_token_len": 6})
 
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
 def q_doc_fingerprint(sf_dir: str):
     """md5 exact-dup fingerprints (DuckDB md5 parity)."""
-    return _docs(sf_dir).map_batches(
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         lambda b: fingerprint(b).select(["doc_id", "md5"]), batch_format="pyarrow"
     )
 
@@ -116,7 +121,7 @@ def q_doc_fingerprint(sf_dir: str):
 def q_lang_stats(sf_dir: str):
     """Group-aggregate over the lang column."""
     out = (
-        _docs(sf_dir)
+        _docs(sf_dir, columns=["lang", "n_chars"])
         .groupby("lang")
         .aggregate(Count(), Sum("n_chars"), Mean("n_chars"))
         .to_pandas()
@@ -134,14 +139,14 @@ def q_lang_stats(sf_dir: str):
 
 def q_exact_dedup(sf_dir: str):
     """Exact dedup: min doc_id survivor per distinct text."""
-    return exact_dedup(_docs(sf_dir), num_buckets=16).map_batches(
+    return exact_dedup(_docs(sf_dir, columns=["doc_id", "text"]), num_buckets=16).map_batches(
         lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"
     )
 
 
 def q_dedup_prefix(sf_dir: str):
     """Clustered dedup on a 24-char text prefix (exercises real groups)."""
-    ds = _docs(sf_dir).map_batches(
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         lambda b: pa.table(
             {
                 "doc_id": b.column("doc_id"),
@@ -263,7 +268,7 @@ def q_sample_docs(sf_dir: str):
         )
         return b.filter(keep).select(["doc_id", "n_chars"])
 
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _docs(sf_dir, columns=["doc_id", "text", "n_chars"]).map_batches(fn, batch_format="pyarrow")
 
 
 def q_filter_project(sf_dir: str):
@@ -273,12 +278,12 @@ def q_filter_project(sf_dir: str):
         m = pc.and_(pc.greater(b.column("n_chars"), 300), pc.equal(b.column("lang"), "en"))
         return b.filter(m).select(["doc_id", "lang", "n_chars"])
 
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _docs(sf_dir, columns=["doc_id", "lang", "n_chars"]).map_batches(fn, batch_format="pyarrow")
 
 
 def q_distinct_sources(sf_dir: str):
     """DISTINCT over two columns (set op): unique (lang, source) pairs."""
-    ds = _docs(sf_dir).map_batches(
+    ds = _docs(sf_dir, columns=["lang", "source"]).map_batches(
         lambda b: b.select(["lang", "source"]), batch_format="pyarrow"
     )
 
@@ -297,7 +302,7 @@ def q_top_docs_per_lang(sf_dir: str):
     """Per-group top-k (window rank): the 2 longest docs per lang
     (n_chars desc, doc_id asc tie-break) — grouped vectorized take; the
     oracle uses row_number() OVER (PARTITION BY ...)."""
-    ds = _docs(sf_dir).map_batches(
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"]).map_batches(
         lambda b: b.select(["doc_id", "lang", "n_chars"]), batch_format="pyarrow"
     )
 
@@ -316,7 +321,7 @@ def q_top_docs_per_lang(sf_dir: str):
 
 def q_top_long_docs(sf_dir: str):
     """Sort + limit: 10 longest documents (doc_id tie-break)."""
-    ds = _docs(sf_dir).map_batches(
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"]).map_batches(
         lambda b: b.select(["doc_id", "n_chars"]), batch_format="pyarrow"
     )
     return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
@@ -555,7 +560,7 @@ def q_top_terms_per_lang(sf_dir: str):
     from ..functions.textstats import term_counts
 
     counts = (
-        _docs(sf_dir)
+        _docs(sf_dir, columns=["lang", "text"])
         .map_batches(
             lambda b: term_counts(b, "text", "lang"), batch_format="pyarrow"
         )
@@ -601,7 +606,7 @@ def q_pattern_scrub(sf_dir: str):
             }
         )
 
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
 def q_quantity_band_join(sf_dir: str):
@@ -651,7 +656,7 @@ def q_dataset_split(sf_dir: str):
         return pa.table({"lang": b.column("lang"), "split": split})
 
     return (
-        _docs(sf_dir)
+        _docs(sf_dir, columns=["lang", "text"])
         .map_batches(assign, batch_format="pyarrow")
         .groupby(["lang", "split"])
         .aggregate(Count())
@@ -667,7 +672,7 @@ def q_repetition_stats(sf_dir: str):
     .repetition_stats; vectorized bincount/run-boundary kernels)."""
     from ..functions.textstats import repetition_stats
 
-    return _docs(sf_dir).map_batches(
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         lambda b: repetition_stats(b).select(
             ["doc_id", "n_tokens", "top_unigram_frac", "dup_bigram_frac", "keep"]
         ),
@@ -682,7 +687,7 @@ def q_doc_chunks(sf_dir: str):
     shuffle: chunking is embarrassingly parallel per block."""
     from ..functions.textstats import chunk_tokens
 
-    return _docs(sf_dir).map_batches(
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         lambda b: chunk_tokens(b, chunk_size=32), batch_format="pyarrow"
     )
 
@@ -704,7 +709,7 @@ def q_domain_cap(sf_dir: str):
             {"doc_id": b.column("doc_id"), "source": b.column("source"), "__k": k}
         )
 
-    ds = _docs(sf_dir).map_batches(key, batch_format="pyarrow")
+    ds = _docs(sf_dir, columns=["doc_id", "source", "text"]).map_batches(key, batch_format="pyarrow")
 
     def cap(group: pa.Table) -> pa.Table:
         import pandas as pd
@@ -730,7 +735,7 @@ def q_sequence_pack(sf_dir: str):
     def fn(b: pa.Table) -> pa.Table:
         return token_count(b).select(["doc_id", "source", "n_tokens"])
 
-    ds = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    ds = _docs(sf_dir, columns=["doc_id", "source", "text"]).map_batches(fn, batch_format="pyarrow")
     return pack_sequences(
         ds, group_col="source", order_col="doc_id", size_col="n_tokens", budget=256
     )
@@ -746,7 +751,7 @@ def q_global_rank(sf_dir: str):
     hash-shuffles once on the value and assigns the within-value order
     by doc_id + base offset per group.  No global sort of the data, no
     driver materialization of rows."""
-    ds = _docs(sf_dir).map_batches(
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"]).map_batches(
         lambda b: b.select(["doc_id", "n_chars"]), batch_format="pyarrow"
     )
     hist = ds.groupby("n_chars").aggregate(Count()).to_pandas()
@@ -800,7 +805,7 @@ def q_heavy_hitters(sf_dir: str, k: int = 30):
         return pa.table({"term": enc.dictionary.take(pa.array(keep))})
 
     cand = (
-        _docs(sf_dir)
+        _docs(sf_dir, columns=["text"])
         .map_batches(candidates, batch_format="pyarrow")
         .to_pandas()["term"]
         .unique()
@@ -829,7 +834,7 @@ def q_heavy_hitters(sf_dir: str, k: int = 30):
         )
 
     agg = (
-        _docs(sf_dir)
+        _docs(sf_dir, columns=["text"])
         .map_batches(verify, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum("cnt"), Sum("n_tok"))
@@ -859,7 +864,7 @@ def q_lm_perplexity(sf_dir: str):
     from ..functions.textstats import _tokens, bigram_partials
 
     lm = (
-        _docs(sf_dir)
+        _docs(sf_dir, columns=["text"])
         .map_batches(lambda b: bigram_partials(b), batch_format="pyarrow")
         .groupby(["w1", "w2"])
         .aggregate(Sum("cnt"))
@@ -917,7 +922,7 @@ def q_lm_perplexity(sf_dir: str):
             }
         )
 
-    return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(score, batch_format="pyarrow")
 
 
 def q_decontaminate(sf_dir: str):
@@ -961,7 +966,7 @@ def q_decontaminate(sf_dir: str):
         return pa.table({"s": pc.unique(sh)})
 
     bench = (
-        _docs(sf_dir)
+        _docs(sf_dir, columns=["doc_id", "text"])
         .map_batches(bench_shingles, batch_format="pyarrow")
         .to_pandas()["s"]
         .unique()
@@ -982,7 +987,7 @@ def q_decontaminate(sf_dir: str):
             }
         )
 
-    return _docs(sf_dir).map_batches(flag, batch_format="pyarrow")
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(flag, batch_format="pyarrow")
 
 
 def q_audio_features(sf_dir: str):
@@ -1162,7 +1167,7 @@ def _doc_freq(sf_dir: str) -> rd.Dataset:
         )
 
     return (
-        _docs(sf_dir)
+        _docs(sf_dir, columns=["doc_id", "text"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum("df"))
@@ -1200,7 +1205,7 @@ def q_tfidf_doc_scores(sf_dir: str):
     from ..functions.textstats import _tokens
 
     df_tbl = _doc_freq(sf_dir).to_pandas()
-    n_docs = _docs(sf_dir).count()
+    n_docs = _docs(sf_dir, columns=["doc_id"]).count()
     idf = {
         t: _math.log(n_docs / d) for t, d in zip(df_tbl["term"], df_tbl["df"])
     }
@@ -1228,7 +1233,7 @@ def q_tfidf_doc_scores(sf_dir: str):
             }
         )
 
-    return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(score, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -1512,7 +1517,7 @@ def q_media_features(sf_dir: str):
 
 def q_minhash_dedup(sf_dir: str):
     return minhash_lsh_dedup(
-        _docs(sf_dir), threshold=0.8, num_buckets=16, join_partitions=8
+        _docs(sf_dir, columns=["doc_id", "text"]), threshold=0.8, num_buckets=16, join_partitions=8
     ).map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
 
 
@@ -1520,19 +1525,19 @@ def q_minhash_components_dedup(sf_dir: str):
     """MinHash near-dup with connected-components clustering (one
     survivor per transitive near-dup cluster)."""
     return minhash_lsh_dedup(
-        _docs(sf_dir), threshold=0.8, num_buckets=16, cluster="components"
+        _docs(sf_dir, columns=["doc_id", "text"]), threshold=0.8, num_buckets=16, cluster="components"
     ).map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
 
 
 def q_simhash_dedup(sf_dir: str):
     return simhash_dedup(
-        _docs(sf_dir), max_hamming=3, num_buckets=16, join_partitions=8
+        _docs(sf_dir, columns=["doc_id", "text"]), max_hamming=3, num_buckets=16, join_partitions=8
     ).map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
 
 
 def q_ngram_jaccard_dedup(sf_dir: str):
     return ngram_jaccard_dedup(
-        _docs(sf_dir), threshold=0.8, num_buckets=16, join_partitions=8
+        _docs(sf_dir, columns=["doc_id", "text"]), threshold=0.8, num_buckets=16, join_partitions=8
     ).map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
 
 
@@ -1575,7 +1580,7 @@ def q_embedding_neardup(sf_dir: str):
 
 
 def q_langid(sf_dir: str):
-    return _docs(sf_dir).map_batches(
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         lambda b: _round(
             detect_language(b).select(["doc_id", "lang_pred", "lang_score"]),
             {"lang_score": 6},
@@ -1585,7 +1590,7 @@ def q_langid(sf_dir: str):
 
 
 def q_rolling_fingerprint(sf_dir: str):
-    return _docs(sf_dir).map_batches(
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         lambda b: fingerprint(b).select(["doc_id", "rolling_hash"]),
         batch_format="pyarrow",
     )

@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "sequence_pack",
     "lm_perplexity",
     "decontaminate",
+    "global_rank",
+    "heavy_hitters",
     "media_decode",
 ]
 

@@ -341,3 +341,47 @@ SELECT doc_id,
        (CASE WHEN v >= {half}::HUGEINT THEN v - {_M64}::HUGEINT ELSE v END)::BIGINT AS rolling_hash
 FROM r
 """
+
+
+def sql_curate(threshold: float = 0.8) -> str:
+    """End-to-end curation chain recomputed in SQL: MinHash near-dedup
+    survivors (the full sketch chain from ``_minhash_sketch_cte``) ->
+    Gopher-style repetition filter (rounded thresholds, mirroring
+    textstats.repetition_stats) -> md5-prefix train/val/test split ->
+    per-split (docs, tokens) rollup."""
+    return rf"""
+WITH {_minhash_sketch_cte(threshold)},
+removed AS (SELECT DISTINCT hi AS doc_id FROM verified),
+surv AS (
+    SELECT doc_id, text FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+),
+rtoks AS (
+    SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS ts FROM surv
+),
+rbi AS (
+    SELECT doc_id, text, ts,
+           [ts[i] || ' ' || ts[i+1] FOR i IN generate_series(1, len(ts)-1)] AS bg
+    FROM rtoks
+),
+rep AS (
+    SELECT doc_id, text, len(ts) AS n_tokens,
+           round(list_max(list_transform(list_distinct(ts),
+                 u -> len(list_filter(ts, x -> x = u))))::DOUBLE
+                 / greatest(len(ts), 1), 6) AS top_frac,
+           round(CASE WHEN len(bg) = 0 THEN 0.0
+                 ELSE 1.0 - len(list_distinct(bg))::DOUBLE / len(bg) END,
+                 6) AS dup_frac
+    FROM rbi
+),
+kept AS (
+    SELECT doc_id, text, n_tokens FROM rep
+    WHERE top_frac <= 0.12 AND dup_frac <= 0.05
+)
+SELECT CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+            WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens
+FROM kept GROUP BY 1
+"""

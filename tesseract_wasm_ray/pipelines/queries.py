@@ -777,6 +777,54 @@ def q_global_rank(sf_dir: str):
     )
 
 
+def q_curate(sf_dir: str):
+    """End-to-end curation capstone — the chain a training-data team
+    actually runs, composed from this engine's own operators in ONE
+    streaming pipeline: MinHash+LSH near-dedup (sketch-only shuffle,
+    distributed verify) -> Gopher-style repetition filter (vectorized,
+    map-side) -> deterministic md5-prefix train/val/test split ->
+    per-split (docs, tokens) rollup.  Everything between the dedup
+    shuffle and the tiny final groupby is embarrassingly parallel; no
+    driver materialization anywhere.  The oracle recomputes the WHOLE
+    chain in SQL (oracles.sql_curate: full MinHash sketch CTE +
+    bigram-list repetition metrics + split cases)."""
+    from ..functions.textstats import repetition_stats
+
+    surv = minhash_lsh_dedup(
+        _docs(sf_dir, columns=["doc_id", "text"]),
+        threshold=0.8,
+        num_buckets=16,
+        join_partitions=8,
+    )
+
+    def stage(b: pa.Table) -> pa.Table:
+        r = repetition_stats(b)
+        keep = r.filter(pc.equal(r.column("keep"), 1))
+        texts = keep.column("text").to_pylist()
+        pfx = [hashlib.md5((t or "").encode()).hexdigest()[:2] for t in texts]
+        split = pa.array(
+            ["train" if p < "cc" else "val" if p < "e6" else "test" for p in pfx],
+            pa.string(),
+        )
+        return pa.table({"split": split, "n_tokens": keep.column("n_tokens")})
+
+    return (
+        surv.map_batches(stage, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(Count(), Sum("n_tokens"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "split": b.column("split"),
+                    "n_docs": pc.cast(b.column("count()"), pa.int64()),
+                    "total_tokens": pc.cast(b.column("sum(n_tokens)"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def q_heavy_hitters(sf_dir: str, k: int = 30):
     """Distributed heavy hitters (terms with global frequency >
     total_tokens/k) via the two-pass sketch-then-verify pattern — the
@@ -1667,6 +1715,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "global_rank": q_global_rank,
     "heavy_hitters": q_heavy_hitters,
+    "curate": q_curate,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -2184,5 +2233,6 @@ ORACLE_SQL.update(
         "ivf_topk_cosine": _orc.sql_ivf_topk(k=10),
         "langid": _orc.sql_langid(),
         "rolling_fingerprint": _orc.sql_rolling_fingerprint(),
+        "curate": _orc.sql_curate(threshold=0.8),
     }
 )

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "global_rank",
     "heavy_hitters",
+    "curate",
     "media_decode",
 ]
 

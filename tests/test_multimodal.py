@@ -532,3 +532,32 @@ def test_decode_actor_gif_and_tiff_branches(ray_session):
     assert bytes(out.loc["m-gif", "pixels"]) == gray.tobytes()
     assert out.loc["m-tiff", ["width", "height", "channels"]].tolist() == [11, 5, 4]
     assert bytes(out.loc["m-tiff", "pixels"]) == rgba.tobytes()
+
+
+def test_gif_local_color_table_frame():
+    """A frame carrying its own LOCAL color table (no GCT) decodes via
+    the LCT; a non-gray LCT yields RGB output."""
+    import struct
+
+    import numpy as np
+
+    from tesseract_wasm_ray.functions import gifcodec as g
+
+    idx = np.array([[0, 1], [1, 0]], np.uint8)
+    lct = np.zeros((2, 3), np.uint8)
+    lct[0] = (255, 0, 0)
+    lct[1] = (0, 0, 255)
+    # pad LCT to a power-of-two size of 2 (field 0 -> 2 entries)
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x00, 0, 0)  # no GCT
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0x80)  # LCT flag, size 0
+    out += lct.tobytes()
+    out.append(2)  # min code size (min allowed by our encoder path is 2)
+    stream = g._lzw_encode(idx.ravel(), 2)
+    out.append(len(stream))
+    out += stream
+    out.append(0)
+    out.append(0x3B)
+    dec = g.decode_gif(bytes(out))
+    assert dec.shape == (2, 2, 3)
+    assert tuple(dec[0, 0]) == (255, 0, 0) and tuple(dec[0, 1]) == (0, 0, 255)

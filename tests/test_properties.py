@@ -161,3 +161,34 @@ def test_greedy_pack_scan_matches_row_reference(sizes, budget):
         acc += sz
         ref.append(ref_s)
     assert seq.tolist() == ref
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.integers(0, 2**32 - 1),
+)
+def test_gif_roundtrip_property(w, h, seed):
+    from tesseract_wasm_ray.functions.gifcodec import decode_gif, encode_gif
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 1), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 32),
+    st.integers(1, 32),
+    st.sampled_from([1, 3, 4]),
+    st.sampled_from(["none", "packbits", "lzw"]),
+    st.booleans(),
+    st.integers(0, 2**32 - 1),
+)
+def test_tiff_roundtrip_property(w, h, c, comp, pred, seed):
+    from tesseract_wasm_ray.functions.tiffcodec import decode_tiff, encode_tiff
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, c), dtype=np.uint8)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(img, compression=comp, predictor=pred)), img
+    )

@@ -52,14 +52,13 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     — the Python loop runs per CODE, not per pixel."""
     clear = 1 << min_code_size
     eoi = clear + 1
-    # bit reader over the whole concatenated sub-block stream
-    bits = np.unpackbits(
-        np.frombuffer(data, np.uint8)[:, None], axis=1, bitorder="little"
-    ).ravel()
+    # bit reader over the whole concatenated sub-block stream: one
+    # 3-byte little-endian window per code (7 pad + 12 code = 19 bits
+    # <= 24) — a single C-level int op instead of a numpy slice+dot.
+    buf = data + b"\x00\x00"
     pos = 0
     width = min_code_size + 1
-    n_bits = len(bits)
-    pows = 1 << np.arange(13, dtype=np.int64)
+    n_bits = len(data) * 8
 
     # dictionary entry = slice of out: (start position, length);
     # roots are synthesized inline
@@ -76,7 +75,10 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     while n_out < n_pixels:
         if pos + width > n_bits:
             break  # truncated stream; raise below if pixels are missing
-        code = int(bits[pos : pos + width] @ pows[:width])
+        i = pos >> 3
+        code = (
+            int.from_bytes(buf[i : i + 3], "little") >> (pos & 7)
+        ) & ((1 << width) - 1)
         pos += width
         if code == clear:
             next_code = eoi + 1

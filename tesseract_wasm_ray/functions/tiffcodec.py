@@ -129,9 +129,11 @@ _EOI = 257
 
 
 def _lzw_decode_tiff(data: bytes, n_out: int) -> np.ndarray:
-    bits = np.unpackbits(np.frombuffer(data, np.uint8))
-    n_bits = len(bits)
-    pows = 1 << np.arange(12, -1, -1, dtype=np.int64)
+    # MSB-first bit reader: one 3-byte big-endian window per code
+    # (7 pad + 12 code = 19 bits <= 24) — a single C-level int op
+    # instead of a numpy slice+dot per code.
+    buf = data + b"\x00\x00"
+    n_bits = len(data) * 8
     pos = 0
     width = 9
     start = np.zeros(4096, np.int64)
@@ -146,7 +148,10 @@ def _lzw_decode_tiff(data: bytes, n_out: int) -> np.ndarray:
     while n_written < n_out:
         if pos + width > n_bits:
             break
-        code = int(bits[pos : pos + width] @ pows[13 - width :])
+        i = pos >> 3
+        code = (
+            int.from_bytes(buf[i : i + 3], "big") >> (24 - width - (pos & 7))
+        ) & ((1 << width) - 1)
         pos += width
         if code == _CLEAR:
             next_code = _EOI + 1

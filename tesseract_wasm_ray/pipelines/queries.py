@@ -1518,16 +1518,15 @@ def q_media_decode(sf_dir: str):
             }
         )
 
-    # autoscaling decode pool up to 8 actors: the compressed branches
-    # (PNG inflate+unfilter, JPEG Huffman+IDCT, GIF LZW) are CPU-bound
-    # Python/numpy — at sf0.1 ~6k pages through 2 actors measured 40s,
-    # through 8+ it's ~4x less.  The (4, 12) min/max keeps the pool
-    # schedulable in small sessions (a FIXED 8-actor pool consumes
-    # every CPU of an 8-cpu session and starves the upstream encode
-    # tasks — measured as a full deadlock in the oracle harness).
+    # Task-pool decode (decode_media's default): the codecs are
+    # stateless, and at sf0.1 the task pool measured 4.7 s where actor
+    # pools measured 13-15 s at every size from 12 to 28 actors (Ray
+    # 2.49's ActorPoolMapOperator ramps/queues too slowly for many
+    # sub-second tasks).  Tasks also can't starve upstream encode the
+    # way a fixed pool did in 8-cpu sessions (measured deadlock,
+    # RAY_NOTES.md).
     decoded = decode_media(
         media.map_batches(as_payload, batch_format="pyarrow"),
-        concurrency=(4, 12),
         batch_size=16,
     )
     thumbs = decoded.map_batches(

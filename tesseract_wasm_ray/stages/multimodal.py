@@ -342,9 +342,32 @@ class MediaDecodeActor:
         )
 
 
-def decode_media(ds, fake: str | None = None, concurrency: int = 4, batch_size: int = 16):
-    """Wire the decode actor pool: small batches (wide rows), one CPU
-    per actor."""
+def decode_media(
+    ds,
+    fake: str | None = None,
+    concurrency: int | tuple | None = None,
+    batch_size: int = 16,
+):
+    """Wire the decode stage: small batches (wide rows), one CPU per
+    worker.
+
+    Default is a plain TASK pool: the from-scratch codecs are
+    stateless (the only per-process state, the JPEG Huffman LUT cache,
+    lives in a module-level ``lru_cache`` that Ray's reused worker
+    processes keep warm), and at sf0.1 the task pool measured 4.7 s
+    where an actor pool measured 13-15 s at EVERY size from 12 to 28
+    actors — Ray 2.49's ActorPoolMapOperator ramps up and queues too
+    slowly for many sub-second tasks.  Pass ``concurrency`` to get the
+    actor-pool shape instead — the right wiring when decode holds real
+    per-worker state (a codec library handle, a GPU context): setup in
+    ``__init__`` once per actor, work per batch."""
+    if concurrency is None:
+        return ds.map_batches(
+            MediaDecodeActor(fake=fake),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
     return ds.map_batches(
         MediaDecodeActor,
         fn_constructor_kwargs={"fake": fake},

@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "curate",
     "media_decode",
+    # round-3 retrieval additions
+    "text_search",
+    "emb_topk_q8",
 ]
 
 

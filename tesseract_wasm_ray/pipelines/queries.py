@@ -25,6 +25,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Mean, Sum
 
@@ -339,6 +340,48 @@ def q_emb_topk(sf_dir: str):
         dtype=np.float64,
     )
     return topk_cosine(ds, q, k=10, round_to=5)
+
+
+def q_emb_topk_q8(sf_dir: str):
+    """int8-quantized cosine top-10 vs the vec_id=0 embedding — the
+    4x-smaller-bytes scale path (similarity.topk_cosine_q8).  Integer
+    scores, so the oracle match is exact, not rounded."""
+    from .similarity import topk_cosine_q8
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path)
+    import pyarrow.parquet as pq
+
+    t0 = pq.read_table(path, columns=["vec_id", "embedding"])
+    q = np.asarray(
+        t0.filter(pc.equal(t0.column("vec_id"), 0)).column("embedding")[0].as_py(),
+        dtype=np.float64,
+    )
+    return topk_cosine_q8(ds, q, k=10)
+
+
+def q_text_search(sf_dir: str):
+    """On-disk inverted index + storage-pruned term search
+    (pipelines.textindex): build term-bucketed postings under /tmp,
+    then score docs by total tf over a fixed term set reading ONLY the
+    terms' buckets.  Returns the materialized top-20 so the index dir
+    can be reclaimed before the caller consumes the result."""
+    import shutil
+    import tempfile
+
+    from .textindex import build_text_index, search_text_index
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    idx_dir = tempfile.mkdtemp(prefix="twr_textindex_")
+    try:
+        build_text_index(ds, idx_dir, num_buckets=32)
+        out = search_text_index(
+            idx_dir, ["join", "shuffle", "spark", "window"], k=20
+        ).to_pandas()
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    out["score"] = out["score"].astype("int64")
+    return out
 
 
 def q_tpch_q1(sf_dir: str):
@@ -1293,7 +1336,17 @@ def _extract_cfg() -> ExtractConfig:
     from ..tuning import apply_data_context_tuning
 
     apply_data_context_tuning()
-    return ExtractConfig(ocr_concurrency=4, ocr_batch_size=64, num_buckets=16, join_partitions=8)
+    # Size the OCR pool to the session: 0.5-cpu actors, logical claim
+    # ~3/8 of the CPUs so feeding reads/explodes keep running (a
+    # saturating pool starves upstream — RAY_NOTES.md), capped at 24
+    # (past the host's 16 physical cores the SMT wall regresses
+    # throughput; measured in BASELINE.md).  At the driver's 8-cpu
+    # oracle sessions this stays at the old conc=4 shape.
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    conc = max(4, min(24, (cpus * 3) // 4))
+    return ExtractConfig(
+        ocr_concurrency=conc, ocr_batch_size=64, num_buckets=16, join_partitions=8
+    )
 
 
 def q_extract_flagship(sf_dir: str):
@@ -1690,6 +1743,8 @@ QUERIES = {
     "filter_project": q_filter_project,
     "user_sessions": q_user_sessions,
     "emb_topk_cosine": q_emb_topk,
+    "emb_topk_q8": q_emb_topk_q8,
+    "text_search": q_text_search,
     "tpch_q1": q_tpch_q1,
     "mktsegment_orders": q_mktsegment_orders,
     "events_asof_order": q_events_asof_order,
@@ -1829,6 +1884,38 @@ ORACLE_SQL = {
                      (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 5) AS cos_sim
         FROM embeddings e
         ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
+    """,
+    # Recomputes the int8 quantizer from scratch: scale = max(|x|)
+    # (floored at 1e-30), q = floor(x * 127.0 / scale + 0.5) — the
+    # SAME deterministic rule and fp64 evaluation order as
+    # similarity.quantize_q8, so integer scores match exactly.
+    "emb_topk_q8": """
+        WITH scaled AS (
+            SELECT vec_id, embedding,
+                   greatest(list_max(list_transform(embedding, y -> abs(y))), 1e-30) AS mx
+            FROM embeddings
+        ), quant AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> floor(x * 127.0 / mx + 0.5)) AS qv
+            FROM scaled
+        )
+        SELECT d.vec_id,
+               CAST(list_dot_product(d.qv, (SELECT qv FROM quant WHERE vec_id = 0)) AS BIGINT) AS qscore
+        FROM quant d
+        ORDER BY qscore DESC, d.vec_id ASC LIMIT 10
+    """,
+    # Same tokenizer contract as top_terms_per_lang: lowercase
+    # whitespace split, empties dropped (moot here — query terms are
+    # non-empty).  Scoring = total tf over the term set.
+    "text_search": """
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+            FROM documents
+        )
+        SELECT doc_id, count(*)::BIGINT AS score
+        FROM toks WHERE term IN ('join', 'shuffle', 'spark', 'window')
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT 20
     """,
     "tpch_q1": """
         SELECT l_returnflag, l_linestatus,

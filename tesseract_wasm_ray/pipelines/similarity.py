@@ -213,6 +213,70 @@ def ivf_topk(
     return partials.sort(["cos_sim", id_col], descending=[True, False]).limit(k)
 
 
+def quantize_q8(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-vector int8 quantization: scale = max(|v_i|),
+    q_i = floor(v_i * 127 / scale + 0.5).
+
+    floor(x + 0.5), NOT round-half-even: the DuckDB oracle recomputes
+    the quantizer as ``floor(x * 127.0 / mx + 0.5)`` and the two
+    engines must agree on every element, so both use the same
+    deterministic rule with the same fp64 evaluation order
+    ``(v * 127.0) / scale``.  Inputs are upcast to float64 FIRST —
+    float32 arithmetic would round differently from SQL's DOUBLE."""
+    m = np.asarray(m, dtype=np.float64)
+    scale = np.maximum(np.abs(m).max(axis=1), 1e-30)
+    q = np.floor(m * 127.0 / scale[:, None] + 0.5).astype(np.int64)
+    return q, scale
+
+
+def topk_cosine_q8(
+    ds: rd.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Approximate top-k over int8-quantized embeddings — the 100 TB
+    memory/bandwidth lever: a quantized corpus is 4x smaller than
+    float32 (16x vs float64) in the object store and in every shuffle,
+    and the scoring matmul is an integer dot product.
+
+    Ranking is on the integer quantized score ``qscore = q_doc . q_query``
+    (exact arithmetic — no fp tie ambiguity), deterministic tie-break
+    ascending id; the DuckDB oracle mirrors the quantizer bit-for-bit
+    (see quantize_q8).  Same partial-merge shape as topk_cosine: each
+    batch emits a tie-safe candidate cut, one small global sort."""
+    qv = np.asarray(query, dtype=np.float64).reshape(1, -1)
+    qq = quantize_q8(qv)[0][0]
+    q_ref = ray.put(qq)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch, emb_col)
+        if m.shape[0] == 0:
+            return pa.table(
+                {id_col: pa.array([], batch.column(id_col).type),
+                 "qscore": pa.array([], pa.int64())}
+            )
+        qd = quantize_q8(m)[0]
+        score = qd @ ray.get(q_ref)
+        kk = min(k, len(score))
+        kth = -np.partition(-score, kk - 1)[kk - 1]
+        cand = np.flatnonzero(score >= kth)
+        ids_np = batch.column(id_col).to_numpy(zero_copy_only=False)
+        order = cand[np.lexsort((ids_np[cand], -score[cand]))][:kk]
+        return pa.table(
+            {
+                id_col: _single_chunk(batch.column(id_col)).take(
+                    pa.array(order, pa.int64())
+                ),
+                "qscore": pa.array(score[order], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.sort(["qscore", id_col], descending=[True, False]).limit(k)
+
+
 def _topk_rows(
     sims: np.ndarray,
     my_ids: np.ndarray,

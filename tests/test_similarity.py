@@ -175,3 +175,32 @@ def test_knn_auto_switches_to_cells(emb_ds):
     ).to_pandas()
     # 300 rows > 50 -> cells path; full probe -> complete result.
     assert len(out) == 300 * 2
+
+
+def test_quantize_q8_rule():
+    from tesseract_wasm_ray.pipelines.similarity import quantize_q8
+
+    m = np.array([[0.5, -1.0, 0.25], [0.0, 0.0, 0.0]], dtype=np.float32)
+    q, s = quantize_q8(m)
+    # scale = 1.0 -> floor(x*127 + 0.5)
+    assert q[0].tolist() == [64, -127, 32]
+    assert s[0] == 1.0
+    # zero vector: scale floored at 1e-30, all-zero codes (no NaN/crash)
+    assert q[1].tolist() == [0, 0, 0]
+
+
+def test_topk_cosine_q8_matches_numpy(emb_ds):
+    from tesseract_wasm_ray.pipelines.similarity import quantize_q8, topk_cosine_q8
+
+    ds, mat = emb_ds
+    q = mat[7].astype(np.float64)
+    got = topk_cosine_q8(ds, q, k=10).to_pandas()
+    qd, _ = quantize_q8(mat.astype(np.float64))
+    qq = quantize_q8(q.reshape(1, -1))[0][0]
+    score = qd @ qq
+    order = np.lexsort((np.arange(len(score)), -score))[:10]
+    assert got["vec_id"].tolist() == order.tolist()
+    assert got["qscore"].tolist() == score[order].tolist()
+    # quantized ranking tracks exact cosine closely: top-1 must agree
+    exact, _ = _oracle_topk(mat, q, 1)
+    assert got["vec_id"].iloc[0] == exact[0]

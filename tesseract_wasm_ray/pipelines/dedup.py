@@ -439,9 +439,19 @@ def anti_join_ids(
       dup ids to the corpus schema, union, hash-bucket by id, and filter
       inside each bucket group.  One corpus-wide shuffle, same movement
       a hash join would cost, but robust to empty partitions.
+    - ``bloom``: the 100 TB middle path — build a FIXED-size (16 MB
+      default) bloom bitmap over the dup ids (distributed, tree-OR
+      combine), broadcast it once, and let every corpus batch probe it
+      vectorized.  No false negatives, so bloom MISSES are definitely
+      not dups and pass straight through with NO shuffle; only the hit
+      subset (true dups + the small false-positive tail) runs the
+      exact bucketed anti-join.  The corpus scans twice (miss branch +
+      hit branch share lineage), which at scale is the right trade:
+      scans are cheap and column-pruned, the all-to-all isn't.  Result
+      is EXACT — the bloom only routes, the bucketed join decides.
     - ``auto`` (default): stream dup ids as for broadcast, but stop at
       ``broadcast_byte_cap`` accumulated Arrow bytes and switch to the
-      shuffle plan — the caller never has to know the dup-set size up
+      bloom plan — the caller never has to know the dup-set size up
       front.  (The switch re-executes the dup-id plan; ids are sketch-
       sized next to the corpus, so the recompute is cheap relative to
       the shuffle it gates.)
@@ -462,11 +472,11 @@ def anti_join_ids(
 
                     logging.getLogger(__name__).info(
                         "anti_join_ids[auto]: dup-id stream exceeded %d bytes; "
-                        "switching to bucketed shuffle",
+                        "switching to bloom-routed bucketed shuffle",
                         cap,
                     )
                     return anti_join_ids(
-                        ds, dup_ids, id_col, "shuffle", num_buckets
+                        ds, dup_ids, id_col, "bloom", num_buckets
                     )
         dup_arr = (
             pa.concat_arrays(chunks)
@@ -488,6 +498,42 @@ def anti_join_ids(
             return batch.filter(mask)
 
         return ds.map_batches(filt, batch_format="pyarrow")
+
+    if strategy == "bloom":
+        bloom = build_bloom(dup_ids, id_col)
+        m_bits = len(bloom) << 6
+        bloom_ref = ray.put(bloom)
+
+        def probe_mask(batch: pa.Table) -> np.ndarray:
+            """True where the bloom reports a possible dup.  Null ids
+            hash like '' but are forced to MISS so they pass through
+            the no-shuffle branch (anti-join never drops null ids)."""
+            words = ray.get(bloom_ref)
+            ids = _single_chunk(batch.column(id_col))
+            h1, h2 = _bloom_h12(ids)
+            w, bit = _bloom_word_bit(h1, h2, 7, m_bits)
+            hit_all = (
+                (words[w] & bit) != 0
+            ).reshape(batch.num_rows, -1).all(axis=1)
+            nulls = pc.is_null(ids).to_numpy(zero_copy_only=False)
+            return hit_all & ~nulls
+
+        def keep_misses(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            return batch.filter(pa.array(~probe_mask(batch)))
+
+        def keep_hits(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            return batch.filter(pa.array(probe_mask(batch)))
+
+        misses = ds.map_batches(keep_misses, batch_format="pyarrow")
+        candidates = ds.map_batches(keep_hits, batch_format="pyarrow")
+        checked = anti_join_ids(
+            candidates, dup_ids, id_col, "shuffle", num_buckets
+        )
+        return misses.union(checked)
 
     if strategy != "shuffle":
         raise ValueError(f"unknown anti-join strategy {strategy!r}")
@@ -549,6 +595,91 @@ def anti_join_ids(
         .groupby("__bucket", num_partitions=min(num_buckets, 32))
         .map_groups(filter_group, batch_format="pyarrow")
     )
+
+
+def _bloom_h12(ids: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent uint64 base hashes per id for double-hashed
+    bloom probes (Kirsch-Mitzenmacher: h_i = h1 + i*h2).  Int ids mix
+    vectorized (splitmix-style, two odd constants); other types hash
+    their utf-8 repr with C-level crc32/adler32 — one Python pass per
+    row, probe arithmetic stays numpy.  Null ids hash as the empty
+    string (they are never dropped anyway — see anti_join_ids)."""
+    if pa.types.is_integer(ids.type):
+        k = ids.to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h1 = k * np.uint64(0x9E3779B97F4A7C15)
+            h1 ^= h1 >> np.uint64(31)
+            h2 = k * np.uint64(0xC2B2AE3D27D4EB4F) + np.uint64(0x165667B19E3779F9)
+            h2 ^= h2 >> np.uint64(29)
+        return h1, h2 | np.uint64(1)
+    enc = [("" if v is None else str(v)).encode() for v in ids.to_pylist()]
+    h1 = np.array([zlib.crc32(s) for s in enc], np.uint64)
+    h2 = np.array([zlib.adler32(s) for s in enc], np.uint64)
+    with np.errstate(over="ignore"):
+        h1 = (h1 * np.uint64(0x9E3779B97F4A7C15)) ^ (h1 >> np.uint64(13))
+        h2 = (h2 * np.uint64(0xC2B2AE3D27D4EB4F)) ^ (h2 >> np.uint64(11))
+    return h1, h2 | np.uint64(1)
+
+
+def _bloom_word_bit(
+    h1: np.ndarray, h2: np.ndarray, k_hashes: int, m_bits: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(n,) base hashes -> (n*k,) word indices + bit masks."""
+    i = np.arange(k_hashes, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        pos = (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)
+    pos = pos.ravel()
+    return (pos >> np.uint64(6)).astype(np.int64), np.uint64(1) << (pos & np.uint64(63))
+
+
+def build_bloom(
+    ids_ds: rd.Dataset,
+    id_col: str,
+    m_bits: int = 1 << 27,
+    k_hashes: int = 7,
+    combine_partitions: int = 16,
+) -> np.ndarray:
+    """Distributed bloom build over an id Dataset -> packed uint64
+    bitmap (m_bits/8 bytes, e.g. 16 MB at the default — a FIXED-size
+    broadcast no matter how many ids).  Each block folds its ids into
+    a local bitmap; bitmaps OR-combine in one grouped tree level so
+    the driver ORs ``combine_partitions`` arrays, not one per block."""
+    n_words = m_bits >> 6
+
+    def block_bitmap(b: pa.Table) -> pa.Table:
+        words = np.zeros(n_words, np.uint64)
+        if id_col in b.column_names and b.num_rows:
+            h1, h2 = _bloom_h12(_single_chunk(b.column(id_col)))
+            w, bit = _bloom_word_bit(h1, h2, k_hashes, m_bits)
+            np.bitwise_or.at(words, w, bit)
+        return pa.table(
+            {
+                "__part": pa.array(
+                    [zlib.crc32(words.tobytes()) % combine_partitions], pa.int32()
+                ),
+                "bitmap": pa.array([words.tobytes()], pa.binary()),
+            }
+        )
+
+    def or_group(g: pa.Table) -> pa.Table:
+        acc = np.zeros(n_words, np.uint64)
+        for buf in g.column("bitmap").to_pylist():
+            acc |= np.frombuffer(buf, np.uint64)
+        return pa.table(
+            {"__part": g.column("__part").slice(0, 1),
+             "bitmap": pa.array([acc.tobytes()], pa.binary())}
+        )
+
+    parts = (
+        ids_ds.map_batches(block_bitmap, batch_format="pyarrow")
+        .groupby("__part", num_partitions=combine_partitions)
+        .map_groups(or_group, batch_format="pyarrow")
+        .take_all()
+    )
+    acc = np.zeros(n_words, np.uint64)
+    for row in parts:
+        acc |= np.frombuffer(row["bitmap"], np.uint64)
+    return acc
 
 
 def _sig_matrix(t: pa.Table, col: str) -> np.ndarray:

@@ -204,16 +204,16 @@ def test_anti_join_preserves_null_id_rows(ray_session):
         )
     )
     dups = rd.from_arrow(pa.table({"doc_id": pa.array([3], pa.int64())}))
-    for strategy in ("broadcast", "shuffle", "auto"):
+    for strategy in ("broadcast", "shuffle", "bloom", "auto"):
         out = anti_join_ids(ds, dups, "doc_id", strategy=strategy).to_pandas()
         assert len(out) == 2, strategy
         assert "null-id survives" in set(out["text"]), strategy
 
 
-def test_anti_join_auto_switches_to_shuffle(ray_session, caplog):
-    """'auto' broadcasts small dup sets but must flip to the bucketed
-    shuffle plan once the streamed dup-id bytes exceed the cap — same
-    result either way."""
+def test_anti_join_auto_switches_to_bloom(ray_session, caplog):
+    """'auto' broadcasts small dup sets but must flip to the bloom-routed
+    plan once the streamed dup-id bytes exceed the cap — same result
+    either way."""
     import logging
 
     import ray.data as rd
@@ -235,14 +235,14 @@ def test_anti_join_auto_switches_to_shuffle(ray_session, caplog):
         out = anti_join_ids(
             ds, dups, "doc_id", strategy="auto", broadcast_byte_cap=64
         ).to_pandas()
-    assert any("switching to bucketed shuffle" in r.message for r in caplog.records)
+    assert any("switching to bloom-routed" in r.message for r in caplog.records)
     assert sorted(out["doc_id"]) == list(range(1, 200, 2))
 
     # Under the cap: stays broadcast (no switch logged), same answer.
     caplog.clear()
     with caplog.at_level(logging.INFO, logger="tesseract_wasm_ray.pipelines.dedup"):
         out2 = anti_join_ids(ds, dups, "doc_id", strategy="auto").to_pandas()
-    assert not any("switching to bucketed shuffle" in r.message for r in caplog.records)
+    assert not any("switching to bloom-routed" in r.message for r in caplog.records)
     assert sorted(out2["doc_id"]) == list(range(1, 200, 2))
 
 
@@ -353,3 +353,63 @@ def test_chain_fallback_beyond_exact_cap(monkeypatch):
     t = pa.table({"val": pa.array(vals, pa.int64())})
     got = dd._run_dup_rows(t, keys, _mod_verify)
     assert np.array_equal(got, np.arange(1, L))
+
+
+def test_bloom_anti_join_exact(ray_session):
+    """Bloom routing never changes the answer: planted dup sets over
+    int and string ids produce exactly the shuffle-strategy result."""
+    import ray.data as rd
+
+    from tesseract_wasm_ray.pipelines.dedup import anti_join_ids
+
+    # int ids
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(5000), pa.int64()),
+                  "text": pa.array([f"t{i}" for i in range(5000)])})
+    )
+    dups = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(0, 5000, 7), pa.int64())})
+    )
+    out = anti_join_ids(ds, dups, "doc_id", strategy="bloom").to_pandas()
+    assert sorted(out["doc_id"]) == [i for i in range(5000) if i % 7]
+
+    # string ids + a null
+    ids = [f"doc-{i:04d}" for i in range(400)] + [None]
+    ds2 = rd.from_arrow(
+        pa.Table.from_pylist(
+            [{"doc_id": d, "text": str(d)} for d in ids],
+            schema=pa.schema([("doc_id", pa.string()), ("text", pa.string())]),
+        )
+    )
+    dups2 = rd.from_arrow(
+        pa.table({"doc_id": pa.array([f"doc-{i:04d}" for i in range(0, 400, 3)])})
+    )
+    out2 = anti_join_ids(ds2, dups2, "doc_id", strategy="bloom").to_pandas()
+    survivors = {d for d in ids if d is not None and int(d[4:]) % 3}
+    got = set(out2["doc_id"].dropna())
+    assert got == survivors
+    assert out2["doc_id"].isna().sum() == 1  # null id passes through
+
+
+def test_build_bloom_no_false_negatives(ray_session):
+    import ray.data as rd
+
+    from tesseract_wasm_ray.pipelines.dedup import (
+        _bloom_h12,
+        _bloom_word_bit,
+        build_bloom,
+    )
+
+    ids = pa.array(range(0, 10000, 3), pa.int64())
+    bloom = build_bloom(
+        rd.from_arrow(pa.table({"doc_id": ids})), "doc_id", m_bits=1 << 20
+    )
+    h1, h2 = _bloom_h12(ids)
+    w, bit = _bloom_word_bit(h1, h2, 7, 1 << 20)
+    assert ((bloom[w] & bit) != 0).all(), "members must always hit"
+    # false-positive rate sane at this sizing (~3.3k ids in 1M bits)
+    probe = pa.array(range(1, 100000, 3), pa.int64())
+    h1, h2 = _bloom_h12(probe)
+    w, bit = _bloom_word_bit(h1, h2, 7, 1 << 20)
+    fp = ((bloom[w] & bit) != 0).reshape(len(probe), -1).all(axis=1).mean()
+    assert fp < 0.01, fp

@@ -385,3 +385,91 @@ SELECT CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
        sum(n_tokens)::BIGINT AS total_tokens
 FROM kept GROUP BY 1
 """
+
+
+def _xorshift(expr: str, s: int) -> str:
+    """uint64 ``x ^ (x >> s)`` on a HUGEINT-held value."""
+    return f"xor({expr}, ({expr}) // (1::HUGEINT << {s}))"
+
+
+def _mul64_mod(expr: str, const: int) -> str:
+    """Low 64 bits of ``expr * const`` for a ~2**64 constant, via
+    32-bit half products (a full INT128 product of two 64-bit operands
+    overflows): lo64(a*b) = a_lo*b_lo + ((a_lo*b_hi + a_hi*b_lo) mod
+    2**32) << 32, all mod 2**64."""
+    b_lo, b_hi = const & 0xFFFFFFFF, const >> 32
+    a = f"({expr})"
+    return (
+        f"((({a} % 4294967296) * {b_lo}::HUGEINT"
+        f" + ((({a} % 4294967296) * {b_hi}::HUGEINT"
+        f"     + ({a} // 4294967296) * {b_lo}::HUGEINT) % 4294967296)"
+        f"   * 4294967296::HUGEINT) % {_M64}::HUGEINT)"
+    )
+
+
+def sql_approx_distinct_users(p: int = 9) -> str:
+    """DuckDB re-computation of the full HyperLogLog chain in
+    pipelines/approx.py:approx_distinct — FNV-1a over the value's
+    decimal string, top-p register index, leading-zero rank via
+    ``length(bin(w))`` (exact, no float log), max-merge per register,
+    exact-integer 2**(scale-M) inner sum in HUGEINT, one double
+    division, linear-counting small-range branch.  Constants and
+    operation order mirror hll_estimate exactly."""
+    m = 1 << p
+    wp = 64 - p              # width of the rho field
+    scale = wp + 1           # max register value; 2**(scale-M) integral
+    alpha = f"(0.7213 / (1 + 1.079 / {m}.0))"
+    _MIX_C1 = 0xFF51AFD7ED558CCD
+    _MIX_C2 = 0xC4CEB9FE1A85EC53
+    return f"""
+WITH vals AS (
+    SELECT DISTINCT event_type, user_id::VARCHAR AS s FROM events
+),
+h AS (
+    SELECT event_type,
+           list_reduce(
+               list_prepend({_FNV_OFF}::HUGEINT,
+                            list_transform(string_split_regex(s, ''),
+                                           c -> unicode(c)::HUGEINT)),
+               (acc, c) -> (xor(acc, c) * {_FNV_PRIME}::HUGEINT) % {_M64}::HUGEINT
+           ) AS hv
+    FROM vals
+),
+-- murmur3 fmix64 finalizer (mirrors approx._mix64): FNV-1a alone has
+-- weak high-bit avalanche on short keys, which skews HLL registers.
+-- The 64x64->low-64 multiply is split into 32-bit halves because the
+-- full product of two ~2**64 operands overflows INT128.
+mx1 AS (SELECT event_type, {_mul64_mod(_xorshift('hv', 33), _MIX_C1)} AS hv FROM h),
+mx2 AS (SELECT event_type, {_mul64_mod(_xorshift('hv', 33), _MIX_C2)} AS hv FROM mx1),
+mx AS (SELECT event_type, {_xorshift('hv', 33)} AS hv FROM mx2),
+rr AS (
+    SELECT event_type,
+           (hv // (1::HUGEINT << {wp}))::INTEGER AS reg,
+           hv % (1::HUGEINT << {wp}) AS w
+    FROM mx
+),
+regs AS (
+    SELECT event_type, reg,
+           max(CASE WHEN w = 0 THEN {scale}
+                    ELSE {wp} - length(bin(w::BIGINT)) + 1 END) AS mr
+    FROM rr GROUP BY 1, 2
+),
+agg AS (
+    SELECT event_type,
+           sum(1::HUGEINT << ({scale} - mr)) AS s_present,
+           count(*) AS n_present
+    FROM regs GROUP BY 1
+),
+est AS (
+    SELECT event_type,
+           ({m} - n_present) AS v_zero,
+           {alpha} * {m} * {m}
+             / ((s_present + ({m} - n_present) * (1::HUGEINT << {scale}))::DOUBLE
+                / (1::HUGEINT << {scale})::DOUBLE) AS e
+    FROM agg
+)
+SELECT event_type,
+       round(CASE WHEN e <= 2.5 * {m} AND v_zero > 0
+                  THEN {m} * ln({m}.0 / v_zero) ELSE e END, 3) AS approx_distinct
+FROM est
+"""

@@ -868,6 +868,20 @@ def q_curate(sf_dir: str):
     )
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate distinct users per event type — the
+    fixed-size-sketch COUNT(DISTINCT) whose shuffle is O(keys x 2**p)
+    rows per block regardless of input size.  Deterministic FNV
+    hashing makes the DuckDB oracle exact (full sketch recomputed in
+    SQL), not a tolerance check."""
+    from .approx import approx_distinct
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    return approx_distinct(ds, "event_type", "user_id", p=9)
+
+
 def q_heavy_hitters(sf_dir: str, k: int = 30):
     """Distributed heavy hitters (terms with global frequency >
     total_tokens/k) via the two-pass sketch-then-verify pattern — the
@@ -1722,6 +1736,20 @@ def q_knn_join(sf_dir: str):
     )
 
 
+def q_knn_join_cells(sf_dir: str):
+    """Distributed IVF-cell k-NN self-join (no broadcast index).  With
+    nprobe == n_centroids every query probes every cell, so recall is
+    exactly 1 and the brute-force SQL oracle gates it bit-for-bit —
+    bench.py exercises the pruned nprobe < n_centroids scale path."""
+    from .similarity import knn_self_join_cells
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = knn_self_join_cells(ds, k=3, n_centroids=8, nprobe=8)
+    return out.map_batches(
+        lambda b: _round(b, {"cos_sim": 5}), batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # catalogue + oracles
 # ---------------------------------------------------------------------------
@@ -1769,6 +1797,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "global_rank": q_global_rank,
     "heavy_hitters": q_heavy_hitters,
+    "approx_distinct_users": q_approx_distinct_users,
     "curate": q_curate,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
@@ -1791,6 +1820,7 @@ QUERIES = {
     "rolling_fingerprint": q_rolling_fingerprint,
     "ivf_topk_cosine": q_ivf_topk,
     "knn_self_join": q_knn_join,
+    "knn_self_join_cells": q_knn_join_cells,
 }
 
 _TOK = r"\S+"
@@ -2316,9 +2346,11 @@ ORACLE_SQL.update(
         "ngram_jaccard_dedup": _orc.sql_ngram_jaccard_dedup(threshold=0.8, shingle_n=3),
         "embedding_neardup": _orc.sql_embedding_neardup(threshold=0.98),
         "knn_self_join": _orc.sql_knn_self_join(k=3),
+        "knn_self_join_cells": _orc.sql_knn_self_join(k=3),
         "ivf_topk_cosine": _orc.sql_ivf_topk(k=10),
         "langid": _orc.sql_langid(),
         "rolling_fingerprint": _orc.sql_rolling_fingerprint(),
         "curate": _orc.sql_curate(threshold=0.8),
+        "approx_distinct_users": _orc.sql_approx_distinct_users(p=9),
     }
 )

@@ -473,3 +473,93 @@ SELECT event_type,
                   THEN {m} * ln({m}.0 / v_zero) ELSE e END, 3) AS approx_distinct
 FROM est
 """
+
+
+def _kmeans_ctes(k: int, iters: int, scale: int, base: str = "embeddings") -> str:
+    """CTE chain re-running pipelines/clustering.py's integer Lloyd's
+    bit-for-bit: float64 quantization, md5-min seeds, exact BIGINT
+    squared-distance argmin with (dist, cid) tie-break, truncated
+    integer-division centroid update (DuckDB ``//`` truncates toward
+    zero; the pipeline's _trunc_div mirrors that), empty clusters
+    keeping their previous centroid.  ``iters`` update rounds plus the
+    final assignment ``af`` — integer state makes the chain exact
+    regardless of join/aggregation order."""
+
+    def assign_cte(name: str, cfrom: str) -> str:
+        return f"""{name} AS (
+    SELECT vec_id, qv, cid FROM (
+        SELECT e.vec_id, e.qv, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(e.qv, c.cv),
+                                           p -> (p[1]-p[2])*(p[1]-p[2]))),
+                   c.cid) AS rn
+        FROM qz e CROSS JOIN {cfrom} c
+    ) WHERE rn = 1
+)"""
+
+    ctes = [
+        f"""qz AS (
+    SELECT vec_id,
+           list_transform(embedding, v -> (floor(v::DOUBLE * {scale} + 0.5))::BIGINT) AS qv
+    FROM {base}
+)""",
+        f"""seeds AS (
+    SELECT vec_id, qv,
+           row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid
+    FROM qz QUALIFY cid < {k}
+)""",
+        "c0 AS (SELECT cid, qv AS cv FROM seeds)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(assign_cte(f"a{t}", f"c{t-1}"))
+        ctes.append(
+            f"""s{t} AS (
+    SELECT cid, i, sum(v)::BIGINT AS sv
+    FROM (SELECT cid, generate_subscripts(qv, 1) AS i, unnest(qv) AS v FROM a{t})
+    GROUP BY cid, i
+)"""
+        )
+        ctes.append(
+            f"n{t} AS (SELECT cid, count(*)::BIGINT AS n FROM a{t} GROUP BY cid)"
+        )
+        ctes.append(
+            f"""c{t} AS (
+    SELECT prev.cid, coalesce(nc.cv, prev.cv) AS cv
+    FROM c{t-1} prev LEFT JOIN (
+        SELECT s.cid, list(s.sv // n.n ORDER BY s.i) AS cv
+        FROM s{t} s JOIN n{t} n USING (cid) GROUP BY s.cid, n.n
+    ) nc USING (cid)
+)"""
+        )
+    ctes.append(assign_cte("af", f"c{iters}"))
+    return ",\n".join(ctes)
+
+
+def sql_kmeans_clusters(k: int = 8, iters: int = 4, scale: int = 1000) -> str:
+    """Exact integer k-means assignment over the embeddings table."""
+    return f"""
+WITH {_kmeans_ctes(k, iters, scale)}
+SELECT vec_id, cid::INTEGER AS cluster FROM af
+"""
+
+
+def sql_semdedup(
+    k: int = 8, iters: int = 4, threshold: float = 0.98, scale: int = 1000
+) -> str:
+    """SemDeDup over the planted-copy augmentation: the SAME integer
+    k-means chain (clusters are bit-identical between engines), then
+    EXISTS within-cluster cosine removal — float compares rely on the
+    planted-vs-natural threshold margin, like sql_embedding_neardup."""
+    return f"""
+WITH {EMB_AUG_CTE},
+{_kmeans_ctes(k, iters, scale, base="aug")}
+SELECT a.vec_id FROM af a
+WHERE NOT EXISTS (
+    SELECT 1
+    FROM af b
+    JOIN aug ea ON ea.vec_id = a.vec_id
+    JOIN aug eb ON eb.vec_id = b.vec_id
+    WHERE b.cid = a.cid AND b.vec_id < a.vec_id
+      AND list_cosine_similarity(ea.embedding, eb.embedding) >= {threshold}
+)
+"""

@@ -882,6 +882,32 @@ def q_approx_distinct_users(sf_dir: str):
     return approx_distinct(ds, "event_type", "user_id", p=9)
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed integer k-means over the embeddings table — exact
+    across engines (quantized vectors, truncated-division centroids,
+    md5-min seeds), so the DuckDB oracle re-runs the full Lloyd chain
+    and the assignment gate is bit-for-bit."""
+    from .clustering import kmeans_clusters
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return kmeans_clusters(ds, k=8, iters=4)
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (cluster-then-dedup, arXiv:2303.09540) over the
+    planted-copy augmentation: exact integer k-means makes the cluster
+    assignment deterministic, then within-cluster EXISTS cosine >=
+    0.98 removal keeps the min-id representative."""
+    from .clustering import semdedup
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).map_batches(_plant_embedding_copies, batch_format="pyarrow")
+    return semdedup(ds, k=8, iters=4, threshold=0.98)
+
+
 def q_heavy_hitters(sf_dir: str, k: int = 30):
     """Distributed heavy hitters (terms with global frequency >
     total_tokens/k) via the two-pass sketch-then-verify pattern — the
@@ -1821,6 +1847,8 @@ QUERIES = {
     "ivf_topk_cosine": q_ivf_topk,
     "knn_self_join": q_knn_join,
     "knn_self_join_cells": q_knn_join_cells,
+    "kmeans_clusters": q_kmeans_clusters,
+    "semdedup": q_semdedup,
 }
 
 _TOK = r"\S+"
@@ -2352,5 +2380,7 @@ ORACLE_SQL.update(
         "rolling_fingerprint": _orc.sql_rolling_fingerprint(),
         "curate": _orc.sql_curate(threshold=0.8),
         "approx_distinct_users": _orc.sql_approx_distinct_users(p=9),
+        "kmeans_clusters": _orc.sql_kmeans_clusters(k=8, iters=4),
+        "semdedup": _orc.sql_semdedup(k=8, iters=4, threshold=0.98),
     }
 )

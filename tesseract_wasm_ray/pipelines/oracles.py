@@ -563,3 +563,49 @@ WHERE NOT EXISTS (
       AND list_cosine_similarity(ea.embedding, eb.embedding) >= {threshold}
 )
 """
+
+
+def sql_text_search_bm25(
+    terms: tuple[str, ...] = ("join", "shuffle", "spark", "window"),
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """BM25 recomputed from the documents table — same tokenizer
+    contract as sql text_search (lowercase whitespace split, empties
+    dropped), Lucene idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``, N over
+    ALL documents.  Float expressions mirror the pipeline's operator
+    shape left-to-right (decimal literals 0.75 / 1.2 convert to the
+    same doubles numpy uses; 0.75*dl is dyadic-exact in both engines);
+    the one remaining per-doc sum over <= |terms| addends is the usual
+    sub-ulp risk absorbed by round(..., 4)."""
+    in_list = ", ".join(f"'{t}'" for t in sorted(terms))
+    k1p1 = repr(k1 + 1.0)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+    FROM documents
+),
+tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+dlen AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+           (SELECT coalesce(sum(dl), 0) FROM dlen)::BIGINT AS total_len
+),
+tf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf
+    FROM tok2 WHERE term IN ({in_list}) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+    SELECT t.doc_id,
+           sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * t.tf * {k1p1}
+               / (t.tf + {k1} * ((1.0 - {b}) + {b} * l.dl
+                                 / (s.total_len::DOUBLE / s.n_docs)))) AS raw
+    FROM tf t JOIN df d USING (term) JOIN dlen l USING (doc_id) CROSS JOIN stats s
+    GROUP BY t.doc_id
+)
+SELECT doc_id, round(raw, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""

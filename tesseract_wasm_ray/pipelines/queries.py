@@ -384,6 +384,27 @@ def q_text_search(sf_dir: str):
     return out
 
 
+def q_text_search_bm25(sf_dir: str):
+    """BM25-ranked retrieval over the on-disk inverted index: idf and
+    length-normalized tf, corpus stats (N, avgdl) from the build
+    manifest, storage-pruned to the query terms' buckets."""
+    import shutil
+    import tempfile
+
+    from .textindex import build_text_index, search_text_index_bm25
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    idx_dir = tempfile.mkdtemp(prefix="twr_textindex_bm25_")
+    try:
+        build_text_index(ds, idx_dir, num_buckets=32)
+        out = search_text_index_bm25(
+            idx_dir, ["join", "shuffle", "spark", "window"], k=20
+        ).to_pandas()
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return out
+
+
 def q_tpch_q1(sf_dir: str):
     """TPC-H Q1-style pricing rollup (group agg with map-side combine)."""
     ds = rd.read_parquet(
@@ -1799,6 +1820,7 @@ QUERIES = {
     "emb_topk_cosine": q_emb_topk,
     "emb_topk_q8": q_emb_topk_q8,
     "text_search": q_text_search,
+    "text_search_bm25": q_text_search_bm25,
     "tpch_q1": q_tpch_q1,
     "mktsegment_orders": q_mktsegment_orders,
     "events_asof_order": q_events_asof_order,
@@ -2380,6 +2402,7 @@ ORACLE_SQL.update(
         "rolling_fingerprint": _orc.sql_rolling_fingerprint(),
         "curate": _orc.sql_curate(threshold=0.8),
         "approx_distinct_users": _orc.sql_approx_distinct_users(p=9),
+        "text_search_bm25": _orc.sql_text_search_bm25(),
         "kmeans_clusters": _orc.sql_kmeans_clusters(k=8, iters=4),
         "semdedup": _orc.sql_semdedup(k=8, iters=4, threshold=0.98),
     }

@@ -44,13 +44,15 @@ from ..functions.textstats import _tokens
 def doc_term_freqs(
     batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
 ) -> pa.Table:
-    """Per-batch (term, doc_id, tf) postings, fully vectorized: tokens
-    are dictionary-encoded and per-(row, term) counts come from ONE
-    ``np.unique`` over composite codes — no per-row Python.  (The
+    """Per-batch (term, doc_id, tf, dl) postings, fully vectorized:
+    tokens are dictionary-encoded and per-(row, term) counts come from
+    ONE ``np.unique`` over composite codes — no per-row Python.  (The
     composite space is rows x batch-vocab, far too sparse for the
-    bincount trick term_counts uses over a handful of languages.)"""
+    bincount trick term_counts uses over a handful of languages.)
+    ``dl`` is the owning document's token count, inlined so BM25 search
+    never needs a doc-length join (the norms-in-postings layout)."""
     texts = _single_chunk(batch.column(text_col))
-    flat, parents, _ = _tokens(texts)
+    flat, parents, n_rows = _tokens(texts)
     t_enc = _single_chunk(pc.dictionary_encode(flat))
     n_terms = len(t_enc.dictionary)
     empty = pa.table(
@@ -58,10 +60,12 @@ def doc_term_freqs(
             "term": pa.array([], pa.string()),
             id_col: pa.array([], batch.column(id_col).type),
             "tf": pa.array([], pa.int64()),
+            "dl": pa.array([], pa.int64()),
         }
     )
     if n_terms == 0:
         return empty
+    doc_len = np.bincount(parents, minlength=n_rows).astype(np.int64)
     t_codes = t_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     comp = parents.astype(np.int64) * n_terms + t_codes
     uniq, counts = np.unique(comp, return_counts=True)
@@ -74,6 +78,7 @@ def doc_term_freqs(
                 pa.array(rows, pa.int64())
             ),
             "tf": pa.array(counts.astype(np.int64), pa.int64()),
+            "dl": pa.array(doc_len[rows], pa.int64()),
         }
     )
 
@@ -140,9 +145,29 @@ def build_text_index(
         .map_groups(write_bucket, batch_format="pyarrow")
         .take_all()
     )
+
+    # Corpus stats for BM25 (N over ALL docs incl. empty; exact integer
+    # totals so both engines derive the identical avgdl double).  One
+    # extra streaming tokenize pass emitting a single row per block.
+    def lens(b: pa.Table) -> pa.Table:
+        flat, _, _ = _tokens(_single_chunk(b.column(text_col)))
+        return pa.table(
+            {
+                "__n": pa.array([b.num_rows], pa.int64()),
+                "__dl": pa.array([len(flat)], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    stats = ds.map_batches(lens, batch_format="pyarrow").aggregate(
+        Sum("__n", alias_name="n"), Sum("__dl", alias_name="dl")
+    )
     manifest = {
         "num_buckets": num_buckets,
         "id_col": id_col,
+        "n_docs": int(stats["n"] or 0),
+        "total_len": int(stats["dl"] or 0),
         "buckets": sorted(
             ({k: int(v) for k, v in e.items()} for e in entries),
             key=lambda e: e["bucket"],
@@ -193,5 +218,98 @@ def search_text_index(
         .map_batches(partial, batch_format="pyarrow")
         .groupby(id_col)
         .aggregate(Sum("tf", alias_name="score"))
+    )
+    return scored.sort(["score", id_col], descending=[True, False]).limit(k)
+
+
+def search_text_index_bm25(
+    index_dir: str,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+) -> rd.Dataset:
+    """BM25-ranked search over the same storage-pruned buckets.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))   (Lucene variant)
+    score  = sum_t idf(t) * tf*(k1+1) / (tf + k1*((1-b) + b*dl/avgdl))
+
+    N / avgdl come from the build manifest (exact integers -> identical
+    double division in both engines); df per term is counted from the
+    pruned postings themselves (postings are per (term, doc), so row
+    count == document frequency).  Scores round to ``round_to`` dp
+    BEFORE the top-k sort so the (score desc, id asc) order matches the
+    SQL oracle; every float expression mirrors the oracle's operator
+    shape left-to-right, leaving only per-doc sum order (<= |terms|
+    addends) as the usual sub-ulp risk."""
+    with open(os.path.join(index_dir, "buckets.json")) as f:
+        manifest = json.load(f)
+    num_buckets = manifest["num_buckets"]
+    id_col = manifest.get("id_col", "doc_id")
+    n_docs = int(manifest["n_docs"])
+    avgdl = float(manifest["total_len"]) / float(max(n_docs, 1))
+    wanted = sorted({t.lower() for t in terms})
+    buckets = sorted({zlib.crc32(t.encode()) % num_buckets for t in wanted})
+    files: list[str] = []
+    for bkt in buckets:
+        files.extend(
+            sorted(glob.glob(os.path.join(index_dir, f"bucket={bkt:04d}", "*.parquet")))
+        )
+    if not files:
+        return rd.from_arrow(
+            pa.table({id_col: pa.array([], pa.string()),
+                      "score": pa.array([], pa.float64())})
+        )
+    term_set = pa.array(wanted, pa.string())
+    term_set_ref = ray.put(term_set)
+
+    def hit(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("term"), value_set=ray.get(term_set_ref)))
+
+    hits = rd.read_parquet(files).map_batches(hit, batch_format="pyarrow")
+
+    # df per query term: tiny (<= |terms| rows) — driver-side by design.
+    from ray.data.aggregate import Count, Sum
+
+    df_rows = hits.groupby("term").aggregate(Count(alias_name="df")).take_all()
+    df_map = {r["term"]: int(r["df"]) for r in df_rows}
+    idf = {
+        t: float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+        for t, df in df_map.items()
+    }
+    idf_ref = ray.put(idf)
+
+    def contrib(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], t.column(id_col).type),
+                 "part": pa.array([], pa.float64())}
+            )
+        idf_m = ray.get(idf_ref)
+        idf_v = np.array(
+            [idf_m[x] for x in t.column("term").to_pylist()], np.float64
+        )
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        # Operator shape mirrors the SQL oracle exactly (left-assoc).
+        part = idf_v * tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+        return pa.table({id_col: t.column(id_col), "part": pa.array(part)})
+
+    scored = (
+        hits.map_batches(contrib, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("part", alias_name="raw"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: t.column(id_col),
+                    "score": pc.round(
+                        pc.cast(t.column("raw"), pa.float64()), round_to
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     )
     return scored.sort(["score", id_col], descending=[True, False]).limit(k)

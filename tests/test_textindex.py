@@ -118,3 +118,50 @@ def test_rebuild_clears_stale_buckets(tmp_path, ray_session):
     assert all(
         int(os.path.basename(d).split("=")[1]) < 2 for d in dirs
     ), "stale bucket dirs from the 8-bucket build must be cleared"
+
+
+def test_doc_term_freqs_inlines_doc_length():
+    out = doc_term_freqs(_table())
+    dl = dict(zip(out.column("doc_id").to_pylist(), out.column("dl").to_pylist()))
+    want = {d: len(t.split()) for d, t in DOCS if t.split()}
+    assert dl == want
+
+
+def test_bm25_search_matches_local_reference(tmp_path, ray_session):
+    """Distributed BM25 == a local numpy reference computed straight
+    from the corpus (idf, length norm, rounding, tie-break)."""
+    import math
+
+    from tesseract_wasm_ray.pipelines.textindex import search_text_index_bm25
+
+    ds = rd.from_arrow(_table()).repartition(3)
+    idx = str(tmp_path / "idx")
+    manifest = build_text_index(ds, idx, num_buckets=8)
+    assert manifest["n_docs"] == 5  # includes the empty doc
+    assert manifest["total_len"] == sum(len(t.split()) for _, t in DOCS)
+
+    terms = ["fox", "shuffle"]
+    got = search_text_index_bm25(idx, terms, k=10).to_pandas()
+
+    n_docs = 5
+    avgdl = manifest["total_len"] / n_docs
+    tf: dict = {}
+    dl: dict = {}
+    for d, text in DOCS:
+        toks = text.lower().split()
+        dl[d] = len(toks)
+        for t in terms:
+            c = toks.count(t)
+            if c:
+                tf[(d, t)] = c
+    df = {t: sum(1 for (_, tt) in tf if tt == t) for t in terms}
+    scores: dict = {}
+    for (d, t), c in tf.items():
+        idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+        part = idf * c * (1.2 + 1.0) / (c + 1.2 * ((1.0 - 0.75) + 0.75 * dl[d] / avgdl))
+        scores[d] = scores.get(d, 0.0) + part
+    want = sorted(
+        ((round(s, 4), d) for d, s in scores.items()),
+        key=lambda x: (-x[0], x[1]),
+    )
+    assert list(zip(got["score"], got["doc_id"])) == want

@@ -1,0 +1,133 @@
+"""Deterministic per-domain mixture sampling (data-mixing weights).
+
+The "mix sources at target rates" stage of a training-data pipeline
+(Pile/DoReMi-style domain weights): every document is kept
+``floor(rate)`` times plus one more iff a content-keyed uniform falls
+under ``frac(rate)`` — so rates above 1 UPSAMPLE by exact replication
+and rates below 1 downsample, all rerun/reshard-stable (no RNG state,
+no seed-per-worker coupling).
+
+The uniform is the md5 hex prefix of the document id compared against
+a 13-hex-digit threshold STRING — the same device dataset_split uses —
+so the DuckDB oracle reproduces the decision with a lexicographic
+substr() compare, no float in sight.  100 TB shape: pure map-side
+filter/replicate, NO shuffle of any kind; replication multiplies rows
+inside the batch before they ever leave the task.
+
+Reference scope note: the reference engine (robertknight/tesseract-wasm)
+has no sampling surface; this is part of the training-data operator
+suite the driver brief adds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.arrow_util import single_chunk as _single_chunk
+
+__all__ = ["mixture_sample", "rate_threshold_hex"]
+
+_HEX_DIGITS = 13  # 16**13 < 2**53: exact in a python float and a BIGINT
+
+
+def rate_threshold_hex(rate: float) -> tuple[int, str]:
+    """rate -> (base copies, hex threshold for one extra copy).
+
+    The threshold is the first ``_HEX_DIGITS`` md5 hex chars; a row
+    gains the extra copy iff its prefix sorts strictly below it.  Both
+    engines share the exact literal, so the decision is string-compare
+    deterministic."""
+    if rate < 0:
+        raise ValueError(f"negative rate: {rate}")
+    base = math.floor(rate)
+    frac = rate - base
+    thr = format(int(frac * (16**_HEX_DIGITS)), f"0{_HEX_DIGITS}x")
+    return base, thr
+
+
+def mixture_sample(
+    ds: rd.Dataset,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> rd.Dataset:
+    """Sample/replicate each row at its domain's target rate.
+
+    Output: (id_col, source_col [, keep_cols], rep) where ``rep``
+    numbers a row's copies 1..n — rates > 1 emit multiple rows (exact
+    integer part guaranteed, fractional part hash-gated), rates < 1
+    keep the row with probability ~rate, always the same rows on
+    rerun.  Entirely map-side: one streaming pass, zero shuffles."""
+    resolved = {s: rate_threshold_hex(r) for s, r in rates.items()}
+    default = rate_threshold_hex(default_rate)
+
+    def fn(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        out_cols = [id_col, source_col, *keep_cols]
+        if n == 0:
+            cols = {c: b.column(c) for c in out_cols}
+            cols["rep"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        # Per-DISTINCT-source rate lookup (vectorized via dictionary).
+        src_enc = _single_chunk(b.column(source_col)).dictionary_encode()
+        dict_vals = src_enc.dictionary.to_pylist()
+        base_d = np.array(
+            [resolved.get(s, default)[0] for s in dict_vals], np.int64
+        )
+        thr_d = np.array([resolved.get(s, default)[1] for s in dict_vals])
+        codes = src_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = b.column(id_col).to_pylist()
+        prefix = np.array(
+            [hashlib.md5(str(i).encode()).hexdigest()[:_HEX_DIGITS] for i in ids]
+        )
+        copies = base_d[codes] + (prefix < thr_d[codes])
+        total = int(copies.sum())
+        row_idx = np.repeat(np.arange(n), copies)
+        # rep = position within the row's copy run, 1-based.
+        starts = np.repeat(np.cumsum(copies) - copies, copies)
+        rep = np.arange(total) - starts + 1
+        take = pa.array(row_idx, pa.int64())
+        cols = {c: _single_chunk(b.column(c)).take(take) for c in out_cols}
+        cols["rep"] = pa.array(rep.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_mixture_sample(
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror: the same (base, threshold-hex) pairs rendered as
+    CASE branches; copies expand through generate_series."""
+    resolved = {s: rate_threshold_hex(r) for s, r in rates.items()}
+    dbase, dthr = rate_threshold_hex(default_rate)
+    base_case = (
+        "CASE source "
+        + " ".join(f"WHEN '{s}' THEN {b}" for s, (b, _) in sorted(resolved.items()))
+        + f" ELSE {dbase} END"
+    )
+    thr_case = (
+        "CASE source "
+        + " ".join(f"WHEN '{s}' THEN '{t}'" for s, (_, t) in sorted(resolved.items()))
+        + f" ELSE '{dthr}' END"
+    )
+    return f"""
+WITH par AS (
+    SELECT doc_id, source,
+           ({base_case})
+           + CASE WHEN substr(md5(doc_id::VARCHAR), 1, {_HEX_DIGITS})
+                       < ({thr_case}) THEN 1 ELSE 0 END AS n_copies
+    FROM {table}
+)
+SELECT doc_id, source, unnest(generate_series(1, n_copies)) AS rep
+FROM par WHERE n_copies > 0
+"""

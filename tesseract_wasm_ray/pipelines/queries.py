@@ -903,6 +903,20 @@ def q_approx_distinct_users(sf_dir: str):
     return approx_distinct(ds, "event_type", "user_id", p=9)
 
 
+_MIX_RATES = {"src0": 2.5, "src1": 1.0, "src2": 0.4, "src3": 0.0}
+
+
+def q_mixture_sample(sf_dir: str):
+    """Per-domain mixture sampling at target rates (upsample src0 2.5x,
+    drop src3, thin everything else to 0.25) — map-side only, zero
+    shuffles; decisions are md5-prefix string compares shared with the
+    SQL oracle."""
+    from .mixing import mixture_sample
+
+    ds = _docs(sf_dir, columns=["doc_id", "source"])
+    return mixture_sample(ds, _MIX_RATES, default_rate=0.25)
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed integer k-means over the embeddings table — exact
     across engines (quantized vectors, truncated-division centroids,
@@ -1871,6 +1885,7 @@ QUERIES = {
     "knn_self_join_cells": q_knn_join_cells,
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup": q_semdedup,
+    "mixture_sample": q_mixture_sample,
 }
 
 _TOK = r"\S+"
@@ -2303,6 +2318,7 @@ ORACLE_SQL = {
 # perms, LSH bands, SimHash bits, cosine EXISTS) from scratch — see
 # pipelines/oracles.py for the bit-exactness notes.
 from . import oracles as _orc  # noqa: E402
+from .mixing import sql_mixture_sample as _sql_mix  # noqa: E402
 
 # Extraction-family oracles against the fixture golden tables (written
 # at generation time: golden_spans/golden_boxes are CLOSED-FORM truth —
@@ -2403,6 +2419,7 @@ ORACLE_SQL.update(
         "curate": _orc.sql_curate(threshold=0.8),
         "approx_distinct_users": _orc.sql_approx_distinct_users(p=9),
         "text_search_bm25": _orc.sql_text_search_bm25(),
+        "mixture_sample": _sql_mix(_MIX_RATES, default_rate=0.25),
         "kmeans_clusters": _orc.sql_kmeans_clusters(k=8, iters=4),
         "semdedup": _orc.sql_semdedup(k=8, iters=4, threshold=0.98),
     }

@@ -67,6 +67,13 @@ BENCH_QUERIES = [
     # round-3 retrieval additions
     "text_search",
     "emb_topk_q8",
+    # round-3 session-3 additions
+    "text_search_bm25",
+    "approx_distinct_users",
+    "kmeans_clusters",
+    "semdedup",
+    "mixture_sample",
+    "knn_self_join_cells",
 ]
 
 

@@ -153,13 +153,22 @@ def kmeans_fit(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     scale: int = 1000,
+    cache: bool = False,
 ) -> np.ndarray:
     """Distributed Lloyd's over the full dataset -> (k, dim) int64
     centroids.  ``iters`` streaming passes; every pass ships the
     centroid matrix ONCE via ``ray.put`` and reduces tiny integer
     partials on the driver (order-insensitive: integer adds commute).
-    Empty clusters keep their previous centroid (oracle mirrors)."""
+    Empty clusters keep their previous centroid (oracle mirrors).
+
+    ``cache=True`` materializes the quantized (id, q) view once so the
+    per-iteration passes skip the re-read + re-quantize — right when
+    the quantized table fits the object store (it is ~2x the float32
+    input); leave False at full corpus scale, where re-reading the
+    source per pass is the streaming-friendly choice."""
     ds_q = _quantized_view(ds, emb_col, id_col, scale)
+    if cache:
+        ds_q = ds_q.materialize()
     cent = _seed_centroids(ds_q, k, id_col)
     k_eff, dim = cent.shape
 
@@ -241,9 +250,10 @@ def kmeans_clusters(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     scale: int = 1000,
+    cache: bool = False,
 ) -> rd.Dataset:
     """Fit + assign -> (id_col, cluster) for every row."""
-    cent = kmeans_fit(ds, k, iters, emb_col, id_col, scale)
+    cent = kmeans_fit(ds, k, iters, emb_col, id_col, scale, cache=cache)
     return kmeans_assign(ds, cent, emb_col, id_col, scale)
 
 
@@ -256,6 +266,7 @@ def semdedup(
     id_col: str = "vec_id",
     scale: int = 1000,
     chunk: int = 1024,
+    cache: bool = False,
 ) -> rd.Dataset:
     """SemDeDup: k-means cluster, then within each cluster drop every
     row with a SMALLER-id member at cosine >= threshold (EXISTS
@@ -268,7 +279,7 @@ def semdedup(
     scale.  Cosine is float; the gate relies on threshold margin
     (planted copies ~1.0 vs natural pairs <= ~0.51), exactly like the
     green embedding_neardup oracle."""
-    cent = kmeans_fit(ds, k, iters, emb_col, id_col, scale)
+    cent = kmeans_fit(ds, k, iters, emb_col, id_col, scale, cache=cache)
     assigned = kmeans_assign(ds, cent, emb_col, id_col, scale, keep_cols=(emb_col,))
 
     def cluster_dedup(g: pa.Table) -> pa.Table:

@@ -927,7 +927,9 @@ def q_kmeans_clusters(sf_dir: str):
     ds = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
-    return kmeans_clusters(ds, k=8, iters=4)
+    # cache=True: the quantized view at bench scale is tiny; the
+    # streaming default re-reads per Lloyd pass (the 100-TB shape).
+    return kmeans_clusters(ds, k=8, iters=4, cache=True)
 
 
 def q_semdedup(sf_dir: str):
@@ -940,7 +942,7 @@ def q_semdedup(sf_dir: str):
     ds = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     ).map_batches(_plant_embedding_copies, batch_format="pyarrow")
-    return semdedup(ds, k=8, iters=4, threshold=0.98)
+    return semdedup(ds, k=8, iters=4, threshold=0.98, cache=True)
 
 
 def q_heavy_hitters(sf_dir: str, k: int = 30):

@@ -136,6 +136,9 @@ def build_text_index(
                 "bucket": pa.array([bucket], pa.int32()),
                 "rows": pa.array([t.num_rows], pa.int64()),
                 "files": pa.array([n_files], pa.int32()),
+                "tf_sum": pa.array(
+                    [int(pc.sum(t.column("tf")).as_py() or 0)], pa.int64()
+                ),
             }
         )
 
@@ -146,28 +149,15 @@ def build_text_index(
         .take_all()
     )
 
-    # Corpus stats for BM25 (N over ALL docs incl. empty; exact integer
-    # totals so both engines derive the identical avgdl double).  One
-    # extra streaming tokenize pass emitting a single row per block.
-    def lens(b: pa.Table) -> pa.Table:
-        flat, _, _ = _tokens(_single_chunk(b.column(text_col)))
-        return pa.table(
-            {
-                "__n": pa.array([b.num_rows], pa.int64()),
-                "__dl": pa.array([len(flat)], pa.int64()),
-            }
-        )
-
-    from ray.data.aggregate import Sum
-
-    stats = ds.map_batches(lens, batch_format="pyarrow").aggregate(
-        Sum("__n", alias_name="n"), Sum("__dl", alias_name="dl")
-    )
+    # Corpus stats for BM25, both free: total token count == the sum of
+    # tf over all postings (each bucket writer reports its share — no
+    # second tokenize pass), and n_docs (ALL docs incl. empty) comes
+    # from dataset metadata (a parquet row count, no scan).
     manifest = {
         "num_buckets": num_buckets,
         "id_col": id_col,
-        "n_docs": int(stats["n"] or 0),
-        "total_len": int(stats["dl"] or 0),
+        "n_docs": int(ds.count()),
+        "total_len": sum(int(e["tf_sum"]) for e in entries),
         "buckets": sorted(
             ({k: int(v) for k, v in e.items()} for e in entries),
             key=lambda e: e["bucket"],

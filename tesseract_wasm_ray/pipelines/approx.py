@@ -155,3 +155,73 @@ def approx_distinct(
         .groupby(key_col, num_partitions=num_partitions)
         .map_groups(estimate, batch_format="pyarrow")
     )
+
+
+def approx_quantiles(
+    ds: rd.Dataset,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    lo: float = 0.0,
+    hi: float = 1.0,
+    bins: int = 4096,
+) -> pa.Table:
+    """Fixed-bin histogram quantile sketch — the O(bins)-state path to
+    quantiles that needs NO sort and NO all-to-all: each block emits
+    its sparse (bin, count) histogram (<= bins tiny rows), the driver
+    folds exact integer counts (order-insensitive), and quantile q is
+    the midpoint of the first bin whose cumulative count reaches
+    ``ceil(q * n)`` (type-1 on the binned distribution).
+
+    Determinism contract with the SQL oracle: bin index =
+    ``floor((v - lo) / span * bins)`` clipped to [0, bins-1], computed
+    in float64 with identical operator order; ranks use float64
+    ``q * n`` in BOTH engines (the oracle casts q::DOUBLE — decimal
+    arithmetic there would diverge on non-dyadic q like 0.95).
+    Out-of-range values clip into the edge bins; nulls drop.
+
+    Accuracy is span/bins (absolute) — the classic trade for a sketch
+    whose shuffle cost is independent of row count."""
+    span = float(hi) - float(lo)
+    if span <= 0 or bins <= 0:
+        raise ValueError("need hi > lo and bins > 0")
+
+    def hist(b: pa.Table) -> pa.Table:
+        col = b.column(value_col)
+        v = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        idx = np.clip(
+            np.floor((v - lo) / span * bins).astype(np.int64), 0, bins - 1
+        )
+        present, counts = np.unique(idx, return_counts=True)
+        return pa.table(
+            {
+                "__bin": pa.array(present, pa.int64()),
+                "__c": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    full = np.zeros(bins, np.int64)
+    for t in ds.map_batches(hist, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        # np.add.at: iter_batches coalesces blocks, so bin ids repeat.
+        np.add.at(
+            full,
+            t.column("__bin").to_numpy(zero_copy_only=False),
+            t.column("__c").to_numpy(zero_copy_only=False),
+        )
+    n = int(full.sum())
+    cum = np.cumsum(full)
+    width = span / bins
+    out_q, out_v = [], []
+    for q in qs:
+        rank = math.ceil(q * float(n))
+        b = int(np.searchsorted(cum, max(rank, 1)))
+        out_q.append(float(q))
+        out_v.append(lo + (b + 0.5) * width)
+    return pa.table(
+        {
+            "quantile": pa.array(out_q, pa.float64()),
+            "approx_value": pa.array(out_v, pa.float64()),
+        }
+    )

@@ -609,3 +609,45 @@ scored AS (
 SELECT doc_id, round(raw, 4) AS score
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
+
+
+def sql_approx_quantiles(
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    lo: float = 0.0,
+    hi: float = 120000.0,
+    bins: int = 4096,
+    col: str = "l_extendedprice",
+    table: str = "lineitem",
+) -> str:
+    """Histogram-sketch quantiles recomputed in SQL: same float64 bin
+    expression (operator order mirrored), integer counts, cumulative
+    min-bin pick at rank ceil(q*n).  q casts ::DOUBLE — DuckDB decimal
+    literals would compute 0.95*n exactly while numpy computes it in
+    float64, and the two DISAGREE at integer boundaries (e.g.
+    fl(0.95)*500 rounds above 475), so both engines must bin the rank
+    in float64."""
+    span = float(hi) - float(lo)
+    width = span / bins
+    q_values = ", ".join(f"({q!r}::DOUBLE)" for q in qs)
+    return f"""
+WITH vals AS (
+    SELECT {col}::DOUBLE AS v FROM {table} WHERE {col} IS NOT NULL
+),
+hist AS (
+    SELECT least(greatest(floor((v - {lo!r}) / {span!r} * {bins})::BIGINT, 0),
+                 {bins - 1}) AS bin,
+           count(*)::BIGINT AS c
+    FROM vals GROUP BY 1
+),
+tot AS (SELECT sum(c)::BIGINT AS n FROM hist),
+cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM hist),
+qv(q) AS (VALUES {q_values}),
+pick AS (
+    SELECT q, min(bin) AS bin
+    FROM qv, cum, tot
+    WHERE cum >= greatest(ceil(q * n), 1)
+    GROUP BY q
+)
+SELECT q AS quantile, {lo!r} + (bin + 0.5) * {width!r} AS approx_value
+FROM pick
+"""

@@ -903,6 +903,22 @@ def q_approx_distinct_users(sf_dir: str):
     return approx_distinct(ds, "event_type", "user_id", p=9)
 
 
+def q_approx_quantiles(sf_dir: str):
+    """Histogram-sketch quantiles of l_extendedprice — fixed O(bins)
+    state per block, no sort, no shuffle; exact-integer count folding
+    makes the result partition-invariant and the DuckDB oracle
+    recomputes the identical binned estimate."""
+    from .approx import approx_quantiles
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"]
+    )
+    return approx_quantiles(
+        ds, "l_extendedprice", qs=(0.25, 0.5, 0.75, 0.95), lo=0.0, hi=120000.0,
+        bins=4096,
+    )
+
+
 _MIX_RATES = {"src0": 2.5, "src1": 1.0, "src2": 0.4, "src3": 0.0}
 
 
@@ -1888,6 +1904,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup": q_semdedup,
     "mixture_sample": q_mixture_sample,
+    "approx_quantiles": q_approx_quantiles,
 }
 
 _TOK = r"\S+"
@@ -2422,6 +2439,9 @@ ORACLE_SQL.update(
         "approx_distinct_users": _orc.sql_approx_distinct_users(p=9),
         "text_search_bm25": _orc.sql_text_search_bm25(),
         "mixture_sample": _sql_mix(_MIX_RATES, default_rate=0.25),
+        "approx_quantiles": _orc.sql_approx_quantiles(
+            qs=(0.25, 0.5, 0.75, 0.95), lo=0.0, hi=120000.0, bins=4096
+        ),
         "kmeans_clusters": _orc.sql_kmeans_clusters(k=8, iters=4),
         "semdedup": _orc.sql_semdedup(k=8, iters=4, threshold=0.98),
     }

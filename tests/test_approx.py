@@ -103,3 +103,46 @@ def test_approx_distinct_int_values_match_string_form(ray_session):
     a = approx_distinct(rd.from_arrow(ints), "k", "v", p=8).to_pandas()
     b = approx_distinct(rd.from_arrow(strs), "k", "v", p=8).to_pandas()
     assert a["approx_distinct"][0] == b["approx_distinct"][0]
+
+
+def test_approx_quantiles_accuracy_and_partition_invariance(ray_session):
+    """Uniform values: each quantile lands within one bin width of the
+    true quantile, and block layout cannot change a single bit."""
+    import ray.data as rd
+
+    from tesseract_wasm_ray.pipelines.approx import approx_quantiles
+
+    vals = (np.arange(10_000, dtype=np.float64) * 7919.0) % 10_000.0  # shuffled
+    t = pa.table({"v": pa.array(vals)})
+    a = approx_quantiles(
+        rd.from_arrow(t).repartition(1), "v", (0.5, 0.9), 0.0, 10_000.0, 512
+    )
+    b = approx_quantiles(
+        rd.from_arrow(t).repartition(16), "v", (0.5, 0.9), 0.0, 10_000.0, 512
+    )
+    assert a.equals(b)
+    width = 10_000.0 / 512
+    got = dict(zip(a.column("quantile").to_pylist(), a.column("approx_value").to_pylist()))
+    assert abs(got[0.5] - 5000.0) <= width
+    assert abs(got[0.9] - 9000.0) <= width
+
+
+def test_approx_quantiles_clips_out_of_range(ray_session):
+    import ray.data as rd
+
+    from tesseract_wasm_ray.pipelines.approx import approx_quantiles
+
+    t = pa.table({"v": pa.array([-50.0, 0.5, 999.0])})
+    out = approx_quantiles(rd.from_arrow(t), "v", (0.0, 1.0), 0.0, 1.0, 4)
+    v = out.column("approx_value").to_pylist()
+    assert v[0] == 0.125  # min clipped into bin 0
+    assert v[1] == 0.875  # max clipped into the last bin
+
+
+def test_approx_quantiles_rejects_bad_range():
+    import pytest as _pt
+
+    from tesseract_wasm_ray.pipelines.approx import approx_quantiles
+
+    with _pt.raises(ValueError):
+        approx_quantiles(None, "v", (0.5,), 1.0, 1.0, 10)

@@ -443,3 +443,67 @@ def term_counts(
             "cnt": pa.array(counts[nz], pa.int64()),
         }
     )
+
+def ngram_strings(
+    texts: pa.Array, n: int
+) -> tuple[pa.Array, np.ndarray, int]:
+    """-> (flat space-joined lowercase token n-grams, parent row index
+    per n-gram, n_rows).  Rows with fewer than ``n`` tokens emit zero
+    n-grams.  Vectorized: one strided gather over the flat token array
+    plus one ``binary_join`` per batch (the decontamination shingle
+    kernel, factored for reuse by the cross-doc duplicated-n-gram
+    stats).  Oracle-reproducible in DuckDB as
+    ``array_to_string(ts[i:i+n-1], ' ')`` over
+    ``regexp_extract_all(lower(text), '\\S+')``."""
+    flat, parents, n_rows = _tokens(texts)
+    n_tok = np.bincount(parents, minlength=n_rows)
+    row_starts = np.r_[0, np.cumsum(n_tok)]
+    pos = np.arange(len(parents)) - row_starts[parents]
+    starts = np.flatnonzero(pos <= n_tok[parents] - n)
+    if len(starts) == 0:
+        return pa.array([], pa.string()), np.empty(0, np.int64), n_rows
+    gather = (starts[:, None] + np.arange(n)[None, :]).ravel()
+    window_list = pa.ListArray.from_arrays(
+        pa.array(np.arange(len(starts) + 1, dtype=np.int32) * n),
+        flat.take(pa.array(gather)),
+    )
+    return pc.binary_join(window_list, " "), parents[starts], n_rows
+
+
+def char_pair_partials(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Map-side combined (pair, cnt) adjacent-character-pair counts
+    within lowercase whitespace tokens — the counting step of one BPE
+    merge iteration (tokenizer training).  The downstream
+    ``groupby(pair).sum(cnt)`` moves one row per DISTINCT pair per
+    block (~a few hundred for ASCII text) instead of one per character
+    position.
+
+    The per-batch loop runs over DISTINCT tokens only (the same
+    bounded-Python-per-distinct-value precedent as the crc32 bucket
+    LUTs in pipelines/joins.py): each distinct token's pairs are
+    weighted by its batch frequency from one ``np.bincount``."""
+    texts = _single_chunk(batch.column(text_col))
+    flat, _, _ = _tokens(texts)
+    enc = _single_chunk(pc.dictionary_encode(flat))
+    vocab = enc.dictionary.to_pylist()
+    if not vocab:
+        return pa.table(
+            {"pair": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+    freq = np.bincount(
+        enc.indices.to_numpy(zero_copy_only=False), minlength=len(vocab)
+    )
+    acc: dict[str, int] = {}
+    for tok, f in zip(vocab, freq):
+        if f == 0 or len(tok) < 2:
+            continue
+        fi = int(f)
+        for i in range(len(tok) - 1):
+            p = tok[i : i + 2]
+            acc[p] = acc.get(p, 0) + fi
+    return pa.table(
+        {
+            "pair": pa.array(list(acc.keys()), pa.string()),
+            "cnt": pa.array(list(acc.values()), pa.int64()),
+        }
+    )

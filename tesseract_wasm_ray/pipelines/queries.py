@@ -1829,6 +1829,410 @@ def q_knn_join_cells(sf_dir: str):
     )
 
 
+def q_dup_ngram_frac(sf_dir: str):
+    """Cross-document duplicated-n-gram fraction (the RefinedWeb/Gopher
+    quality signal `repetition_stats` can't see: n-grams repeated
+    ACROSS documents, not within one).  Per doc: the fraction of its
+    distinct 5-grams that occur in at least one other document.
+
+    Distributed plan — the dup-gram set is corpus-sized (unlike
+    `decontaminate`'s small benchmark side), so membership is resolved
+    with a bucketed shuffle, never a broadcast:
+
+    1. map-side: distinct (doc_id, gram) rows per doc (strided-gather
+       `ngram_strings` + one composite `np.unique` per batch);
+    2. gram doc-counts: per-batch (gram, cnt) partials -> tiny
+       ``groupby(g).sum`` -> grams with >= 2 docs (sketch-only shuffle:
+       one row per distinct gram per block);
+    3. membership: union the dup-gram stream (tagged by null doc_id)
+       with the doc-gram rows, bucket on crc32(gram), and inside each
+       bucket group count per-doc hits AND per-doc row totals with one
+       ``is_in`` + two bincounts — gram strings cross the wire once;
+    4. final: ``groupby(doc_id).sum`` over int partials -> fraction.
+
+    Docs with < 5 tokens have no grams and emit no row (mirrored by
+    the oracle's ``len(ts) >= 5`` guard)."""
+    from ..functions.textstats import ngram_strings
+    from .joins import _bucket_of_array
+
+    N, B = 5, 32
+
+    def doc_grams(b: pa.Table) -> pa.Table:
+        texts = _single_chunk_q(b.column("text"))
+        grams, parents, _ = ngram_strings(texts, N)
+        ids = pc.cast(_single_chunk_q(b.column("doc_id")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if len(grams) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "g": pa.array([], pa.string())}
+            )
+        enc = _single_chunk_q(pc.dictionary_encode(grams))
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        composite = parents * len(enc.dictionary) + codes
+        keep = np.unique(composite, return_index=True)[1]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[parents[keep]], pa.int64()),
+                "g": grams.take(pa.array(keep)),
+            }
+        )
+
+    def gram_partials(b: pa.Table) -> pa.Table:
+        enc = _single_chunk_q(pc.dictionary_encode(b.column("g")))
+        counts = np.bincount(
+            enc.indices.to_numpy(zero_copy_only=False),
+            minlength=len(enc.dictionary),
+        )
+        return pa.table(
+            {"g": enc.dictionary, "cnt": pa.array(counts.astype(np.int64), pa.int64())}
+        )
+
+    rows = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        doc_grams, batch_format="pyarrow"
+    )
+    def dup_only(b: pa.Table) -> pa.Table:
+        d = b.filter(pc.greater_equal(b.column("sum(cnt)"), 2)).select(["g"])
+        return d.append_column("doc_id", pa.nulls(d.num_rows, pa.int64()))
+
+    dup = (
+        rows.map_batches(gram_partials, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("cnt"))
+        .map_batches(dup_only, batch_format="pyarrow")
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__b", pa.array(_bucket_of_array(_single_chunk_q(b.column("g")), B))
+        )
+
+    def mark(g: pa.Table) -> pa.Table:
+        is_dup_row = pc.is_null(g.column("doc_id"))
+        dupset = g.filter(is_dup_row).column("g")
+        mem = g.filter(pc.invert(is_dup_row))
+        if mem.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_dup": pa.array([], pa.int64()),
+                    "n_tot": pa.array([], pa.int64()),
+                }
+            )
+        ids = mem.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = pc.is_in(mem.column("g"), value_set=dupset).to_numpy(
+            zero_copy_only=False
+        )
+        uniq, inv = np.unique(ids, return_inverse=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "n_dup": pa.array(
+                    np.bincount(inv, weights=hit).astype(np.int64), pa.int64()
+                ),
+                "n_tot": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+            }
+        )
+
+    marked = (
+        rows.union(dup.select_columns(["doc_id", "g"]))
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(mark, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_dup"), Sum("n_tot"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        dupn = pc.cast(b.column("sum(n_dup)"), pa.int64())
+        tot = pc.cast(b.column("sum(n_tot)"), pa.int64())
+        frac = pc.round(
+            pc.divide(pc.cast(dupn, pa.float64()), pc.cast(tot, pa.float64())),
+            ndigits=6,
+        )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_grams": tot,
+                "n_dup_grams": dupn,
+                "dup_frac": frac,
+            }
+        )
+
+    return marked.map_batches(finish, batch_format="pyarrow")
+
+
+def q_chunk_dedup(sf_dir: str):
+    """Chunk-level exact dedup with document reassembly: split every
+    doc into 16-token windows (`chunk_tokens`), keep the FIRST
+    occurrence of each distinct chunk text corpus-wide (minimum
+    (doc_id, chunk_id), resolved by one `keep_min_by` bucketed
+    shuffle), then stitch each doc back together from its surviving
+    chunks in order.  This is span-granularity exact dedup — the
+    RefinedWeb/CCNet shape that doc-level `exact_dedup` can't express
+    (boilerplate repeated across distinct documents).  Docs whose
+    every chunk is removed disappear from the output."""
+    from ..functions.textstats import chunk_tokens
+    from .dedup import keep_min_by
+
+    CH = 16
+    # composite order key: chunk_id fits in 20 bits at any plausible
+    # doc length (2^20 chunks x 16 tokens = 16M tokens per doc)
+    SHIFT = 1 << 20
+
+    def chunks(b: pa.Table) -> pa.Table:
+        t = chunk_tokens(b, chunk_size=CH)
+        order = pc.add(
+            pc.multiply(pc.cast(t.column("doc_id"), pa.int64()), SHIFT),
+            t.column("chunk_id"),
+        )
+        return t.append_column("__ord", order)
+
+    kept = keep_min_by(
+        _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+            chunks, batch_format="pyarrow"
+        ),
+        key_col="chunk_text",
+        order_col="__ord",
+    )
+
+    def stitch(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("chunk_id", "ascending")])
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array([0, t.num_rows], pa.int32()),
+                _single_chunk_q(t.column("chunk_text")),
+            ),
+            " ",
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").slice(0, 1),
+                "clean_text": joined,
+                "n_chunks_kept": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    return kept.groupby("doc_id", num_partitions=16).map_groups(
+        stitch, batch_format="pyarrow"
+    )
+
+
+def q_bpe_pairs(sf_dir: str):
+    """Top-50 adjacent character pairs within lowercase tokens — the
+    counting step of one BPE merge iteration (tokenizer training over
+    the corpus).  Map-side combine (`char_pair_partials`: one bincount
+    + a loop over DISTINCT tokens only), global ``groupby(pair).sum``
+    over a few hundred distinct pairs, deterministic (cnt desc, pair
+    asc) cut driver-side — the global result is vocabulary-sized, so
+    collecting it is the correct plan at any corpus scale."""
+    from ..functions.textstats import char_pair_partials
+
+    out = (
+        _docs(sf_dir, columns=["text"])
+        .map_batches(char_pair_partials, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("cnt"))
+        .to_pandas()
+        .rename(columns={"sum(cnt)": "cnt"})
+        .sort_values(["cnt", "pair"], ascending=[False, True], ignore_index=True)
+        .head(50)
+    )
+    out["cnt"] = out["cnt"].astype("int64")
+    return out
+
+
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 shape: 6-way join lineitem ⋈ orders ⋈ customer ⋈
+    supplier ⋈ nation ⋈ region with the cross-dimension predicate
+    c_nationkey = s_nationkey, restricted to ASIA / order year 1996.
+    Strategy mix sized per side: supplier (1k rows) and nation⋈region
+    (25 rows) are broadcast numpy lookups applied map-side to lineitem
+    BEFORE any shuffle (the region filter prunes ~80% of fact rows
+    pre-shuffle); the two genuinely large joins — lineitem⋈orders on
+    orderkey, then ⋈customer on custkey — each run once through the
+    engine's bucketed task-shuffle `bucket_lookup_join`."""
+    import pyarrow.parquet as pq
+
+    from .joins import bucket_lookup_join
+
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    skeys = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    snat = sup.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    sorder = np.argsort(skeys)
+    skeys, snat = skeys[sorder], snat[sorder]
+
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    asia_key = reg.filter(pc.equal(reg.column("r_name"), "ASIA")).column(
+        "r_regionkey"
+    )[0].as_py()
+    nat_asia = nat.filter(pc.equal(nat.column("n_regionkey"), asia_key))
+    nkeys = nat_asia.column("n_nationkey").to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    nnames = np.asarray(nat_asia.column("n_name").to_pylist(), dtype=object)
+    norder = np.argsort(nkeys)
+    nkeys, nnames = nkeys[norder], nnames[norder]
+    asia_set = set(nkeys.tolist())
+
+    def li_prejoin(b: pa.Table) -> pa.Table:
+        lk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(skeys, lk)
+        nk = snat[pos]
+        keep = np.isin(nk, nkeys)
+        b = b.filter(pa.array(keep))
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "s_nat": pa.array(nk[keep], pa.int64()),
+                "rev": rev,
+            }
+        )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prejoin, batch_format="pyarrow")
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(
+                    b.column("o_orderdate"), pa.scalar(np.datetime64("1996-01-01", "us"))
+                ),
+                pc.less(
+                    b.column("o_orderdate"), pa.scalar(np.datetime64("1997-01-01", "us"))
+                ),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    with_cust = bucket_lookup_join(
+        li, orders, "l_orderkey", "o_orderkey", "o_custkey", "o_custkey",
+        num_buckets=64, num_partitions=16,
+    ).map_batches(
+        # inner-join semantics: drop fact rows whose order fell to the
+        # date filter (lookup came back null)
+        lambda b: b.filter(pc.is_valid(b.column("o_custkey"))),
+        batch_format="pyarrow",
+    )
+
+    customer = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("c_nationkey"),
+            "c_nationkey",
+            pc.cast(b.column("c_nationkey"), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+    with_nat = bucket_lookup_join(
+        with_cust, customer, "o_custkey", "c_custkey", "c_nationkey", "c_nat",
+        num_buckets=64, num_partitions=16,
+    )
+
+    def local_sum(b: pa.Table) -> pa.Table:
+        same = pc.equal(b.column("c_nat"), b.column("s_nat"))
+        b = b.filter(pc.fill_null(same, False))
+        nk = b.column("s_nat").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(nkeys, nk)
+        return pa.table(
+            {
+                "n_name": pa.array(list(nnames[pos]), pa.string()),
+                "rev": b.column("rev"),
+            }
+        )
+
+    out = (
+        with_nat.map_batches(local_sum, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(), Sum("rev"))
+        .to_pandas()
+        .rename(columns={"count()": "n_items", "sum(rev)": "revenue"})
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+def q_quality_zscore(sf_dir: str):
+    """Per-group z-score normalization (the per-language score
+    calibration step before threshold filtering): z = (n_chars - mean)
+    / stddev_pop within each lang.  Two-stage broadcast plan — map-side
+    integer partials (sum, sum of squares, count) per lang, a 5-row
+    global rollup collected and broadcast, then one vectorized pass.
+    The integer moments are EXACT (no float accumulation order), and
+    the oracle recomputes mean/var with the same naive formula in the
+    same IEEE order, so both engines feed bit-identical doubles into
+    round()."""
+
+    def partials(b: pa.Table) -> pa.Table:
+        nc = b.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = _single_chunk_q(pc.dictionary_encode(b.column("lang")))
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        k = len(enc.dictionary)
+        return pa.table(
+            {
+                "lang": enc.dictionary,
+                "s1": pa.array(np.bincount(codes, weights=nc, minlength=k).astype(np.int64), pa.int64()),
+                "s2": pa.array(np.bincount(codes, weights=nc * nc, minlength=k).astype(np.int64), pa.int64()),
+                "c": pa.array(np.bincount(codes, minlength=k).astype(np.int64), pa.int64()),
+            }
+        )
+
+    stats = (
+        _docs(sf_dir, columns=["lang", "n_chars"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("s1"), Sum("s2"), Sum("c"))
+        .to_pandas()
+    )
+    mom = {
+        r["lang"]: (int(r["sum(s1)"]), int(r["sum(s2)"]), int(r["sum(c)"]))
+        for _, r in stats.iterrows()
+    }
+
+    def zscore(b: pa.Table) -> pa.Table:
+        langs = b.column("lang").to_pylist()
+        nc = b.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = np.empty(len(langs))
+        sd = np.empty(len(langs))
+        for i, lg in enumerate(langs):
+            s1, s2, c = mom[lg]
+            m = s1 / c
+            mean[i] = m
+            sd[i] = np.sqrt(s2 / c - m * m)
+        z = np.round((nc - mean) / sd, 6)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang": b.column("lang"),
+                "n_chars": b.column("n_chars"),
+                "zscore": pa.array(z, pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "lang", "n_chars"]).map_batches(
+        zscore, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # catalogue + oracles
 # ---------------------------------------------------------------------------
@@ -1879,6 +2283,11 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "approx_distinct_users": q_approx_distinct_users,
     "curate": q_curate,
+    "dup_ngram_frac": q_dup_ngram_frac,
+    "chunk_dedup": q_chunk_dedup,
+    "bpe_pairs": q_bpe_pairs,
+    "tpch_q5": q_tpch_q5,
+    "quality_zscore": q_quality_zscore,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -2329,6 +2738,99 @@ ORACLE_SQL = {
                (EXISTS (SELECT 1 FROM bench b
                         WHERE list_contains(d.shs, b.s)))::BIGINT AS contaminated
         FROM sh d
+    """,
+    # cross-document duplicated 5-gram fraction (distinct grams per doc;
+    # a gram is "duplicated" when >= 2 docs contain it)
+    "dup_ngram_frac": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest([array_to_string(ts[i:i+4], ' ')
+                               FOR i IN generate_series(1, len(ts)-4)]) AS g
+                FROM toks WHERE len(ts) >= 5
+            )
+        ), dup AS (
+            SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+        )
+        SELECT gr.doc_id,
+               count(*)::BIGINT AS n_grams,
+               sum(CASE WHEN d.g IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_dup_grams,
+               round(sum(CASE WHEN d.g IS NULL THEN 0 ELSE 1 END)::DOUBLE
+                     / count(*), 6) AS dup_frac
+        FROM grams gr LEFT JOIN dup d USING (g)
+        GROUP BY gr.doc_id
+    """,
+    # chunk-level exact dedup: 16-token windows, keep first occurrence
+    # by (doc_id, chunk_id), docs reassembled from surviving chunks
+    "chunk_dedup": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(text, '\S+') AS ts
+            FROM documents
+        ), ch AS (
+            SELECT doc_id, u['cid'] AS chunk_id, u['ct'] AS chunk_text
+            FROM (
+                SELECT doc_id,
+                       unnest([{'cid': i,
+                                'ct': array_to_string(ts[(i*16+1):((i+1)*16)], ' ')}
+                               FOR i IN generate_series(0, (len(ts)-1)//16)]) AS u
+                FROM toks WHERE len(ts) > 0
+            )
+        ), kept AS (
+            SELECT doc_id, chunk_id, chunk_text,
+                   row_number() OVER (PARTITION BY chunk_text
+                                      ORDER BY doc_id, chunk_id) AS rn
+            FROM ch
+        )
+        SELECT doc_id,
+               string_agg(chunk_text, ' ' ORDER BY chunk_id) AS clean_text,
+               count(*)::BIGINT AS n_chunks_kept
+        FROM kept WHERE rn = 1 GROUP BY doc_id
+    """,
+    # adjacent character pairs within lowercase tokens, global top-50
+    "bpe_pairs": r"""
+        WITH toks AS (
+            SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w
+            FROM documents
+        ), pairs AS (
+            SELECT unnest([substr(w, i, 2)
+                           FOR i IN generate_series(1, length(w)-1)]) AS pair
+            FROM toks WHERE length(w) >= 2
+        )
+        SELECT pair, count(*)::BIGINT AS cnt
+        FROM pairs GROUP BY pair
+        ORDER BY cnt DESC, pair ASC
+        LIMIT 50
+    """,
+    # TPC-H Q5 shape: 6-way join with cross-dimension predicate
+    "tpch_q5": r"""
+        SELECT n_name,
+               count(*)::BIGINT AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem, orders, customer, supplier, nation, region
+        WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    # per-lang z-score of n_chars; mean/var from exact integer moments
+    # with the same naive-formula IEEE order as the Ray side
+    "quality_zscore": r"""
+        WITH s AS (
+            SELECT lang,
+                   sum(n_chars)::BIGINT AS s1,
+                   sum(n_chars*n_chars)::BIGINT AS s2,
+                   count(*)::BIGINT AS c
+            FROM documents GROUP BY lang
+        )
+        SELECT d.doc_id, d.lang, d.n_chars,
+               round((d.n_chars - s1/c) / sqrt(s2/c - (s1/c)*(s1/c)), 6) AS zscore
+        FROM documents d JOIN s USING (lang)
     """,
 }
 

@@ -129,3 +129,100 @@ def test_heavy_hitters_exact_vs_bruteforce(ray_session, tmp_path):
     assert dict(got) == expect
     assert "hot" in got.index and "warm" in got.index
     assert not any(t.startswith("rare") for t in got.index)
+
+
+def test_dup_ngram_frac_hand_computed(ray_session, tmp_path):
+    # doc0/doc1 share the 5-gram "a b c d e"; doc2 shares nothing
+    sf = _write_docs(
+        tmp_path,
+        [(0, "a b c d e f"), (1, "a b c d e x"), (2, "p q r s t")],
+    )
+    from tesseract_wasm_ray.pipelines.queries import q_dup_ngram_frac
+
+    out = (
+        q_dup_ngram_frac(sf).to_pandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[0, "n_grams"] == 2 and out.loc[0, "n_dup_grams"] == 1
+    assert out.loc[1, "n_grams"] == 2 and out.loc[1, "n_dup_grams"] == 1
+    assert out.loc[2, "n_grams"] == 1 and out.loc[2, "n_dup_grams"] == 0
+    assert out.loc[0, "dup_frac"] == 0.5 and out.loc[2, "dup_frac"] == 0.0
+
+
+def test_dup_ngram_frac_counts_distinct_grams_once(ray_session, tmp_path):
+    # the shared gram appears TWICE inside doc0 (repeated phrase) but
+    # must count once per doc (distinct-grams semantics)
+    phrase = "a b c d e"
+    sf = _write_docs(
+        tmp_path,
+        [(0, f"{phrase} {phrase}"), (1, phrase)],
+    )
+    from tesseract_wasm_ray.pipelines.queries import q_dup_ngram_frac
+
+    out = q_dup_ngram_frac(sf).to_pandas().set_index("doc_id").sort_index()
+    # doc0 tokens: a b c d e a b c d e -> 6 windows but 5 DISTINCT
+    # grams ("a b c d e" occurs at offsets 0 and 5 -> counted once)
+    assert out.loc[0, "n_grams"] == 5
+    assert out.loc[0, "n_dup_grams"] == 1  # only "a b c d e" is shared
+    assert out.loc[1, "n_grams"] == 1 and out.loc[1, "n_dup_grams"] == 1
+
+
+def test_chunk_dedup_keeps_first_and_restitches(ray_session, tmp_path):
+    toks = [f"t{i}" for i in range(20)]  # doc0: 2 chunks (16 + 4)
+    dup16 = " ".join(toks[:16])  # doc1: exactly doc0's first chunk
+    sf = _write_docs(
+        tmp_path,
+        [(0, " ".join(toks)), (1, dup16), (2, "unique text here")],
+    )
+    from tesseract_wasm_ray.pipelines.queries import q_chunk_dedup
+
+    out = q_chunk_dedup(sf).to_pandas().set_index("doc_id").sort_index()
+    # doc1's only chunk is a duplicate of doc0 chunk 0 -> doc1 vanishes
+    assert list(out.index) == [0, 2]
+    assert out.loc[0, "n_chunks_kept"] == 2
+    assert out.loc[0, "clean_text"] == " ".join(toks)
+    assert out.loc[2, "clean_text"] == "unique text here"
+
+
+def test_bpe_pairs_counts(ray_session, tmp_path):
+    sf = _write_docs(tmp_path, [(0, "ab ab b"), (1, "abc")])
+    from tesseract_wasm_ray.pipelines.queries import q_bpe_pairs
+
+    out = q_bpe_pairs(sf).set_index("pair")["cnt"]
+    assert out["ab"] == 3  # two "ab" tokens + one inside "abc"
+    assert out["bc"] == 1
+    assert len(out) == 2
+
+
+def test_quality_zscore_two_stage_matches_numpy(ray_session, tmp_path):
+    rows = [(i, "x" * (10 + 7 * i)) for i in range(6)]
+    sf = _write_docs(tmp_path, rows)
+    from tesseract_wasm_ray.pipelines.queries import q_quality_zscore
+
+    out = q_quality_zscore(sf).to_pandas().set_index("doc_id").sort_index()
+    nc = np.array([len(t) for _, t in rows], dtype=np.float64)
+    s1, s2, c = int(nc.sum()), int((nc * nc).sum()), len(nc)
+    mean = s1 / c
+    sd = math.sqrt(s2 / c - mean * mean)
+    want = np.round((nc - mean) / sd, 6)
+    assert np.array_equal(out["zscore"].to_numpy(), want)
+
+
+def test_tpch_q5_matches_duckdb(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        e.queries()["tpch_q5"](sf)
+        .sort_values("n_name", ignore_index=True)
+    )
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier", "nation", "region"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    want = con.sql(e.oracle_sql()["tpch_q5"]).df().sort_values(
+        "n_name", ignore_index=True
+    )
+    assert got["n_name"].tolist() == want["n_name"].tolist()
+    assert got["n_items"].tolist() == want["n_items"].tolist()
+    assert np.allclose(got["revenue"], want["revenue"])

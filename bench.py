@@ -74,6 +74,12 @@ BENCH_QUERIES = [
     "semdedup",
     "mixture_sample",
     "knn_self_join_cells",
+    # round-3 session-4 additions
+    "dup_ngram_frac",
+    "chunk_dedup",
+    "bpe_pairs",
+    "tpch_q5",
+    "quality_zscore",
 ]
 
 

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "bpe_pairs",
     "tpch_q5",
     "quality_zscore",
+    "video_frames",
 ]
 
 

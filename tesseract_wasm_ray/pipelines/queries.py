@@ -2171,6 +2171,45 @@ def q_tpch_q5(sf_dir: str):
     return out
 
 
+def q_video_frames(sf_dir: str):
+    """Video-modality plumbing over a REAL from-scratch AVI/RIFF
+    container + uncompressed-DIB frame codec (functions/avicodec.py):
+    each doc gets a deterministic solid-color frame sequence
+    synthesized from md5(doc_id) (dimensions, frame count, and the
+    per-frame value ramp all md5-derived so DuckDB recomputes them in
+    closed form), encoded to AVI, then decoded + frame-sampled
+    (stride 2) by the actor-pool stage (stages.multimodal
+    .video_frames).  A solid frame of value v has mean exactly v, so
+    the oracle verifies the whole encode → RIFF walk → DIB decode →
+    sample chain per frame, not just row counts."""
+    from ..functions.avicodec import encode_avi
+    from ..stages.multimodal import video_frames
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            h = hashlib.md5(str(d).encode()).hexdigest()
+            w = 16 + (int(h[0:2], 16) % 4) * 8
+            ht = 16 + (int(h[2:4], 16) % 4) * 8
+            n = 4 + int(h[4:6], 16) % 8
+            base = int(h[6:8], 16)
+            step = 1 + int(h[8:10], 16) % 31
+            vals = (base + np.arange(n) * step) % 256
+            frames = np.broadcast_to(
+                vals.astype(np.uint8)[:, None, None, None], (n, ht, w, 3)
+            ).copy()
+            payloads.append(encode_avi(frames, fps=12))
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(synth, batch_format="pyarrow")
+    return video_frames(ds, id_col="doc_id", stride=2, concurrency=4, batch_size=16)
+
+
 def q_quality_zscore(sf_dir: str):
     """Per-group z-score normalization (the per-language score
     calibration step before threshold filtering): z = (n_chars - mean)
@@ -2288,6 +2327,7 @@ QUERIES = {
     "bpe_pairs": q_bpe_pairs,
     "tpch_q5": q_tpch_q5,
     "quality_zscore": q_quality_zscore,
+    "video_frames": q_video_frames,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -2604,6 +2644,28 @@ ORACLE_SQL = {
                (('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INT % 50 + 50)::DOUBLE AS rms,
                (('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INT % 50 + 50)::BIGINT AS peak
         FROM documents
+    """,
+    # closed-form truth for the AVI chain: dimensions / frame count /
+    # per-frame value ramp are md5-derived; a solid frame of value v
+    # has mean exactly v (stride-2 sampling mirrored by the series step)
+    "video_frames": """
+        WITH p AS (
+            SELECT doc_id,
+                   16 + (('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INT % 4) * 8 AS width,
+                   16 + (('0x' || substr(md5(doc_id::VARCHAR), 3, 2))::INT % 4) * 8 AS height,
+                   4 + ('0x' || substr(md5(doc_id::VARCHAR), 5, 2))::INT % 8 AS n_frames,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 7, 2))::INT AS base,
+                   1 + ('0x' || substr(md5(doc_id::VARCHAR), 9, 2))::INT % 31 AS step
+            FROM documents
+        )
+        SELECT doc_id,
+               unnest(generate_series(0, n_frames - 1, 2))::BIGINT AS frame_idx,
+               n_frames::BIGINT AS n_frames,
+               width::BIGINT AS width,
+               height::BIGINT AS height,
+               12.0::DOUBLE AS fps,
+               ((base + unnest(generate_series(0, n_frames - 1, 2)) * step) % 256)::DOUBLE AS mean_val
+        FROM p
     """,
     "dataset_split": """
         SELECT lang,

@@ -11,7 +11,10 @@ entropy coding, functions/jpegcodec.py), the GIF codec (full LZW
 with variable code widths + dictionary resets, functions/gifcodec.py)
 and the TIFF codec (PackBits RLE + TIFF-flavor MSB/early-change LZW +
 predictor 2, functions/tiffcodec.py) — all real compressed formats,
-from scratch.  The remaining codecs (webp/audio/video) are
+from scratch.  Audio is REAL (WAV/RIFF PCM, functions/wavcodec.py) and
+so is the video container + raw frame path (AVI/RIFF with uncompressed
+DIB frames, functions/avicodec.py, frame-sampled by VideoFrameActor).
+The remaining codecs (webp; compressed video essences like h264) are
 STUBBED (no codec libs in this container — driver brief): they raise
 ``NotImplementedError`` unless ``fake="deterministic"``, which produces
 a seeded synthetic raster so the Ray-side plumbing (schema, batch
@@ -530,6 +533,79 @@ def audio_features(ds, id_col: str = "media_ref", concurrency: int = 4, batch_si
     return ds.map_batches(
         AudioFeatureActor,
         fn_constructor_kwargs={"id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+        num_cpus=1,
+    )
+
+
+class VideoFrameActor:
+    """Actor-pool video stage: decode AVI payloads (REAL from-scratch
+    RIFF container + uncompressed-DIB frame codec,
+    functions/avicodec.py) and fan out one row per SAMPLED frame —
+    the frame-sampling shape a multimodal training pipeline runs
+    before per-frame feature extraction.  Same discipline as
+    MediaDecodeActor: codec bound once per actor in ``__init__``,
+    per-batch decode loop over opaque binary payloads, column-wise
+    Arrow output.  ``stride`` picks every stride-th frame (frame 0
+    always included)."""
+
+    def __init__(self, id_col: str = "media_ref", stride: int = 2):
+        from ..functions.avicodec import decode_avi
+
+        self._decode = decode_avi
+        self.id_col = id_col
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = _single_chunk(batch.column("payload"))
+        ids_src = _single_chunk(batch.column(self.id_col))
+        idx: list[int] = []
+        frame_idx: list[int] = []
+        nf: list[int] = []
+        ww: list[int] = []
+        hh: list[int] = []
+        fpss: list[float] = []
+        means: list[float] = []
+        for i in range(batch.num_rows):
+            frames, fps = self._decode(payloads[i].as_py())
+            n, h, w, _ = frames.shape
+            for k in range(0, n, self.stride):
+                idx.append(i)
+                frame_idx.append(k)
+                nf.append(n)
+                ww.append(w)
+                hh.append(h)
+                fpss.append(fps)
+                means.append(float(frames[k].mean()))
+        return pa.table(
+            {
+                self.id_col: ids_src.take(pa.array(idx, pa.int64())),
+                "frame_idx": pa.array(frame_idx, pa.int64()),
+                "n_frames": pa.array(nf, pa.int64()),
+                "width": pa.array(ww, pa.int64()),
+                "height": pa.array(hh, pa.int64()),
+                "fps": pa.array(fpss, pa.float64()),
+                "mean_val": pa.array(means, pa.float64()),
+            }
+        )
+
+
+def video_frames(
+    ds,
+    id_col: str = "media_ref",
+    stride: int = 2,
+    concurrency: int = 4,
+    batch_size: int = 16,
+):
+    """Actor-pool AVI decode + frame sampling over a Dataset with
+    (id_col, payload) columns.  Video payloads are the widest rows in
+    the engine (frames x stride x height), so the default batch_size
+    is small — batch x concurrency must fit a worker heap."""
+    return ds.map_batches(
+        VideoFrameActor,
+        fn_constructor_kwargs={"id_col": id_col, "stride": stride},
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=batch_size,

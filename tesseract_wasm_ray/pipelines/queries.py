@@ -1600,14 +1600,17 @@ def q_media_decode(sf_dir: str):
     widths + dictionary resets, functions/gifcodec.py — lossless), a
     third as TIFF (functions/tiffcodec.py — MSB/early-change LZW with
     horizontal-differencing predictor for gray, PackBits for an RGBA
-    slice), the other gray pages as binary PGM (P5) and RGBA pages as
-    uncompressed 32-bit BMP; the actor pool then decodes all six from
-    scratch (pure numpy — see stages.multimodal) and resizes to 32x32
-    thumbnails.  webp/audio/video remain stubbed per the driver brief
-    (no codec libs here)."""
+    slice), an RGBA slice as lossless WebP/VP8L (functions/webpcodec.py
+    — prefix codes + LZ77 + subtract-green, from scratch), the other
+    gray pages as binary PGM (P5) and RGBA pages as uncompressed
+    32-bit BMP; the task pool then decodes all seven from scratch
+    (pure numpy + stdlib zlib — see stages.multimodal) and resizes to
+    32x32 thumbnails.  Only compressed audio/video essences (mp3/h264)
+    remain stubbed per the driver brief (no codec libs here)."""
     from ..functions.gifcodec import encode_gif
     from ..functions.jpegcodec import encode_jpeg
     from ..functions.tiffcodec import encode_tiff
+    from ..functions.webpcodec import encode_webp
     from ..stages.multimodal import (
         decode_media,
         encode_bmp,
@@ -1647,6 +1650,9 @@ def q_media_decode(sf_dir: str):
             elif c == 4 and crc % 5 == 1:
                 payloads.append(encode_tiff(img, compression="packbits"))
                 codecs.append("tiff")
+            elif c == 4 and crc % 5 == 2:
+                payloads.append(encode_webp(img))
+                codecs.append("webp")
             elif c == 1:
                 payloads.append(encode_pnm(img))
                 codecs.append("pgm")

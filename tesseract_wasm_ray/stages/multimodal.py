@@ -9,9 +9,11 @@ container decoders, the PNG codec (chunk parse + stdlib-zlib inflate +
 per-row unfilter), the baseline JPEG codec (8x8 DCT + Huffman
 entropy coding, functions/jpegcodec.py), the GIF codec (full LZW
 with variable code widths + dictionary resets, functions/gifcodec.py)
-and the TIFF codec (PackBits RLE + TIFF-flavor MSB/early-change LZW +
-predictor 2, functions/tiffcodec.py) — all real compressed formats,
-from scratch.  Audio is REAL (WAV/RIFF PCM, functions/wavcodec.py) and
+the TIFF codec (PackBits RLE + TIFF-flavor MSB/early-change LZW +
+predictor 2, functions/tiffcodec.py) and the WebP-lossless codec
+(VP8L prefix codes + LZ77 + color cache + all four transforms,
+functions/webpcodec.py) — all real compressed formats, from
+scratch.  Audio is REAL (WAV/RIFF PCM, functions/wavcodec.py) and
 so is the video container + raw frame path (AVI/RIFF with uncompressed
 DIB frames, functions/avicodec.py, frame-sampled by VideoFrameActor).
 The remaining codecs (webp; compressed video essences like h264) are
@@ -41,8 +43,8 @@ RAW_CODECS = {"raw", "raw-rgba", "raw-gray"}
 # functions/jpegcodec.py).  WAV is REAL too but is audio, handled by
 # AudioFeatureActor / functions/wavcodec.py — a wav payload reaching
 # the IMAGE decode actor is a mis-typed row and stays stub-gated here.
-REAL_CODECS = {"bmp", "pnm", "pgm", "ppm", "png", "jpeg", "gif", "tiff"}
-STUB_CODECS = {"webp", "mp3", "wav", "h264"}
+REAL_CODECS = {"bmp", "pnm", "pgm", "ppm", "png", "jpeg", "gif", "tiff", "webp"}
+STUB_CODECS = {"mp3", "wav", "h264"}
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
@@ -312,6 +314,10 @@ class MediaDecodeActor:
                     from ..functions.tiffcodec import decode_tiff
 
                     img = decode_tiff(payloads[i].as_py())
+                elif codec == "webp":
+                    from ..functions.webpcodec import decode_webp
+
+                    img = decode_webp(payloads[i].as_py())
                 else:
                     img = decode_pnm(payloads[i].as_py())
                 heights[i], widths[i], channels[i] = (

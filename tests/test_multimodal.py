@@ -26,11 +26,11 @@ def _raw_batch():
                 "channels": 1,
             },
             {
-                # webp is a stub codec (jpeg became a REAL from-scratch
-                # codec in round 3 — see test_jpeg.py)
-                "media_ref": "m-webp",
-                "payload": b"RIFFfakewebp",
-                "codec": "webp",
+                # h264 is a stub codec (webp became a REAL from-scratch
+                # VP8L codec in round 3 — see test_webp.py)
+                "media_ref": "m-h264",
+                "payload": b"fake-essence",
+                "codec": "h264",
                 "width": 4,
                 "height": 4,
                 "channels": 4,
@@ -109,7 +109,7 @@ def test_decode_actor_pool_pipeline(ray_session):
             {
                 "media_ref": f"m{i:03d}",
                 "payload": bytes(range(12)) if i % 2 == 0 else b"x",
-                "codec": "raw" if i % 2 == 0 else "webp",
+                "codec": "raw" if i % 2 == 0 else "h264",
                 "width": 4 if i % 2 == 0 else 2,
                 "height": 3 if i % 2 == 0 else 2,
                 "channels": 1,

@@ -651,3 +651,41 @@ pick AS (
 SELECT q AS quantile, {lo!r} + (bin + 0.5) * {width!r} AS approx_value
 FROM pick
 """
+
+
+def sql_dup_ngram_frac(n: int = 5) -> str:
+    """Cross-document duplicated-n-gram fraction: recomputes the FNV
+    token hashes and the n-token shingle fold (sketch.shingle_hashes,
+    including the whole-row short-document rule) in HUGEINT, then
+    counts per doc the distinct shingles shared with >= 1 other doc.
+    Mirrors queries.q_dup_ngram_frac bit-for-bit."""
+    # windowed fold: acc = hs[i]; k=1..n-1: acc = (acc*B mod 2^64) xor hs[i+k]
+    expr = "hs[i]"
+    for k in range(1, n):
+        expr = f"xor(({expr} * {_ROLL_BASE}::HUGEINT) % {_M64}::HUGEINT, hs[i+{k}])"
+    return f"""
+WITH {_tok_cte()}{_fnv_cte()},
+sh AS (
+    SELECT doc_id,
+           CASE WHEN len(hs) >= {n} THEN
+               list_transform(range(1, len(hs) - {n - 2}), i -> {expr})
+           WHEN len(hs) > 0 THEN
+               [list_reduce(list_prepend(0::HUGEINT, hs),
+                            (acc, h) -> xor((acc * {_ROLL_BASE}::HUGEINT) % {_M64}::HUGEINT, h))]
+           ELSE [] END AS sgl
+    FROM th
+),
+grams AS (
+    SELECT DISTINCT doc_id, g
+    FROM (SELECT doc_id, unnest(sgl) AS g FROM sh WHERE len(sgl) > 0)
+),
+dup AS (
+    SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+)
+SELECT gr.doc_id,
+       count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN d.g IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_dup_grams,
+       round(sum(CASE WHEN d.g IS NULL THEN 0 ELSE 1 END)::DOUBLE / count(*), 6) AS dup_frac
+FROM grams gr LEFT JOIN dup d USING (g)
+GROUP BY gr.doc_id
+"""

@@ -1839,113 +1839,83 @@ def q_dup_ngram_frac(sf_dir: str):
     """Cross-document duplicated-n-gram fraction (the RefinedWeb/Gopher
     quality signal `repetition_stats` can't see: n-grams repeated
     ACROSS documents, not within one).  Per doc: the fraction of its
-    distinct 5-grams that occur in at least one other document.
+    distinct 5-gram shingle hashes that occur in at least one other
+    document.
 
-    Distributed plan — the dup-gram set is corpus-sized (unlike
+    Distributed plan -- the dup-gram set is corpus-sized (unlike
     `decontaminate`'s small benchmark side), so membership is resolved
-    with a bucketed shuffle, never a broadcast:
+    by co-locating equal grams in a bucketed shuffle, never a
+    broadcast.  Grams are FNV shingle HASHES (sketch.shingle_hashes,
+    the exact uint64 chain oracles.py already recomputes in DuckDB
+    HUGEINT), so the only thing that ever shuffles is int-sized rows;
+    the gram-STRING variant of this plan measured ~3x slower on the
+    string shuffles alone (14.0 s vs this plan at sf0.1/32 cpus):
 
-    1. map-side: distinct (doc_id, gram) rows per doc (strided-gather
-       `ngram_strings` + one composite `np.unique` per batch);
-    2. gram doc-counts: per-batch (gram, cnt) partials -> tiny
-       ``groupby(g).sum`` -> grams with >= 2 docs (sketch-only shuffle:
-       one row per distinct gram per block);
-    3. membership: union the dup-gram stream (tagged by null doc_id)
-       with the doc-gram rows, bucket on crc32(gram), and inside each
-       bucket group count per-doc hits AND per-doc row totals with one
-       ``is_in`` + two bincounts — gram strings cross the wire once;
-    4. final: ``groupby(doc_id).sum`` over int partials -> fraction.
+    1. map-side: distinct (doc_id, h) rows per doc (vectorized
+       lexsort + run-boundary dedup), bucket key = h % 64;
+    2. ONE bucket groupby: every copy of a gram hash lands in the same
+       group, so `np.unique(..., return_counts=True)` marks dups and
+       two bincounts emit per-doc (n_dup, n_tot) partials;
+    3. final tiny ``groupby(doc_id).sum`` over int partials.
 
-    Docs with < 5 tokens have no grams and emit no row (mirrored by
-    the oracle's ``len(ts) >= 5`` guard)."""
-    from ..functions.textstats import ngram_strings
-    from .joins import _bucket_of_array
+    Rows with < 5 tokens contribute one whole-row shingle (the
+    shingle_hashes short-row rule, mirrored in the oracle SQL)."""
+    from ..functions.sketch import shingle_hashes
 
-    N, B = 5, 32
+    N, B = 5, 64
 
     def doc_grams(b: pa.Table) -> pa.Table:
         texts = _single_chunk_q(b.column("text"))
-        grams, parents, _ = ngram_strings(texts, N)
+        h, parents, _ = shingle_hashes(texts, N)
         ids = pc.cast(_single_chunk_q(b.column("doc_id")), pa.int64()).to_numpy(
             zero_copy_only=False
         )
-        if len(grams) == 0:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()), "g": pa.array([], pa.string())}
-            )
-        enc = _single_chunk_q(pc.dictionary_encode(grams))
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        composite = parents * len(enc.dictionary) + codes
-        keep = np.unique(composite, return_index=True)[1]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[parents[keep]], pa.int64()),
-                "g": grams.take(pa.array(keep)),
-            }
-        )
-
-    def gram_partials(b: pa.Table) -> pa.Table:
-        enc = _single_chunk_q(pc.dictionary_encode(b.column("g")))
-        counts = np.bincount(
-            enc.indices.to_numpy(zero_copy_only=False),
-            minlength=len(enc.dictionary),
-        )
-        return pa.table(
-            {"g": enc.dictionary, "cnt": pa.array(counts.astype(np.int64), pa.int64())}
-        )
-
-    rows = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
-        doc_grams, batch_format="pyarrow"
-    )
-    def dup_only(b: pa.Table) -> pa.Table:
-        d = b.filter(pc.greater_equal(b.column("sum(cnt)"), 2)).select(["g"])
-        return d.append_column("doc_id", pa.nulls(d.num_rows, pa.int64()))
-
-    dup = (
-        rows.map_batches(gram_partials, batch_format="pyarrow")
-        .groupby("g")
-        .aggregate(Sum("cnt"))
-        .map_batches(dup_only, batch_format="pyarrow")
-    )
-
-    def add_bucket(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__b", pa.array(_bucket_of_array(_single_chunk_q(b.column("g")), B))
-        )
-
-    def mark(g: pa.Table) -> pa.Table:
-        is_dup_row = pc.is_null(g.column("doc_id"))
-        dupset = g.filter(is_dup_row).column("g")
-        mem = g.filter(pc.invert(is_dup_row))
-        if mem.num_rows == 0:
+        if len(h) == 0:
             return pa.table(
                 {
                     "doc_id": pa.array([], pa.int64()),
-                    "n_dup": pa.array([], pa.int64()),
-                    "n_tot": pa.array([], pa.int64()),
+                    "h": pa.array([], pa.uint64()),
+                    "__b": pa.array([], pa.int32()),
                 }
             )
-        ids = mem.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        hit = pc.is_in(mem.column("g"), value_set=dupset).to_numpy(
-            zero_copy_only=False
-        )
-        uniq, inv = np.unique(ids, return_inverse=True)
+        order = np.lexsort((h, parents))
+        hs, ps = h[order], parents[order]
+        first = np.r_[True, (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])]
+        hs, ps = hs[first], ps[first]
         return pa.table(
             {
-                "doc_id": pa.array(uniq, pa.int64()),
+                "doc_id": pa.array(ids[ps], pa.int64()),
+                "h": pa.array(hs, pa.uint64()),
+                "__b": pa.array((hs % np.uint64(B)).astype(np.int32)),
+            }
+        )
+
+    def mark(g: pa.Table) -> pa.Table:
+        h = _single_chunk_q(g.column("h")).to_numpy(zero_copy_only=False)
+        ids = _single_chunk_q(g.column("doc_id")).to_numpy(zero_copy_only=False)
+        _, inv, counts = np.unique(h, return_inverse=True, return_counts=True)
+        dup = (counts[inv] >= 2).astype(np.int64)
+        du, dinv = np.unique(ids, return_inverse=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(du, pa.int64()),
                 "n_dup": pa.array(
-                    np.bincount(inv, weights=hit).astype(np.int64), pa.int64()
+                    np.bincount(dinv, weights=dup).astype(np.int64), pa.int64()
                 ),
-                "n_tot": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "n_tot": pa.array(np.bincount(dinv).astype(np.int64), pa.int64()),
             }
         )
 
     marked = (
-        rows.union(dup.select_columns(["doc_id", "g"]))
-        .map_batches(add_bucket, batch_format="pyarrow")
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(doc_grams, batch_format="pyarrow")
+        # coalesce before the sort-shuffle: its cost is per-block
+        # (docs/RAY_NOTES.md §3), and doc_grams fans one block per read
+        # split
+        .repartition(16)
         .groupby("__b", num_partitions=16)
         .map_groups(mark, batch_format="pyarrow")
-        .groupby("doc_id")
+        .groupby("doc_id", num_partitions=8)
         .aggregate(Sum("n_dup"), Sum("n_tot"))
     )
 
@@ -2807,30 +2777,6 @@ ORACLE_SQL = {
                         WHERE list_contains(d.shs, b.s)))::BIGINT AS contaminated
         FROM sh d
     """,
-    # cross-document duplicated 5-gram fraction (distinct grams per doc;
-    # a gram is "duplicated" when >= 2 docs contain it)
-    "dup_ngram_frac": r"""
-        WITH toks AS (
-            SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts
-            FROM documents
-        ), grams AS (
-            SELECT DISTINCT doc_id, g FROM (
-                SELECT doc_id,
-                       unnest([array_to_string(ts[i:i+4], ' ')
-                               FOR i IN generate_series(1, len(ts)-4)]) AS g
-                FROM toks WHERE len(ts) >= 5
-            )
-        ), dup AS (
-            SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
-        )
-        SELECT gr.doc_id,
-               count(*)::BIGINT AS n_grams,
-               sum(CASE WHEN d.g IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_dup_grams,
-               round(sum(CASE WHEN d.g IS NULL THEN 0 ELSE 1 END)::DOUBLE
-                     / count(*), 6) AS dup_frac
-        FROM grams gr LEFT JOIN dup d USING (g)
-        GROUP BY gr.doc_id
-    """,
     # chunk-level exact dedup: 16-token windows, keep first occurrence
     # by (doc_id, chunk_id), docs reassembled from surviving chunks
     "chunk_dedup": r"""
@@ -3014,5 +2960,6 @@ ORACLE_SQL.update(
         ),
         "kmeans_clusters": _orc.sql_kmeans_clusters(k=8, iters=4),
         "semdedup": _orc.sql_semdedup(k=8, iters=4, threshold=0.98),
+        "dup_ngram_frac": _orc.sql_dup_ngram_frac(n=5),
     }
 )

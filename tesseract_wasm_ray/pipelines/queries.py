@@ -1118,28 +1118,12 @@ def q_decontaminate(sf_dir: str):
     cluster scale: ``ray.put`` once, read per task — never a shuffle
     of the big side).  Shingle strings are built with a strided gather
     + one ``binary_join`` per batch; membership is one Arrow ``is_in``."""
+    from ..functions.textstats import ngram_strings
+
     N = 5
 
     def shingles_of(b: pa.Table) -> tuple[pa.Array, np.ndarray, int]:
-        texts = _single_chunk_q(b.column("text"))
-        toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
-        flat = _single_chunk_q(pc.list_flatten(toks))
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        ok = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
-        flat, parents = flat.filter(pa.array(ok)), parents[ok]
-        n_rows = b.num_rows
-        n_tok = np.bincount(parents, minlength=n_rows)
-        row_starts = np.r_[0, np.cumsum(n_tok)]
-        pos = np.arange(len(parents)) - row_starts[parents]
-        starts = np.flatnonzero(pos <= n_tok[parents] - N)
-        if len(starts) == 0:
-            return pa.array([], pa.string()), np.empty(0, np.int64), n_rows
-        gather = (starts[:, None] + np.arange(N)[None, :]).ravel()
-        window_list = pa.ListArray.from_arrays(
-            pa.array(np.arange(len(starts) + 1, dtype=np.int32) * N),
-            flat.take(pa.array(gather)),
-        )
-        return pc.binary_join(window_list, " "), parents[starts], n_rows
+        return ngram_strings(_single_chunk_q(b.column("text")), N)
 
     def bench_shingles(b: pa.Table) -> pa.Table:
         ids = pc.cast(_single_chunk_q(b.column("doc_id")), pa.int64()).to_numpy(

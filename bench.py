@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "tpch_q5",
     "quality_zscore",
     "video_frames",
+    "incremental_dedup",
 ]
 
 

@@ -2170,6 +2170,71 @@ def q_video_frames(sf_dir: str):
     return video_frames(ds, id_col="doc_id", stride=2, concurrency=4, batch_size=16)
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Incremental (cross-snapshot) exact dedup: drop every NEW doc
+    whose md5(text) already exists in a prior corpus snapshot — the
+    ingest-time shape of exact dedup (a fresh crawl lands against an
+    already-deduped corpus; re-running whole-corpus dedup would
+    re-shuffle everything ever ingested).  The snapshot here is the
+    deterministic doc_id % 7 == 0 slice; the incoming batch is the
+    remaining docs PLUS a planted "re-crawl" of every snapshot doc
+    (same text, doc_id + 1,000,000) — the base table has no exact
+    duplicates, so without planting the anti-join would be vacuous
+    (the embedding_neardup precedent).  Fingerprints are built
+    distributed on the snapshot side and resolved by
+    dedup.anti_join_ids' AUTO strategy (broadcast below the byte cap,
+    bloom-routed bucketed anti-join above it), so the new batch never
+    shuffles while the snapshot fits memory.  Done = exactly the
+    planted rows vanish."""
+    from .dedup import anti_join_ids
+
+    def key_of(texts: list[str | None]) -> list[str]:
+        return [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+
+    def snap_keys(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        sub = b.filter(pa.array(ids % 7 == 0))
+        return pa.table(
+            {"__k": pa.array(key_of(sub.column("text").to_pylist()), pa.string())}
+        )
+
+    def new_with_key(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        fresh_rows = b.filter(pa.array(ids % 7 != 0))
+        recrawl = b.filter(pa.array(ids % 7 == 0))
+        doc_ids = pa.concat_arrays(
+            [
+                _single_chunk_q(pc.cast(fresh_rows.column("doc_id"), pa.int64())),
+                _single_chunk_q(
+                    pc.add(pc.cast(recrawl.column("doc_id"), pa.int64()), 1_000_000)
+                ),
+            ]
+        )
+        texts = (
+            fresh_rows.column("text").to_pylist()
+            + recrawl.column("text").to_pylist()
+        )
+        n_chars = pa.concat_arrays(
+            [
+                _single_chunk_q(fresh_rows.column("n_chars")),
+                _single_chunk_q(recrawl.column("n_chars")),
+            ]
+        )
+        return pa.table(
+            {
+                "doc_id": doc_ids,
+                "n_chars": n_chars,
+                "__k": pa.array(key_of(texts), pa.string()),
+            }
+        )
+
+    docs = _docs(sf_dir, columns=["doc_id", "text", "n_chars"])
+    snapshot = docs.map_batches(snap_keys, batch_format="pyarrow")
+    fresh = docs.map_batches(new_with_key, batch_format="pyarrow")
+    kept = anti_join_ids(fresh, snapshot, "__k")
+    return kept.select_columns(["doc_id", "n_chars"])
+
+
 def q_quality_zscore(sf_dir: str):
     """Per-group z-score normalization (the per-language score
     calibration step before threshold filtering): z = (n_chars - mean)
@@ -2288,6 +2353,7 @@ QUERIES = {
     "tpch_q5": q_tpch_q5,
     "quality_zscore": q_quality_zscore,
     "video_frames": q_video_frames,
+    "incremental_dedup": q_incremental_dedup,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -2801,6 +2867,21 @@ ORACLE_SQL = {
         FROM pairs GROUP BY pair
         ORDER BY cnt DESC, pair ASC
         LIMIT 50
+    """,
+    # incremental exact dedup: new batch anti-joined against the
+    # snapshot slice's md5 fingerprints
+    "incremental_dedup": """
+        WITH snap AS (
+            SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id % 7 = 0
+        ), newdocs AS (
+            SELECT doc_id, n_chars, text FROM documents WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT doc_id + 1000000, n_chars, text
+            FROM documents WHERE doc_id % 7 = 0
+        )
+        SELECT doc_id, n_chars
+        FROM newdocs
+        WHERE md5(text) NOT IN (SELECT k FROM snap)
     """,
     # TPC-H Q5 shape: 6-way join with cross-dimension predicate
     "tpch_q5": r"""

@@ -226,3 +226,16 @@ def test_tpch_q5_matches_duckdb(ray_session):
     assert got["n_name"].tolist() == want["n_name"].tolist()
     assert got["n_items"].tolist() == want["n_items"].tolist()
     assert np.allclose(got["revenue"], want["revenue"])
+
+
+def test_incremental_dedup_removes_planted_recrawl(ray_session, tmp_path):
+    sf = _write_docs(
+        tmp_path,
+        [(0, "snapshot doc zero"), (7, "snapshot doc seven"),
+         (1, "fresh doc one"), (2, "fresh doc two")],
+    )
+    from tesseract_wasm_ray.pipelines.queries import q_incremental_dedup
+
+    out = q_incremental_dedup(sf).to_pandas()
+    # planted re-crawls (1000000, 1000007) are removed; fresh docs stay
+    assert sorted(out["doc_id"].tolist()) == [1, 2]

@@ -1956,25 +1956,42 @@ def q_chunk_dedup(sf_dir: str):
         order_col="__ord",
     )
 
-    def stitch(g: pa.Table) -> pa.Table:
-        t = g.sort_by([("chunk_id", "ascending")])
+    def stitch_bucket(g: pa.Table) -> pa.Table:
+        # vectorized multi-doc stitch: one sort + one binary_join per
+        # BUCKET of docs (a per-doc map_groups costs one Python call
+        # per document — hostile at corpus scale)
+        t = g.sort_by([("doc_id", "ascending"), ("chunk_id", "ascending")])
+        ids = _single_chunk_q(pc.cast(t.column("doc_id"), pa.int64())).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.r_[0, np.flatnonzero(ids[1:] != ids[:-1]) + 1]
+        offsets = np.r_[starts, len(ids)].astype(np.int32)
         joined = pc.binary_join(
             pa.ListArray.from_arrays(
-                pa.array([0, t.num_rows], pa.int32()),
-                _single_chunk_q(t.column("chunk_text")),
+                pa.array(offsets), _single_chunk_q(t.column("chunk_text"))
             ),
             " ",
         )
         return pa.table(
             {
-                "doc_id": t.column("doc_id").slice(0, 1),
+                "doc_id": pa.array(ids[starts], pa.int64()),
                 "clean_text": joined,
-                "n_chunks_kept": pa.array([t.num_rows], pa.int64()),
+                "n_chunks_kept": pa.array(np.diff(offsets).astype(np.int64)),
             }
         )
 
-    return kept.groupby("doc_id", num_partitions=16).map_groups(
-        stitch, batch_format="pyarrow"
+    def add_doc_bucket(b: pa.Table) -> pa.Table:
+        ids = _single_chunk_q(pc.cast(b.column("doc_id"), pa.int64())).to_numpy(
+            zero_copy_only=False
+        )
+        with np.errstate(over="ignore"):
+            mixed = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        return b.append_column("__db", pa.array((mixed % np.uint64(64)).astype(np.int32)))
+
+    return (
+        kept.map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("__db", num_partitions=16)
+        .map_groups(stitch_bucket, batch_format="pyarrow")
     )
 
 
@@ -2046,8 +2063,11 @@ def q_tpch_q5(sf_dir: str):
     def li_prejoin(b: pa.Table) -> pa.Table:
         lk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
         pos = np.searchsorted(skeys, lk)
-        nk = snat[pos]
-        keep = np.isin(nk, nkeys)
+        # inner-join semantics on a broadcast dim: a suppkey missing
+        # from supplier must DROP the row, not gather a neighbor
+        found = (pos < len(skeys)) & (skeys[np.minimum(pos, len(skeys) - 1)] == lk)
+        nk = snat[np.minimum(pos, len(skeys) - 1)]
+        keep = found & np.isin(nk, nkeys)
         b = b.filter(pa.array(keep))
         rev = pc.multiply(
             b.column("l_extendedprice"),

@@ -475,6 +475,72 @@ def run_dedup_scale(num_cpus: int, n_rows: int | None = None) -> dict:
     }
 
 
+def run_trainprep_scale(num_cpus: int, n_rows: int | None = None) -> dict:
+    """Training-prep dedup suite at 200k rows (the dedup-scale corpus:
+    flat (doc_id, text) with ~5% planted exact + ~5% near copies):
+    cross-doc duplicated-ngram stats, chunk-level dedup + reassembly,
+    and incremental cross-snapshot dedup (snapshot = doc_id %% 7 == 0
+    slice; the planted copies that cross the slice boundary are the
+    real removal work)."""
+    n_rows = n_rows or int(os.environ.get("TWR_DEDUP_ROWS", "200000"))
+    _init_ray(num_cpus)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from tesseract_wasm_ray.fixtures import generate_text_corpus
+    from tesseract_wasm_ray.pipelines.dedup import (
+        chunk_dedup_docs,
+        dup_ngram_stats,
+        incremental_exact_dedup,
+    )
+
+    path = generate_text_corpus(
+        os.path.join("/tmp/twr_fixtures", f"text{n_rows}"), n_rows
+    )
+
+    def snap(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 7 == 0))
+
+    def fresh(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 7 != 0))
+
+    out: dict = {}
+    jobs = (
+        ("dup_ngram_stats", lambda: dup_ngram_stats(rd.read_parquet(path), n=5)),
+        ("chunk_dedup_docs", lambda: chunk_dedup_docs(rd.read_parquet(path), chunk_size=16)),
+        (
+            "incremental_exact_dedup",
+            lambda: incremental_exact_dedup(
+                rd.read_parquet(path).map_batches(fresh, batch_format="pyarrow"),
+                rd.read_parquet(path).map_batches(snap, batch_format="pyarrow"),
+            ),
+        ),
+    )
+    for name, fn in jobs:
+        t0 = time.monotonic()
+        n_out = fn().count()
+        dt = time.monotonic() - t0
+        out[name] = {
+            "sec": round(dt, 2),
+            "rows_in": n_rows,
+            "rows_out": n_out,
+            "rows_per_sec": round(n_rows / dt, 1),
+        }
+        print(f"[trainprep-scale] {name}: {out[name]}", file=sys.stderr)
+    return {
+        "metric": f"training-prep dedup suite on {n_rows}-row corpus",
+        "value": out["dup_ngram_stats"]["rows_per_sec"],
+        "unit": "rows/sec",
+        "queries": {k: v["sec"] for k, v in out.items()},
+        "sf": 0.1,
+        "num_cpus": num_cpus,
+        **{f"{k}_out": v["rows_out"] for k, v in out.items()},
+    }
+
+
 def run_knn_scale(num_cpus: int, n_rows: int | None = None, k: int = 10) -> dict:
     """Distributed k-NN self-join at a scale the broadcast path refuses
     (VERDICT r2 item 1 done-criterion): 200k x 64-dim embeddings through
@@ -570,10 +636,13 @@ def main() -> int:
     ap.add_argument("--n-docs", type=int, default=None)
     ap.add_argument("--dedup-scale", action="store_true")
     ap.add_argument("--knn-scale", action="store_true")
+    ap.add_argument("--trainprep-scale", action="store_true")
     args = ap.parse_args()
 
     if args.dedup_scale:
         out = run_dedup_scale(args.cpus)
+    elif args.trainprep_scale:
+        out = run_trainprep_scale(args.cpus)
     elif args.knn_scale:
         out = run_knn_scale(args.cpus)
     elif args.scaling:

@@ -28,6 +28,7 @@ pattern), so re-runs produce identical partitions.
 
 from __future__ import annotations
 
+import hashlib
 import zlib
 
 import numpy as np
@@ -1305,3 +1306,243 @@ def embedding_neardup(
     # anti_join_ids (not Dataset.join): nested list payloads and sparse
     # dup sets are both fine — broadcast is_in filter, no corpus shuffle.
     return anti_join_ids(ds, dup_ids, id_col, strategy=anti_strategy)
+
+
+# ---------------------------------------------------------------------------
+# span-granularity / cross-snapshot dedup (training-prep suite)
+# ---------------------------------------------------------------------------
+
+
+def dup_ngram_stats(
+    ds: rd.Dataset,
+    n: int = 5,
+    num_buckets: int = 64,
+    num_partitions: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Cross-document duplicated-n-gram fraction per doc: of each doc's
+    DISTINCT n-gram shingle hashes (sketch.shingle_hashes — FNV chain,
+    whole-row shingle for short docs), the fraction occurring in at
+    least one other document.  -> (doc_id, n_grams, n_dup_grams,
+    dup_frac).
+
+    Scale plan: only int-sized rows ever shuffle (hashes, never gram
+    strings); ONE bucket groupby co-locates equal hashes so a
+    vectorized ``np.unique`` marks dups and two bincounts emit per-doc
+    partials; a tiny ``groupby(doc_id).sum`` finishes.  See
+    queries.q_dup_ngram_frac for the DuckDB-oracled instantiation."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.sketch import shingle_hashes
+
+    def doc_grams(b: pa.Table) -> pa.Table:
+        texts = _single_chunk(b.column(text_col))
+        h, parents, _ = shingle_hashes(texts, n)
+        ids = pc.cast(_single_chunk(b.column(id_col)), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if len(h) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "h": pa.array([], pa.uint64()),
+                    "__b": pa.array([], pa.int32()),
+                }
+            )
+        order = np.lexsort((h, parents))
+        hs, ps = h[order], parents[order]
+        first = np.r_[True, (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])]
+        hs, ps = hs[first], ps[first]
+        return pa.table(
+            {
+                id_col: pa.array(ids[ps], pa.int64()),
+                "h": pa.array(hs, pa.uint64()),
+                "__b": pa.array((hs % np.uint64(num_buckets)).astype(np.int32)),
+            }
+        )
+
+    def doc_totals(b: pa.Table) -> pa.Table:
+        # a doc lives wholly in one batch, so its distinct-gram count
+        # is exact map-side: one (doc_id, n_tot) row per doc, which
+        # keeps the final doc-keyed shuffle corpus-sized instead of
+        # gram-partial-sized (measured 59 s -> see BASELINE, the
+        # per-(doc, bucket) n_tot partials were ~98% of that shuffle)
+        texts = _single_chunk(b.column(text_col))
+        h, parents, n_rows = shingle_hashes(texts, n)
+        ids = pc.cast(_single_chunk(b.column(id_col)), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if len(h) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_dup": pa.array([], pa.int64()),
+                    "n_tot": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((h, parents))
+        hs, ps = h[order], parents[order]
+        first = np.r_[True, (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])]
+        n_tot = np.bincount(ps[first], minlength=n_rows)
+        live = np.flatnonzero(n_tot)
+        return pa.table(
+            {
+                id_col: pa.array(ids[live], pa.int64()),
+                "n_dup": pa.array(np.zeros(len(live), np.int64), pa.int64()),
+                "n_tot": pa.array(n_tot[live].astype(np.int64), pa.int64()),
+            }
+        )
+
+    def mark(g: pa.Table) -> pa.Table:
+        # emit ONLY docs that have at least one duplicated gram in this
+        # bucket — with totals handled map-side, clean docs ship nothing
+        h = _single_chunk(g.column("h")).to_numpy(zero_copy_only=False)
+        ids = _single_chunk(g.column(id_col)).to_numpy(zero_copy_only=False)
+        _, inv, counts = np.unique(h, return_inverse=True, return_counts=True)
+        dup = counts[inv] >= 2
+        ids = ids[dup]
+        du, dinv = np.unique(ids, return_inverse=True)
+        return pa.table(
+            {
+                id_col: pa.array(du, pa.int64()),
+                "n_dup": pa.array(np.bincount(dinv).astype(np.int64), pa.int64()),
+                "n_tot": pa.array(np.zeros(len(du), np.int64), pa.int64()),
+            }
+        )
+
+    totals = ds.map_batches(doc_totals, batch_format="pyarrow")
+    dup_partials = (
+        ds.map_batches(doc_grams, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__b", num_partitions=num_partitions)
+        .map_groups(mark, batch_format="pyarrow")
+    )
+    marked = (
+        totals.union(dup_partials)
+        .repartition(num_partitions)
+        .groupby(id_col, num_partitions=max(2, num_partitions // 2))
+        .aggregate(Sum("n_dup"), Sum("n_tot"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        dupn = pc.cast(b.column("sum(n_dup)"), pa.int64())
+        tot = pc.cast(b.column("sum(n_tot)"), pa.int64())
+        frac = pc.round(
+            pc.divide(pc.cast(dupn, pa.float64()), pc.cast(tot, pa.float64())),
+            ndigits=6,
+        )
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "n_grams": tot,
+                "n_dup_grams": dupn,
+                "dup_frac": frac,
+            }
+        )
+
+    return marked.map_batches(finish, batch_format="pyarrow")
+
+
+def chunk_dedup_docs(
+    ds: rd.Dataset,
+    chunk_size: int = 16,
+    num_partitions: int = 16,
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Chunk-granularity exact dedup with in-order document
+    reassembly: split docs into fixed token windows, keep the FIRST
+    occurrence of each distinct chunk text corpus-wide (min (doc_id,
+    chunk_id) via keep_min_by's bucketed shuffle), then stitch
+    surviving chunks back per doc — one vectorized sort + binary_join
+    per doc-hash BUCKET, not per doc.  Docs whose every chunk is
+    removed disappear.  -> (doc_id, clean_text, n_chunks_kept)."""
+    import pyarrow.compute as pc
+
+    from ..functions.textstats import chunk_tokens
+
+    SHIFT = 1 << 20  # chunk_id fits: 2^20 chunks x chunk_size tokens/doc
+
+    def chunks(b: pa.Table) -> pa.Table:
+        t = chunk_tokens(b, chunk_size=chunk_size, id_col=id_col)
+        order = pc.add(
+            pc.multiply(pc.cast(t.column(id_col), pa.int64()), SHIFT),
+            t.column("chunk_id"),
+        )
+        return t.append_column("__ord", order)
+
+    kept = keep_min_by(
+        ds.map_batches(chunks, batch_format="pyarrow"),
+        key_col="chunk_text",
+        order_col="__ord",
+    )
+
+    def add_doc_bucket(b: pa.Table) -> pa.Table:
+        ids = _single_chunk(pc.cast(b.column(id_col), pa.int64())).to_numpy(
+            zero_copy_only=False
+        )
+        with np.errstate(over="ignore"):
+            mixed = (
+                ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ) >> np.uint64(40)
+        return b.append_column(
+            "__db", pa.array((mixed % np.uint64(64)).astype(np.int32))
+        )
+
+    def stitch_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by([(id_col, "ascending"), ("chunk_id", "ascending")])
+        ids = _single_chunk(pc.cast(t.column(id_col), pa.int64())).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.r_[0, np.flatnonzero(ids[1:] != ids[:-1]) + 1]
+        offsets = np.r_[starts, len(ids)].astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(offsets), _single_chunk(t.column("chunk_text"))
+            ),
+            " ",
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[starts], pa.int64()),
+                "clean_text": joined,
+                "n_chunks_kept": pa.array(np.diff(offsets).astype(np.int64)),
+            }
+        )
+
+    return (
+        kept.map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("__db", num_partitions=num_partitions)
+        .map_groups(stitch_bucket, batch_format="pyarrow")
+    )
+
+
+def incremental_exact_dedup(
+    new_ds: rd.Dataset,
+    snapshot_ds: rd.Dataset,
+    text_col: str = "text",
+    strategy: str = "auto",
+) -> rd.Dataset:
+    """Ingest-time exact dedup: drop every row of ``new_ds`` whose
+    md5(text) already exists in ``snapshot_ds`` (the prior corpus) —
+    without re-shuffling the snapshot.  Fingerprints are md5 hex of the
+    text column on both sides; the membership is anti_join_ids'
+    strategy machinery (broadcast / bloom-routed shuffle / auto)."""
+
+    def with_key(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col).to_pylist()
+        keys = pa.array(
+            [hashlib.md5((t or "").encode()).hexdigest() for t in texts],
+            pa.string(),
+        )
+        return b.append_column("__k", keys)
+
+    def key_only(b: pa.Table) -> pa.Table:
+        return with_key(b).select(["__k"])
+
+    keyed = new_ds.map_batches(with_key, batch_format="pyarrow")
+    snap_keys = snapshot_ds.map_batches(key_only, batch_format="pyarrow")
+    kept = anti_join_ids(keyed, snap_keys, "__k", strategy=strategy)
+    return kept.map_batches(
+        lambda b: b.drop_columns(["__k"]), batch_format="pyarrow"
+    )

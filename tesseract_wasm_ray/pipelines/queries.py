@@ -1822,176 +1822,30 @@ def q_knn_join_cells(sf_dir: str):
 def q_dup_ngram_frac(sf_dir: str):
     """Cross-document duplicated-n-gram fraction (the RefinedWeb/Gopher
     quality signal `repetition_stats` can't see: n-grams repeated
-    ACROSS documents, not within one).  Per doc: the fraction of its
-    distinct 5-gram shingle hashes that occur in at least one other
-    document.
+    ACROSS documents, not within one) — dedup.dup_ngram_stats over the
+    documents table.  Grams are FNV shingle hashes (the exact chain
+    oracles.sql_dup_ngram_frac recomputes in DuckDB HUGEINT), so only
+    int-sized rows ever shuffle; the gram-STRING variant measured ~3x
+    slower (14.0 s vs 5.1 s at sf0.1/32 cpus)."""
+    from .dedup import dup_ngram_stats
 
-    Distributed plan -- the dup-gram set is corpus-sized (unlike
-    `decontaminate`'s small benchmark side), so membership is resolved
-    by co-locating equal grams in a bucketed shuffle, never a
-    broadcast.  Grams are FNV shingle HASHES (sketch.shingle_hashes,
-    the exact uint64 chain oracles.py already recomputes in DuckDB
-    HUGEINT), so the only thing that ever shuffles is int-sized rows;
-    the gram-STRING variant of this plan measured ~3x slower on the
-    string shuffles alone (14.0 s vs this plan at sf0.1/32 cpus):
-
-    1. map-side: distinct (doc_id, h) rows per doc (vectorized
-       lexsort + run-boundary dedup), bucket key = h % 64;
-    2. ONE bucket groupby: every copy of a gram hash lands in the same
-       group, so `np.unique(..., return_counts=True)` marks dups and
-       two bincounts emit per-doc (n_dup, n_tot) partials;
-    3. final tiny ``groupby(doc_id).sum`` over int partials.
-
-    Rows with < 5 tokens contribute one whole-row shingle (the
-    shingle_hashes short-row rule, mirrored in the oracle SQL)."""
-    from ..functions.sketch import shingle_hashes
-
-    N, B = 5, 64
-
-    def doc_grams(b: pa.Table) -> pa.Table:
-        texts = _single_chunk_q(b.column("text"))
-        h, parents, _ = shingle_hashes(texts, N)
-        ids = pc.cast(_single_chunk_q(b.column("doc_id")), pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
-        if len(h) == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "h": pa.array([], pa.uint64()),
-                    "__b": pa.array([], pa.int32()),
-                }
-            )
-        order = np.lexsort((h, parents))
-        hs, ps = h[order], parents[order]
-        first = np.r_[True, (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])]
-        hs, ps = hs[first], ps[first]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[ps], pa.int64()),
-                "h": pa.array(hs, pa.uint64()),
-                "__b": pa.array((hs % np.uint64(B)).astype(np.int32)),
-            }
-        )
-
-    def mark(g: pa.Table) -> pa.Table:
-        h = _single_chunk_q(g.column("h")).to_numpy(zero_copy_only=False)
-        ids = _single_chunk_q(g.column("doc_id")).to_numpy(zero_copy_only=False)
-        _, inv, counts = np.unique(h, return_inverse=True, return_counts=True)
-        dup = (counts[inv] >= 2).astype(np.int64)
-        du, dinv = np.unique(ids, return_inverse=True)
-        return pa.table(
-            {
-                "doc_id": pa.array(du, pa.int64()),
-                "n_dup": pa.array(
-                    np.bincount(dinv, weights=dup).astype(np.int64), pa.int64()
-                ),
-                "n_tot": pa.array(np.bincount(dinv).astype(np.int64), pa.int64()),
-            }
-        )
-
-    marked = (
-        _docs(sf_dir, columns=["doc_id", "text"])
-        .map_batches(doc_grams, batch_format="pyarrow")
-        # coalesce before the sort-shuffle: its cost is per-block
-        # (docs/RAY_NOTES.md §3), and doc_grams fans one block per read
-        # split
-        .repartition(16)
-        .groupby("__b", num_partitions=16)
-        .map_groups(mark, batch_format="pyarrow")
-        .groupby("doc_id", num_partitions=8)
-        .aggregate(Sum("n_dup"), Sum("n_tot"))
-    )
-
-    def finish(b: pa.Table) -> pa.Table:
-        dupn = pc.cast(b.column("sum(n_dup)"), pa.int64())
-        tot = pc.cast(b.column("sum(n_tot)"), pa.int64())
-        frac = pc.round(
-            pc.divide(pc.cast(dupn, pa.float64()), pc.cast(tot, pa.float64())),
-            ndigits=6,
-        )
-        return pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "n_grams": tot,
-                "n_dup_grams": dupn,
-                "dup_frac": frac,
-            }
-        )
-
-    return marked.map_batches(finish, batch_format="pyarrow")
+    return dup_ngram_stats(_docs(sf_dir, columns=["doc_id", "text"]), n=5)
 
 
 def q_chunk_dedup(sf_dir: str):
-    """Chunk-level exact dedup with document reassembly: split every
-    doc into 16-token windows (`chunk_tokens`), keep the FIRST
+    """Chunk-level exact dedup with document reassembly
+    (dedup.chunk_dedup_docs): 16-token windows, keep the FIRST
     occurrence of each distinct chunk text corpus-wide (minimum
-    (doc_id, chunk_id), resolved by one `keep_min_by` bucketed
-    shuffle), then stitch each doc back together from its surviving
-    chunks in order.  This is span-granularity exact dedup — the
-    RefinedWeb/CCNet shape that doc-level `exact_dedup` can't express
-    (boilerplate repeated across distinct documents).  Docs whose
-    every chunk is removed disappear from the output."""
-    from ..functions.textstats import chunk_tokens
-    from .dedup import keep_min_by
+    (doc_id, chunk_id) via one keep_min_by bucketed shuffle), stitch
+    each doc back from its surviving chunks in order.  This is
+    span-granularity exact dedup — the RefinedWeb/CCNet shape
+    doc-level `exact_dedup` can't express (boilerplate repeated across
+    distinct documents).  Docs whose every chunk is removed disappear
+    from the output."""
+    from .dedup import chunk_dedup_docs
 
-    CH = 16
-    # composite order key: chunk_id fits in 20 bits at any plausible
-    # doc length (2^20 chunks x 16 tokens = 16M tokens per doc)
-    SHIFT = 1 << 20
-
-    def chunks(b: pa.Table) -> pa.Table:
-        t = chunk_tokens(b, chunk_size=CH)
-        order = pc.add(
-            pc.multiply(pc.cast(t.column("doc_id"), pa.int64()), SHIFT),
-            t.column("chunk_id"),
-        )
-        return t.append_column("__ord", order)
-
-    kept = keep_min_by(
-        _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
-            chunks, batch_format="pyarrow"
-        ),
-        key_col="chunk_text",
-        order_col="__ord",
-    )
-
-    def stitch_bucket(g: pa.Table) -> pa.Table:
-        # vectorized multi-doc stitch: one sort + one binary_join per
-        # BUCKET of docs (a per-doc map_groups costs one Python call
-        # per document — hostile at corpus scale)
-        t = g.sort_by([("doc_id", "ascending"), ("chunk_id", "ascending")])
-        ids = _single_chunk_q(pc.cast(t.column("doc_id"), pa.int64())).to_numpy(
-            zero_copy_only=False
-        )
-        starts = np.r_[0, np.flatnonzero(ids[1:] != ids[:-1]) + 1]
-        offsets = np.r_[starts, len(ids)].astype(np.int32)
-        joined = pc.binary_join(
-            pa.ListArray.from_arrays(
-                pa.array(offsets), _single_chunk_q(t.column("chunk_text"))
-            ),
-            " ",
-        )
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[starts], pa.int64()),
-                "clean_text": joined,
-                "n_chunks_kept": pa.array(np.diff(offsets).astype(np.int64)),
-            }
-        )
-
-    def add_doc_bucket(b: pa.Table) -> pa.Table:
-        ids = _single_chunk_q(pc.cast(b.column("doc_id"), pa.int64())).to_numpy(
-            zero_copy_only=False
-        )
-        with np.errstate(over="ignore"):
-            mixed = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
-        return b.append_column("__db", pa.array((mixed % np.uint64(64)).astype(np.int32)))
-
-    return (
-        kept.map_batches(add_doc_bucket, batch_format="pyarrow")
-        .groupby("__db", num_partitions=16)
-        .map_groups(stitch_bucket, batch_format="pyarrow")
+    return chunk_dedup_docs(
+        _docs(sf_dir, columns=["doc_id", "text"]), chunk_size=16
     )
 
 
@@ -2191,67 +2045,63 @@ def q_video_frames(sf_dir: str):
 
 
 def q_incremental_dedup(sf_dir: str):
-    """Incremental (cross-snapshot) exact dedup: drop every NEW doc
-    whose md5(text) already exists in a prior corpus snapshot — the
+    """Incremental (cross-snapshot) exact dedup
+    (dedup.incremental_exact_dedup): drop every NEW doc whose
+    md5(text) already exists in a prior corpus snapshot — the
     ingest-time shape of exact dedup (a fresh crawl lands against an
     already-deduped corpus; re-running whole-corpus dedup would
-    re-shuffle everything ever ingested).  The snapshot here is the
+    re-shuffle everything ever ingested).  The snapshot is the
     deterministic doc_id % 7 == 0 slice; the incoming batch is the
     remaining docs PLUS a planted "re-crawl" of every snapshot doc
     (same text, doc_id + 1,000,000) — the base table has no exact
     duplicates, so without planting the anti-join would be vacuous
-    (the embedding_neardup precedent).  Fingerprints are built
-    distributed on the snapshot side and resolved by
-    dedup.anti_join_ids' AUTO strategy (broadcast below the byte cap,
-    bloom-routed bucketed anti-join above it), so the new batch never
-    shuffles while the snapshot fits memory.  Done = exactly the
-    planted rows vanish."""
-    from .dedup import anti_join_ids
+    (the embedding_neardup precedent).  anti_join_ids' AUTO strategy
+    resolves membership (broadcast below the byte cap, bloom-routed
+    bucketed shuffle above).  Done = exactly the planted rows vanish."""
+    from .dedup import incremental_exact_dedup
 
-    def key_of(texts: list[str | None]) -> list[str]:
-        return [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+    docs = _docs(sf_dir, columns=["doc_id", "text", "n_chars"])
 
-    def snap_keys(b: pa.Table) -> pa.Table:
+    def snapshot_rows(b: pa.Table) -> pa.Table:
         ids = pc.cast(b.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
-        sub = b.filter(pa.array(ids % 7 == 0))
-        return pa.table(
-            {"__k": pa.array(key_of(sub.column("text").to_pylist()), pa.string())}
-        )
+        return b.filter(pa.array(ids % 7 == 0))
 
-    def new_with_key(b: pa.Table) -> pa.Table:
+    def new_rows(b: pa.Table) -> pa.Table:
         ids = pc.cast(b.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
-        fresh_rows = b.filter(pa.array(ids % 7 != 0))
+        fresh = b.filter(pa.array(ids % 7 != 0))
         recrawl = b.filter(pa.array(ids % 7 == 0))
-        doc_ids = pa.concat_arrays(
-            [
-                _single_chunk_q(pc.cast(fresh_rows.column("doc_id"), pa.int64())),
-                _single_chunk_q(
-                    pc.add(pc.cast(recrawl.column("doc_id"), pa.int64()), 1_000_000)
-                ),
-            ]
-        )
-        texts = (
-            fresh_rows.column("text").to_pylist()
-            + recrawl.column("text").to_pylist()
-        )
-        n_chars = pa.concat_arrays(
-            [
-                _single_chunk_q(fresh_rows.column("n_chars")),
-                _single_chunk_q(recrawl.column("n_chars")),
-            ]
-        )
         return pa.table(
             {
-                "doc_id": doc_ids,
-                "n_chars": n_chars,
-                "__k": pa.array(key_of(texts), pa.string()),
+                "doc_id": pa.concat_arrays(
+                    [
+                        _single_chunk_q(pc.cast(fresh.column("doc_id"), pa.int64())),
+                        _single_chunk_q(
+                            pc.add(
+                                pc.cast(recrawl.column("doc_id"), pa.int64()),
+                                1_000_000,
+                            )
+                        ),
+                    ]
+                ),
+                "n_chars": pa.concat_arrays(
+                    [
+                        _single_chunk_q(fresh.column("n_chars")),
+                        _single_chunk_q(recrawl.column("n_chars")),
+                    ]
+                ),
+                "text": pa.concat_arrays(
+                    [
+                        _single_chunk_q(fresh.column("text")),
+                        _single_chunk_q(recrawl.column("text")),
+                    ]
+                ),
             }
         )
 
-    docs = _docs(sf_dir, columns=["doc_id", "text", "n_chars"])
-    snapshot = docs.map_batches(snap_keys, batch_format="pyarrow")
-    fresh = docs.map_batches(new_with_key, batch_format="pyarrow")
-    kept = anti_join_ids(fresh, snapshot, "__k")
+    kept = incremental_exact_dedup(
+        docs.map_batches(new_rows, batch_format="pyarrow"),
+        docs.map_batches(snapshot_rows, batch_format="pyarrow"),
+    )
     return kept.select_columns(["doc_id", "n_chars"])
 
 

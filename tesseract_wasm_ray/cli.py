@@ -30,7 +30,26 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--ocr-concurrency", type=int, default=8)
     ex.add_argument("--num-buckets", type=int, default=64)
 
+    q = sub.add_parser(
+        "query",
+        help="run any catalogue operator (the training-data suite) over a "
+        "testdata-shaped table directory and write the result as parquet",
+    )
+    q.add_argument("--name", required=True, help="operator name (see --list)")
+    q.add_argument("--sf-dir", required=True, help="table directory (documents.parquet etc.)")
+    q.add_argument("--out", help="output directory for the result parquet")
+    q.add_argument("--limit-preview", type=int, default=5)
+
+    ls = sub.add_parser("list", help="list catalogue operators")  # noqa: F841
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "list":
+        from .pipelines.queries import QUERIES
+
+        for name in sorted(QUERIES):
+            print(name)
+        return 0
 
     import ray
 
@@ -39,6 +58,37 @@ def main(argv: list[str] | None = None) -> int:
     from .tuning import apply_data_context_tuning
 
     apply_data_context_tuning()
+
+    if args.cmd == "query":
+        import pandas as pd
+        import pyarrow as pa
+
+        from .pipelines.queries import QUERIES
+
+        if args.name not in QUERIES:
+            print(f"unknown operator {args.name!r}; see `list`", file=sys.stderr)
+            return 2
+        res = QUERIES[args.name](args.sf_dir)
+        if hasattr(res, "write_parquet"):  # ray.data.Dataset
+            n = res.count()
+            if args.out:
+                res.write_parquet(args.out)
+        else:  # pandas DataFrame / pyarrow Table (small results)
+            df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+            n = len(df)
+            if args.out:
+                import os
+
+                import pyarrow.parquet as pq
+
+                os.makedirs(args.out, exist_ok=True)
+                pq.write_table(
+                    pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(args.out, "result.parquet"),
+                )
+        print(json.dumps({"operator": args.name, "rows": int(n), "out": args.out}))
+        ray.shutdown()
+        return 0
 
     from .pipelines.extract import ExtractConfig, run_extract, validate_against_golden
 

@@ -16,7 +16,7 @@ functions/webpcodec.py) — all real compressed formats, from
 scratch.  Audio is REAL (WAV/RIFF PCM, functions/wavcodec.py) and
 so is the video container + raw frame path (AVI/RIFF with uncompressed
 DIB frames, functions/avicodec.py, frame-sampled by VideoFrameActor).
-The remaining codecs (webp; compressed video essences like h264) are
+The remaining codecs (compressed essences: mp3/h264) are
 STUBBED (no codec libs in this container — driver brief): they raise
 ``NotImplementedError`` unless ``fake="deterministic"``, which produces
 a seeded synthetic raster so the Ray-side plumbing (schema, batch
@@ -555,14 +555,20 @@ class VideoFrameActor:
     MediaDecodeActor: codec bound once per actor in ``__init__``,
     per-batch decode loop over opaque binary payloads, column-wise
     Arrow output.  ``stride`` picks every stride-th frame (frame 0
-    always included)."""
+    always included); ``emit_pixels=True`` additionally carries each
+    sampled frame's raw RGB bytes — the hand-off a vision-encoder
+    feature stage consumes downstream (wide rows: callers pass a
+    small batch_size so batch x concurrency fits a worker heap)."""
 
-    def __init__(self, id_col: str = "media_ref", stride: int = 2):
+    def __init__(
+        self, id_col: str = "media_ref", stride: int = 2, emit_pixels: bool = False
+    ):
         from ..functions.avicodec import decode_avi
 
         self._decode = decode_avi
         self.id_col = id_col
         self.stride = stride
+        self.emit_pixels = emit_pixels
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = _single_chunk(batch.column("payload"))
@@ -574,6 +580,7 @@ class VideoFrameActor:
         hh: list[int] = []
         fpss: list[float] = []
         means: list[float] = []
+        pix: list[bytes] = []
         for i in range(batch.num_rows):
             frames, fps = self._decode(payloads[i].as_py())
             n, h, w, _ = frames.shape
@@ -585,17 +592,20 @@ class VideoFrameActor:
                 hh.append(h)
                 fpss.append(fps)
                 means.append(float(frames[k].mean()))
-        return pa.table(
-            {
-                self.id_col: ids_src.take(pa.array(idx, pa.int64())),
-                "frame_idx": pa.array(frame_idx, pa.int64()),
-                "n_frames": pa.array(nf, pa.int64()),
-                "width": pa.array(ww, pa.int64()),
-                "height": pa.array(hh, pa.int64()),
-                "fps": pa.array(fpss, pa.float64()),
-                "mean_val": pa.array(means, pa.float64()),
-            }
-        )
+                if self.emit_pixels:
+                    pix.append(frames[k].tobytes())
+        cols = {
+            self.id_col: ids_src.take(pa.array(idx, pa.int64())),
+            "frame_idx": pa.array(frame_idx, pa.int64()),
+            "n_frames": pa.array(nf, pa.int64()),
+            "width": pa.array(ww, pa.int64()),
+            "height": pa.array(hh, pa.int64()),
+            "fps": pa.array(fpss, pa.float64()),
+            "mean_val": pa.array(means, pa.float64()),
+        }
+        if self.emit_pixels:
+            cols["pixels"] = pa.array(pix, pa.binary())
+        return pa.table(cols)
 
 
 def video_frames(
@@ -604,6 +614,7 @@ def video_frames(
     stride: int = 2,
     concurrency: int = 4,
     batch_size: int = 16,
+    emit_pixels: bool = False,
 ):
     """Actor-pool AVI decode + frame sampling over a Dataset with
     (id_col, payload) columns.  Video payloads are the widest rows in
@@ -611,7 +622,9 @@ def video_frames(
     is small — batch x concurrency must fit a worker heap."""
     return ds.map_batches(
         VideoFrameActor,
-        fn_constructor_kwargs={"id_col": id_col, "stride": stride},
+        fn_constructor_kwargs={
+            "id_col": id_col, "stride": stride, "emit_pixels": emit_pixels
+        },
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=batch_size,

@@ -88,3 +88,24 @@ def test_video_frames_actor_stage(ray_session):
     row = out[(out.media_ref == "b") & (out.frame_idx == 2)].iloc[0]
     assert row["n_frames"] == 5 and row["width"] == 6 and row["height"] == 6
     assert row["mean_val"] == pytest.approx(clips[1][2].mean())
+
+
+def test_video_frames_emit_pixels(ray_session):
+    from tesseract_wasm_ray.stages.multimodal import video_frames
+
+    clip = np.random.default_rng(6).integers(0, 256, (4, 3, 5, 3), dtype=np.uint8)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "media_ref": pa.array(["v"]),
+                "payload": pa.array([encode_avi(clip)], pa.binary()),
+            }
+        )
+    )
+    out = (
+        video_frames(ds, stride=3, emit_pixels=True, concurrency=1, batch_size=1)
+        .to_pandas()
+        .set_index("frame_idx")
+    )
+    assert sorted(out.index) == [0, 3]
+    assert bytes(out.loc[3, "pixels"]) == clip[3].tobytes()

@@ -216,3 +216,77 @@ def bucket_semi_filter(
         .groupby("__sb", num_partitions=num_partitions)
         .map_groups(filter_group, batch_format="pyarrow")
     )
+
+
+def lookup_join_auto(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_key: str,
+    right_key: str,
+    value_col: str,
+    out_col: str,
+    broadcast_byte_cap: int = 256 << 20,
+    **bucket_kwargs,
+) -> rd.Dataset:
+    """Size-adaptive LEFT lookup join (same semantics as
+    bucket_lookup_join: left outer, MIN value on duplicate right keys,
+    null when unmatched) — the caller never has to know the dim-table
+    size up front:
+
+    - stream the right side's (key, value) columns to the driver up to
+      ``broadcast_byte_cap`` accumulated Arrow bytes; under the cap,
+      ``ray.put`` one deduplicated lookup table and fill every left
+      batch map-side with ``pc.index_in`` — NO shuffle of either side;
+    - over the cap, fall back to the bucketed task-shuffle join (both
+      sides move once).  The streamed prefix is discarded; the right
+      side is dim-sized relative to the fact, so the re-execution is
+      cheap next to the shuffle it gates.
+
+    Mirrors dedup.anti_join_ids' auto strategy (same cap default)."""
+    import ray
+
+    proj = right.map_batches(
+        lambda b: b.select([right_key, value_col]), batch_format="pyarrow"
+    )
+    tbls: list[pa.Table] = []
+    total = 0
+    too_big = False
+    for b in proj.iter_batches(batch_format="pyarrow", batch_size=65536):
+        if b.num_rows == 0:
+            continue
+        tbls.append(b)
+        total += b.nbytes
+        if total > broadcast_byte_cap:
+            too_big = True
+            break
+    if too_big:
+        return bucket_lookup_join(
+            left, right, left_key, right_key, value_col, out_col, **bucket_kwargs
+        )
+
+    key_type = left.schema().base_schema.field(left_key).type
+    if tbls:
+        lut = pa.concat_tables(tbls).sort_by(
+            [(right_key, "ascending"), (value_col, "ascending")]
+        )
+        keys = _single_chunk(pc.cast(lut.column(right_key), key_type))
+        vals = _single_chunk(lut.column(value_col))
+        if len(keys):
+            # first row per key run == MIN value (sorted above)
+            eq = pc.equal(keys.slice(1), keys.slice(0, len(keys) - 1))
+            first = np.r_[True, np.invert(eq.to_numpy(zero_copy_only=False))]
+            sel = pa.array(np.flatnonzero(first), pa.int64())
+            keys, vals = keys.take(sel), vals.take(sel)
+    else:
+        keys = pa.array([], key_type)
+        vals = pa.array([], right.schema().base_schema.field(value_col).type)
+    ref = ray.put((keys, vals))
+
+    def fill(b: pa.Table) -> pa.Table:
+        k, v = ray.get(ref)
+        lk = pc.cast(_single_chunk(b.column(left_key)), key_type)
+        idx = pc.index_in(lk, value_set=k)
+        # take propagates null indices -> unmatched rows fill with null
+        return b.append_column(out_col, v.take(idx))
+
+    return left.map_batches(fill, batch_format="pyarrow")

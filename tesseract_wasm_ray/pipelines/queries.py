@@ -1880,12 +1880,14 @@ def q_tpch_q5(sf_dir: str):
     Strategy mix sized per side: supplier (1k rows) and nation⋈region
     (25 rows) are broadcast numpy lookups applied map-side to lineitem
     BEFORE any shuffle (the region filter prunes ~80% of fact rows
-    pre-shuffle); the two genuinely large joins — lineitem⋈orders on
-    orderkey, then ⋈customer on custkey — each run once through the
-    engine's bucketed task-shuffle `bucket_lookup_join`."""
+    pre-shuffle); the two bigger joins — lineitem⋈orders on orderkey,
+    then ⋈customer on custkey — go through `lookup_join_auto`, which
+    broadcasts each dim while it fits the byte cap (no fact shuffle at
+    all at this sf — measured 5.8 s -> see BASELINE) and falls back to
+    the bucketed task-shuffle join beyond it (the 100-TB path)."""
     import pyarrow.parquet as pq
 
-    from .joins import bucket_lookup_join
+    from .joins import lookup_join_auto
 
     sup = pq.read_table(
         os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
@@ -1957,7 +1959,7 @@ def q_tpch_q5(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    with_cust = bucket_lookup_join(
+    with_cust = lookup_join_auto(
         li, orders, "l_orderkey", "o_orderkey", "o_custkey", "o_custkey",
         num_buckets=64, num_partitions=16,
     ).map_batches(
@@ -1977,7 +1979,7 @@ def q_tpch_q5(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    with_nat = bucket_lookup_join(
+    with_nat = lookup_join_auto(
         with_cust, customer, "o_custkey", "c_custkey", "c_nationkey", "c_nat",
         num_buckets=64, num_partitions=16,
     )

@@ -53,3 +53,42 @@ def test_determinism_across_partitioning(ray_session):
     assert a.equals(b)
     hit = a[a["id"] % 3 == 0]
     assert (hit["v7"] == hit["id"] * 7).all()
+
+
+def _run_auto(left_rows, right_rows, *cols, **kw):
+    import ray.data as rd
+
+    from tesseract_wasm_ray.pipelines.joins import lookup_join_auto
+
+    left = rd.from_arrow(pa.Table.from_pylist(left_rows))
+    right = rd.from_arrow(pa.Table.from_pylist(right_rows))
+    return lookup_join_auto(left, right, *cols, **kw).to_pandas()
+
+
+def test_auto_broadcast_matches_bucket(ray_session):
+    rng = np.random.default_rng(7)
+    left = [{"id": int(i)} for i in rng.permutation(100)]
+    right = [{"k": int(i), "v": int(i) * 3} for i in range(0, 100, 4)]
+    # duplicate right key with a larger value: min must win on both paths
+    right.append({"k": 4, "v": 999})
+    a = _run_auto(left, right, "id", "k", "v", "v3").sort_values("id", ignore_index=True)
+    b = _run(left, right, "id", "k", "v", "v3").sort_values("id", ignore_index=True)
+    assert a.equals(b)
+    assert a.loc[a["id"] == 4, "v3"].iloc[0] == 12  # min, not 999
+
+
+def test_auto_falls_back_to_shuffle_over_cap(ray_session):
+    left = [{"id": i} for i in range(50)]
+    right = [{"k": i, "v": i + 1} for i in range(50)]
+    out = _run_auto(
+        left, right, "id", "k", "v", "v1", broadcast_byte_cap=1
+    ).sort_values("id", ignore_index=True)
+    assert (out["v1"] == out["id"] + 1).all()
+
+
+def test_auto_string_keys_and_unmatched(ray_session):
+    left = [{"ref": f"img-{i}"} for i in range(6)]
+    right = [{"k": "img-2", "v": "x"}, {"k": "img-5", "v": "y"}]
+    out = _run_auto(left, right, "ref", "k", "v", "val").set_index("ref")
+    assert out.loc["img-2", "val"] == "x" and out.loc["img-5", "val"] == "y"
+    assert out["val"].isna().sum() == 4

@@ -432,15 +432,17 @@ def q_tpch_q1(sf_dir: str):
 
 def q_mktsegment_orders(sf_dir: str):
     """Distributed join orders ⋈ customer + rollup by segment, via the
-    engine's bucketed task-shuffle lookup join (joins.bucket_lookup_join:
-    both sides shuffle once on the key hash, no aggregator actors).
-    Ray 2.49's built-in ``Dataset.join`` was used in round 1 and is kept
-    nowhere in the bench path: besides crashing on sparse partitions
-    (see dedup.anti_join_ids) its aggregator actors are bimodally slow
-    (measured 3.3s vs 111-163s on identical input in the same session
-    budget).  Every order key matches a customer (TPC-H FK), so the
-    left-outer lookup equals the inner join."""
-    from .joins import bucket_lookup_join
+    engine's size-adaptive lookup join (joins.lookup_join_auto: the
+    customer dim broadcasts while it fits the byte cap — no fact
+    shuffle — and the plan degrades to the bucketed task-shuffle join
+    beyond it; nation_order_revenue keeps the pure bucketed plan in
+    the bench).  Ray 2.49's built-in ``Dataset.join`` was used in
+    round 1 and is kept nowhere in the bench path: besides crashing on
+    sparse partitions (see dedup.anti_join_ids) its aggregator actors
+    are bimodally slow (measured 3.3s vs 111-163s on identical input
+    in the same session budget).  Every order key matches a customer
+    (TPC-H FK), so the left-outer lookup equals the inner join."""
+    from .joins import lookup_join_auto
 
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
@@ -448,7 +450,7 @@ def q_mktsegment_orders(sf_dir: str):
     customer = rd.read_parquet(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     )
-    joined = bucket_lookup_join(
+    joined = lookup_join_auto(
         orders, customer, "o_custkey", "c_custkey", "c_mktsegment", "c_mktsegment",
         num_buckets=64, num_partitions=16,
     )

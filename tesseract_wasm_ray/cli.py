@@ -38,6 +38,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--name", required=True, help="operator name (see --list)")
     q.add_argument("--sf-dir", required=True, help="table directory (documents.parquet etc.)")
     q.add_argument("--out", help="output directory for the result parquet")
+    q.add_argument(
+        "--partition-by",
+        help="comma-separated columns: write hive-partitioned parquet "
+        "(one directory per value — the resumable-output layout)",
+    )
     q.add_argument("--limit-preview", type=int, default=5)
 
     ls = sub.add_parser("list", help="list catalogue operators")  # noqa: F841
@@ -69,9 +74,12 @@ def main(argv: list[str] | None = None) -> int:
             print(f"unknown operator {args.name!r}; see `list`", file=sys.stderr)
             return 2
         res = QUERIES[args.name](args.sf_dir)
+        part_cols = args.partition_by.split(",") if args.partition_by else None
         if hasattr(res, "write_parquet"):  # ray.data.Dataset
             n = res.count()
-            if args.out:
+            if args.out and part_cols:
+                res.write_parquet(args.out, partition_cols=part_cols)
+            elif args.out:
                 res.write_parquet(args.out)
         else:  # pandas DataFrame / pyarrow Table (small results)
             df = res if isinstance(res, pd.DataFrame) else res.to_pandas()

@@ -148,3 +148,55 @@ def test_chunk_tokens_exact_multiple():
     t = pa.table({"doc_id": [1], "text": [" ".join(["w"] * 64)]})
     df = chunk_tokens(t, chunk_size=32).to_pandas()
     assert list(df.n_chunk_tokens) == [32, 32]  # no empty trailing chunk
+
+
+def test_ngram_strings_matches_naive():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tesseract_wasm_ray.functions.textstats import ngram_strings
+
+    words = st.lists(
+        st.sampled_from(["Alpha", "beta", "G", "dd", "e5"]), min_size=0, max_size=9
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(words, min_size=1, max_size=5), st.integers(2, 4))
+    def prop(rows, n):
+        texts = pa.array([" ".join(r) for r in rows])
+        grams, parents, n_rows = ngram_strings(texts, n)
+        assert n_rows == len(rows)
+        want = []
+        for ri, r in enumerate(rows):
+            toks = [t.lower() for t in r]
+            for i in range(len(toks) - n + 1):
+                want.append((ri, " ".join(toks[i : i + n])))
+        got = list(zip(parents.tolist(), grams.to_pylist()))
+        assert got == want
+
+    prop()
+
+
+def test_char_pair_partials_matches_counter():
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tesseract_wasm_ray.functions.textstats import char_pair_partials
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.text(alphabet="abXY ", max_size=12), min_size=1, max_size=4))
+    def prop(texts):
+        t = pa.table({"text": pa.array(texts, pa.string())})
+        got = dict(
+            zip(*[c.to_pylist() for c in char_pair_partials(t).columns])
+        )
+        want: Counter = Counter()
+        for txt in texts:
+            for tok in txt.lower().split():
+                for i in range(len(tok) - 1):
+                    want[tok[i : i + 2]] += 1
+        assert got == dict(want)
+
+    prop()

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "quality_zscore",
     "video_frames",
     "incremental_dedup",
+    "exact_substring_dedup",
 ]
 
 

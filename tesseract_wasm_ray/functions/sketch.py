@@ -211,3 +211,38 @@ def simhash_blocks(sig: np.ndarray, n_blocks: int = 4) -> np.ndarray:
         ((sig >> np.uint64(i * width)) & mask).astype(np.int64) for i in range(n_blocks)
     ]
     return np.stack(cols, axis=1)
+
+
+def ngram_hash_positions(
+    texts: pa.Array, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Position-aware token n-gram hashes: every length-``n`` token
+    window of every row, with its 0-based start TOKEN position —
+    the instance stream exact-substring dedup ranks.  Unlike
+    :func:`shingle_hashes` there is NO whole-row shingle for short
+    rows (a row with < n tokens has no n-window, full stop).
+
+    -> (uint64 window hashes, parent row index per window, 0-based
+    token start position per window, n_rows).  Hash chain is the same
+    FNV fold as shingle_hashes (acc = (acc * base) ^ next), so DuckDB
+    oracles recompute it with the identical HUGEINT expression."""
+    h, parents, n_rows = token_hashes(texts)
+    if len(h) == 0:
+        return (
+            np.empty(0, np.uint64),
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            n_rows,
+        )
+    starts = np.r_[0, np.flatnonzero(parents[1:] != parents[:-1]) + 1]
+    lengths = np.diff(np.r_[starts, len(parents)])
+    base = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        acc = h.copy()
+        for k in range(1, n):
+            acc = ((acc * base) & _MASK64) ^ np.r_[h[k:], np.zeros(k, np.uint64)]
+    row_start_of = np.repeat(starts, lengths)
+    row_len_of = np.repeat(lengths, lengths)
+    pos = np.arange(len(h)) - row_start_of
+    valid = pos <= row_len_of - n
+    return acc[valid], parents[valid], pos[valid], n_rows

@@ -1546,3 +1546,157 @@ def incremental_exact_dedup(
     return kept.map_batches(
         lambda b: b.drop_columns(["__k"]), batch_format="pyarrow"
     )
+
+
+def exact_substring_dedup(
+    ds: rd.Dataset,
+    n: int = 5,
+    num_buckets: int = 64,
+    num_partitions: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Exact-substring dedup (the Lee et al. "Deduplicating Training
+    Data" shape): every length-``n`` token window that occurs more than
+    once in the corpus — ACROSS documents or within one, at ANY
+    alignment — keeps its first occurrence (minimum (doc_id, position))
+    and every other occurrence's tokens are removed; documents are
+    rebuilt from the surviving tokens (lowercased, whitespace-joined;
+    docs left with zero tokens disappear).  Window granularity is what
+    `chunk_dedup_docs`' aligned windows cannot see.
+
+    Plan (all int-sized rows in the all-to-alls, no broadcast):
+    1. instance stream (doc_id, window_hash, token_pos) — one row per
+       window occurrence (sketch.ngram_hash_positions, the FNV fold
+       DuckDB recomputes in HUGEINT);
+    2. bucket groupby on hash: within each co-located hash run, rank
+       by (doc_id, pos) and emit every NON-first instance as a removal
+       (doc_id, pos) order;
+    3. union the removals with the docs (tagged by null pos), bucket
+       groupby on doc-id hash, and rebuild each doc vectorized: an
+       interval-diff array marks tokens covered by [pos, pos+n), one
+       binary_join per bucket re-stitches the survivors."""
+    from ..functions.sketch import ngram_hash_positions
+
+    def instances(b: pa.Table) -> pa.Table:
+        texts = _single_chunk(b.column(text_col))
+        h, parents, pos, _ = ngram_hash_positions(texts, n)
+        ids = pc.cast(_single_chunk(b.column(id_col)), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[parents] if len(h) else [], pa.int64()),
+                "h": pa.array(h, pa.uint64()),
+                "pos": pa.array(pos.astype(np.int64), pa.int64()),
+                "__b": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+            }
+        )
+
+    def mark(g: pa.Table) -> pa.Table:
+        h = _single_chunk(g.column("h")).to_numpy(zero_copy_only=False)
+        ids = _single_chunk(g.column(id_col)).to_numpy(zero_copy_only=False)
+        pos = _single_chunk(g.column("pos")).to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, ids, h))
+        hs = h[order]
+        non_first = np.r_[False, hs[1:] == hs[:-1]]  # not the keeper of its run
+        sel = order[non_first]
+        return pa.table(
+            {
+                id_col: pa.array(ids[sel], pa.int64()),
+                "pos": pa.array(pos[sel], pa.int64()),
+            }
+        )
+
+    removals = (
+        ds.map_batches(instances, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__b", num_partitions=num_partitions)
+        .map_groups(mark, batch_format="pyarrow")
+    )
+
+    def _doc_bucket(ids: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            mixed = (
+                ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ) >> np.uint64(40)
+        return (mixed % np.uint64(num_buckets)).astype(np.int32)
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        ids = pc.cast(_single_chunk(b.column(id_col)), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "text": b.column(text_col),
+                "pos": pa.nulls(b.num_rows, pa.int64()),
+                "__db": pa.array(_doc_bucket(ids)),
+            }
+        )
+
+    def tag_removals(b: pa.Table) -> pa.Table:
+        ids = _single_chunk(b.column(id_col)).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "text": pa.nulls(b.num_rows, pa.string()),
+                "pos": b.column("pos"),
+                "__db": pa.array(_doc_bucket(ids)),
+            }
+        )
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        is_doc = pc.is_null(g.column("pos")).to_numpy(zero_copy_only=False)
+        docs = g.filter(pa.array(is_doc))
+        rem = g.filter(pa.array(~is_doc))
+        texts = _single_chunk(docs.column("text"))
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+        flat = _single_chunk(pc.list_flatten(toks))
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ok = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        flat, parents = flat.filter(pa.array(ok)), parents[ok]
+        n_rows = docs.num_rows
+        n_tok = np.bincount(parents, minlength=n_rows)
+        row_starts = np.r_[0, np.cumsum(n_tok)]
+        covered_diff = np.zeros(len(flat) + 1, np.int64)
+        if rem.num_rows:
+            doc_ids = _single_chunk(docs.column(id_col)).to_numpy(zero_copy_only=False)
+            rid = _single_chunk(rem.column(id_col)).to_numpy(zero_copy_only=False)
+            rpos = _single_chunk(rem.column("pos")).to_numpy(zero_copy_only=False)
+            id_order = np.argsort(doc_ids)
+            at = np.searchsorted(doc_ids, rid, sorter=id_order)
+            row = id_order[np.minimum(at, len(doc_ids) - 1)]
+            if not np.array_equal(doc_ids[row], rid):
+                raise ValueError(
+                    "exact_substring_dedup: removal for a doc missing "
+                    "from its bucket (bucketing functions diverged)"
+                )
+            starts = row_starts[row] + rpos
+            ends = np.minimum(starts + n, row_starts[row] + n_tok[row])
+            np.add.at(covered_diff, starts, 1)
+            np.add.at(covered_diff, ends, -1)
+        covered = np.cumsum(covered_diff[:-1]) > 0
+        keep = ~covered
+        kept_per_row = np.bincount(parents[keep], minlength=n_rows)
+        live = np.flatnonzero(kept_per_row > 0)
+        offsets = np.r_[0, np.cumsum(kept_per_row[live])].astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), flat.filter(pa.array(keep))),
+            " ",
+        )
+        ids_out = _single_chunk(docs.column(id_col)).take(pa.array(live, pa.int64()))
+        return pa.table(
+            {
+                id_col: ids_out,
+                "clean_text": joined,
+                "n_tokens_kept": pa.array(kept_per_row[live].astype(np.int64)),
+            }
+        )
+
+    tagged = ds.map_batches(tag_docs, batch_format="pyarrow").union(
+        removals.map_batches(tag_removals, batch_format="pyarrow")
+    )
+    return tagged.repartition(num_partitions).groupby(
+        "__db", num_partitions=num_partitions
+    ).map_groups(rebuild, batch_format="pyarrow")

@@ -689,3 +689,51 @@ SELECT gr.doc_id,
 FROM grams gr LEFT JOIN dup d USING (g)
 GROUP BY gr.doc_id
 """
+
+
+def sql_exact_substring_dedup(n: int = 5) -> str:
+    """Exact-substring dedup (keep-first-occurrence, remove every other
+    occurrence's tokens, rebuild docs): recomputes the FNV window-hash
+    fold with POSITIONS, ranks every occurrence by (doc_id, position),
+    and anti-joins tokens covered by any non-first occurrence's
+    [p, p+n-1] interval.  Mirrors dedup.exact_substring_dedup
+    bit-for-bit (lowercased tokens; docs left empty vanish)."""
+    expr = "hs[i]"
+    for k in range(1, n):
+        expr = f"xor(({expr} * {_ROLL_BASE}::HUGEINT) % {_M64}::HUGEINT, hs[i+{k}])"
+    return f"""
+WITH {_tok_cte()}{_fnv_cte()},
+grams AS (
+    SELECT doc_id, u['p'] AS p, u['g'] AS g FROM (
+        SELECT doc_id,
+               unnest([{{'p': i, 'g': {expr}}}
+                       FOR i IN generate_series(1, len(hs) - {n - 1})]) AS u
+        FROM th WHERE len(hs) >= {n}
+    )
+),
+ranked AS (
+    SELECT doc_id, p,
+           row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+    FROM grams
+),
+dup AS (SELECT doc_id, p FROM ranked WHERE rn > 1),
+tok AS (
+    SELECT doc_id, u['i'] AS i, u['t'] AS t FROM (
+        SELECT doc_id,
+               unnest([{{'i': i, 't': w[i]}} FOR i IN generate_series(1, len(w))]) AS u
+        FROM toks WHERE len(w) > 0
+    )
+),
+kept AS (
+    SELECT k.doc_id, k.i, k.t
+    FROM tok k
+    WHERE NOT EXISTS (
+        SELECT 1 FROM dup d
+        WHERE d.doc_id = k.doc_id AND k.i BETWEEN d.p AND d.p + {n - 1}
+    )
+)
+SELECT doc_id,
+       string_agg(t, ' ' ORDER BY i) AS clean_text,
+       count(*)::BIGINT AS n_tokens_kept
+FROM kept GROUP BY doc_id
+"""

@@ -2109,6 +2109,22 @@ def q_incremental_dedup(sf_dir: str):
     return kept.select_columns(["doc_id", "n_chars"])
 
 
+def q_exact_substring_dedup(sf_dir: str):
+    """Exact-substring dedup (the Lee et al. shape —
+    dedup.exact_substring_dedup): every 5-token window occurring more
+    than once in the corpus, at ANY alignment, keeps only its first
+    occurrence (min (doc_id, position)); all other occurrences' tokens
+    are removed and documents are rebuilt from the survivors.  The
+    unaligned-span granularity chunk_dedup's fixed windows cannot see;
+    gate = the full window-hash -> rank -> interval-anti-join chain
+    recomputed in DuckDB (oracles.sql_exact_substring_dedup)."""
+    from .dedup import exact_substring_dedup
+
+    return exact_substring_dedup(
+        _docs(sf_dir, columns=["doc_id", "text"]), n=5
+    )
+
+
 def q_quality_zscore(sf_dir: str):
     """Per-group z-score normalization (the per-language score
     calibration step before threshold filtering): z = (n_chars - mean)
@@ -2228,6 +2244,7 @@ QUERIES = {
     "quality_zscore": q_quality_zscore,
     "video_frames": q_video_frames,
     "incremental_dedup": q_incremental_dedup,
+    "exact_substring_dedup": q_exact_substring_dedup,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -2900,5 +2917,6 @@ ORACLE_SQL.update(
         "kmeans_clusters": _orc.sql_kmeans_clusters(k=8, iters=4),
         "semdedup": _orc.sql_semdedup(k=8, iters=4, threshold=0.98),
         "dup_ngram_frac": _orc.sql_dup_ngram_frac(n=5),
+        "exact_substring_dedup": _orc.sql_exact_substring_dedup(n=5),
     }
 )

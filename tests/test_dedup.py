@@ -413,3 +413,56 @@ def test_build_bloom_no_false_negatives(ray_session):
     w, bit = _bloom_word_bit(h1, h2, 7, 1 << 20)
     fp = ((bloom[w] & bit) != 0).reshape(len(probe), -1).all(axis=1).mean()
     assert fp < 0.01, fp
+
+
+def test_exact_substring_dedup_matches_naive(ray_session):
+    """Keep-first-occurrence window semantics vs a brute-force
+    reference: unaligned cross-doc repeats removed, keeper intact,
+    fully-shadowed docs vanish."""
+    from collections import defaultdict
+
+    import ray.data as rd
+
+    from tesseract_wasm_ray.pipelines.dedup import exact_substring_dedup
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "something else the quick brown fox jumps again here"),
+        (2, "no overlap at all in this one really"),
+        (3, "the quick brown fox jumps"),  # one dup window -> vanishes
+        (4, "repeat me now ok go repeat me now ok go tail"),  # within-doc
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+            }
+        )
+    )
+    out = exact_substring_dedup(ds, n=5).to_pandas().set_index("doc_id")
+
+    grams = []
+    for d, t in rows:
+        toks = t.lower().split()
+        for p in range(len(toks) - 4):
+            grams.append((" ".join(toks[p : p + 5]), d, p))
+    seen: set = set()
+    removals = defaultdict(list)
+    for g, d, p in sorted(grams):
+        if g in seen:
+            removals[d].append(p)
+        else:
+            seen.add(g)
+    for d, t in rows:
+        toks = t.lower().split()
+        cov = [False] * len(toks)
+        for p in removals.get(d, []):
+            for i in range(p, min(p + 5, len(toks))):
+                cov[i] = True
+        kept = [w for w, c in zip(toks, cov) if not c]
+        if kept:
+            assert out.loc[d, "clean_text"] == " ".join(kept)
+            assert out.loc[d, "n_tokens_kept"] == len(kept)
+        else:
+            assert d not in out.index

@@ -493,6 +493,7 @@ def run_trainprep_scale(num_cpus: int, n_rows: int | None = None) -> dict:
     from tesseract_wasm_ray.pipelines.dedup import (
         chunk_dedup_docs,
         dup_ngram_stats,
+        exact_substring_dedup,
         incremental_exact_dedup,
     )
 
@@ -518,6 +519,10 @@ def run_trainprep_scale(num_cpus: int, n_rows: int | None = None) -> dict:
                 rd.read_parquet(path).map_batches(fresh, batch_format="pyarrow"),
                 rd.read_parquet(path).map_batches(snap, batch_format="pyarrow"),
             ),
+        ),
+        (
+            "exact_substring_dedup",
+            lambda: exact_substring_dedup(rd.read_parquet(path), n=5),
         ),
     )
     for name, fn in jobs:

@@ -1,0 +1,62 @@
+"""CLI end-to-end: the ray-job-submit surface (subprocess — the CLI
+owns its own Ray session, which must not touch the pytest fixture's)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cli(*args: str) -> str:
+    out = subprocess.run(
+        [sys.executable, "-m", "tesseract_wasm_ray.cli", *args],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={**os.environ, "RAY_DEDUP_LOGS": "0"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout.strip().splitlines()[-1]
+
+
+def test_cli_list_names_every_query():
+    out = subprocess.run(
+        [sys.executable, "-m", "tesseract_wasm_ray.cli", "list"],
+        cwd=REPO, capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0
+    names = out.stdout.split()
+    assert "extract_flagship" in names and "exact_substring_dedup" in names
+    assert len(names) >= 76
+
+
+def test_cli_extract_and_query_roundtrip(tmp_path):
+    from tesseract_wasm_ray.fixtures import generate_corpus
+
+    paths = generate_corpus("/tmp/twr_fixtures/sf0.001", 200)
+    out_dir = str(tmp_path / "extract_out")
+    line = _cli(
+        "extract",
+        "--docs", paths["documents"],
+        "--media", paths["media"],
+        "--out", out_dir,
+        "--golden", paths["golden_spans"],
+        "--ocr-concurrency", "2",
+    )
+    summary = json.loads(line)
+    assert summary["docs"] == 200
+    assert summary["validation"]["docs_ok"] == 200
+    assert summary["validation"]["docs_mismatched"] == 0
+
+    qline = _cli(
+        "query", "--name", "lang_stats",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--out", str(tmp_path / "q_out"),
+    )
+    q = json.loads(qline)
+    assert q["rows"] == 5
+    files = os.listdir(tmp_path / "q_out")
+    assert any(f.endswith(".parquet") for f in files)

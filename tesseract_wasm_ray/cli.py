@@ -47,6 +47,16 @@ def main(argv: list[str] | None = None) -> int:
 
     ls = sub.add_parser("list", help="list catalogue operators")  # noqa: F841
 
+    cp = sub.add_parser(
+        "compact",
+        help="rewrite a parquet directory into ~target-size files "
+        "(the small-files compaction a resumable job's per-partition "
+        "outputs eventually need)",
+    )
+    cp.add_argument("--in", dest="in_dir", required=True)
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--target-mb", type=int, default=128)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "list":
@@ -63,6 +73,22 @@ def main(argv: list[str] | None = None) -> int:
     from .tuning import apply_data_context_tuning
 
     apply_data_context_tuning()
+
+    if args.cmd == "compact":
+        import ray.data as rd
+
+        ds = rd.read_parquet(args.in_dir)
+        n_bytes = ds.size_bytes() or 0
+        n_files = max(1, round(n_bytes / (args.target_mb << 20)))
+        ds.repartition(n_files).write_parquet(args.out)
+        print(
+            json.dumps(
+                {"rows": ds.count(), "bytes_in": n_bytes, "files_out": n_files,
+                 "out": args.out}
+            )
+        )
+        ray.shutdown()
+        return 0
 
     if args.cmd == "query":
         import pandas as pd

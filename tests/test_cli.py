@@ -60,3 +60,20 @@ def test_cli_extract_and_query_roundtrip(tmp_path):
     assert q["rows"] == 5
     files = os.listdir(tmp_path / "q_out")
     assert any(f.endswith(".parquet") for f in files)
+
+
+def test_cli_partitioned_export_and_compact(tmp_path):
+    part_dir = str(tmp_path / "part")
+    line = _cli(
+        "query", "--name", "quality_zscore",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--out", part_dir, "--partition-by", "lang",
+    )
+    assert json.loads(line)["rows"] == 500
+    assert sorted(os.listdir(part_dir))[0].startswith("lang=")
+
+    comp_dir = str(tmp_path / "compact")
+    cline = _cli("compact", "--in", part_dir, "--out", comp_dir, "--target-mb", "64")
+    c = json.loads(cline)
+    assert c["rows"] == 500 and c["files_out"] == 1
+    assert any(f.endswith(".parquet") for f in os.listdir(comp_dir))

@@ -354,3 +354,39 @@ def test_decode_actor_webp_branch(ray_session):
     )
     assert out.loc["m-webp", ["width", "height", "channels"]].tolist() == [13, 6, 4]
     assert bytes(out.loc["m-webp", "pixels"]) == rgba.tobytes()
+
+
+def test_combined_subtract_green_and_predictor():
+    """Two transforms in one stream: inverses must apply in REVERSE
+    stream order (stream = [subtract-green, predictor] -> decoder runs
+    inverse-predictor first, then inverse-subtract-green)."""
+    rng = np.random.default_rng(21)
+    rgba = rng.integers(0, 256, (5, 6, 4), dtype=np.uint8)
+    pix = _to_argb(rgba)
+    # forward: subtract-green first, then predictor residuals (mode 1)
+    g = (pix >> np.uint32(8)) & np.uint32(0xFF)
+    r = (((pix >> np.uint32(16)) & np.uint32(0xFF)) - g) & np.uint32(0xFF)
+    b = ((pix & np.uint32(0xFF)) - g) & np.uint32(0xFF)
+    sg = (pix & np.uint32(0xFF000000)) | (r << np.uint32(16)) | (g << np.uint32(8)) | b
+    sg_rgba = np.stack(
+        [
+            (sg >> np.uint32(16)) & np.uint32(0xFF),
+            (sg >> np.uint32(8)) & np.uint32(0xFF),
+            sg & np.uint32(0xFF),
+            (sg >> np.uint32(24)) & np.uint32(0xFF),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    residuals = _forward_predictor(sg_rgba, 1)
+
+    bw = BitWriter()
+    _header(bw, 6, 5)
+    bw.write_bit(1)
+    bw.write(2, 2)  # SUBTRACT_GREEN (read first -> inverted last)
+    bw.write_bit(1)
+    bw.write(0, 2)  # PREDICTOR (read second -> inverted first)
+    bw.write(3 - 2, 3)
+    _encode_entropy_image(bw, np.array([[1 << 8]], np.uint32), write_meta_bit=False)
+    bw.write_bit(0)  # end of transforms
+    _encode_entropy_image(bw, residuals)
+    _expect(decode_webp(_wrap(bw)), rgba)

@@ -466,3 +466,53 @@ def test_exact_substring_dedup_matches_naive(ray_session):
             assert out.loc[d, "n_tokens_kept"] == len(kept)
         else:
             assert d not in out.index
+
+
+def test_exact_substring_dedup_all_identical_keeps_one(ray_session):
+    import ray.data as rd
+
+    from tesseract_wasm_ray.pipelines.dedup import exact_substring_dedup
+
+    text = "alpha beta gamma delta epsilon zeta"
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(list(range(6)), pa.int64()),
+             "text": pa.array([text] * 6)}
+        )
+    )
+    out = exact_substring_dedup(ds, n=5).to_pandas()
+    # every window of docs 1..5 duplicates doc 0 -> only doc 0 survives
+    assert out["doc_id"].tolist() == [0]
+    assert out["clean_text"].iloc[0] == text
+
+
+def test_dup_ngram_stats_single_doc_no_dups(ray_session):
+    import ray.data as rd
+
+    from tesseract_wasm_ray.pipelines.dedup import dup_ngram_stats
+
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([7], pa.int64()),
+             "text": pa.array(["one two three four five six"])}
+        )
+    )
+    out = dup_ngram_stats(ds, n=5).to_pandas()
+    assert out["n_dup_grams"].iloc[0] == 0 and out["dup_frac"].iloc[0] == 0.0
+
+
+def test_chunk_dedup_docs_handles_empty_text(ray_session):
+    import ray.data as rd
+
+    from tesseract_wasm_ray.pipelines.dedup import chunk_dedup_docs
+
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([0, 1], pa.int64()),
+             "text": pa.array(["", "real words here"])}
+        )
+    )
+    out = chunk_dedup_docs(ds, chunk_size=16).to_pandas()
+    # empty doc emits no chunks and vanishes; the other passes through
+    assert out["doc_id"].tolist() == [1]
+    assert out["clean_text"].iloc[0] == "real words here"

@@ -76,6 +76,24 @@ def _docs(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
     )
 
 
+def _money_cents(arr, factor: float = 100.0) -> pa.Array:
+    """Exact int64 cents from fixed-decimal money doubles.
+
+    Summing money as float64 is block-order-dependent: when a group's
+    sum lands within float noise of a ``.xx5`` rounding boundary, the
+    final cent flips between runs (the r03 ``top_suppliers_per_nation``
+    driver-hash flake).  The testdata money columns carry exactly two
+    decimals, so ``round(x * 100)`` recovers the exact integer; int64
+    sums are associative, hence partition- and block-order-invariant.
+    The SQL oracles apply the identical transform
+    (``CAST(round(col * 100) AS BIGINT)``), and both sides convert back
+    with one IEEE division at the very end — bit-identical hashes.
+    """
+    return pc.cast(
+        pc.round(pc.multiply(arr, pa.scalar(factor))), pa.int64()
+    )
+
+
 def _round(t: pa.Table, cols: dict[str, int]) -> pa.Table:
     for c, nd in cols.items():
         i = t.schema.get_field_index(c)
@@ -160,25 +178,30 @@ def q_dedup_prefix(sf_dir: str):
 
 
 def q_events_by_type(sf_dir: str):
-    """Partial-aggregate rollup of the events stream."""
+    """Partial-aggregate rollup of the events stream.  Money sums run
+    in exact int64 cents (_money_cents) so the result is block-order
+    invariant; one IEEE division at the end mirrors the oracle."""
     ds = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
     )
     out = (
-        ds.groupby("event_type")
-        .aggregate(Count(), Sum("value"), Mean("value"))
-        .to_pandas()
-        .rename(
-            columns={
-                "count()": "n_events",
-                "sum(value)": "total_value",
-                "mean(value)": "avg_value",
-            }
+        ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "event_type": b.column("event_type"),
+                    "cents": _money_cents(b.column("value")),
+                }
+            ),
+            batch_format="pyarrow",
         )
+        .groupby("event_type")
+        .aggregate(Count(), Sum("cents"))
+        .to_pandas()
+        .rename(columns={"count()": "n_events"})
     )
-    out["total_value"] = out["total_value"].round(2)
-    out["avg_value"] = out["avg_value"].round(4)
-    return out
+    out["total_value"] = out["sum(cents)"] / 100.0
+    out["avg_value"] = out["total_value"] / out["n_events"]
+    return out.drop(columns=["sum(cents)"])
 
 
 def q_events_hourly(sf_dir: str):
@@ -406,28 +429,36 @@ def q_text_search_bm25(sf_dir: str):
 
 
 def q_tpch_q1(sf_dir: str):
-    """TPC-H Q1-style pricing rollup (group agg with map-side combine)."""
+    """TPC-H Q1-style pricing rollup (group agg with map-side combine).
+    Quantities are integral and prices 2-decimal: both aggregate as
+    exact int64 (_money_cents), so sums are partition-invariant and the
+    hash matches the oracle bit-for-bit across reruns."""
     ds = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
-    out = (
-        ds.groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(Sum("l_quantity"), Sum("l_extendedprice"), Mean("l_quantity"), Count())
-        .to_pandas()
-        .rename(
-            columns={
-                "sum(l_quantity)": "sum_qty",
-                "sum(l_extendedprice)": "sum_base_price",
-                "mean(l_quantity)": "avg_qty",
-                "count()": "count_order",
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "qty": _money_cents(b.column("l_quantity"), factor=1.0),
+                "price_c": _money_cents(b.column("l_extendedprice")),
             }
         )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("qty"), Sum("price_c"), Count())
+        .to_pandas()
+        .rename(columns={"count()": "count_order"})
     )
-    out["sum_qty"] = out["sum_qty"].round(2)
-    out["sum_base_price"] = out["sum_base_price"].round(2)
-    out["avg_qty"] = out["avg_qty"].round(4)
-    return out
+    out["sum_qty"] = out["sum(qty)"].astype(np.float64)
+    out["sum_base_price"] = out["sum(price_c)"] / 100.0
+    out["avg_qty"] = out["sum_qty"] / out["count_order"]
+    return out.drop(columns=["sum(qty)", "sum(price_c)"])
 
 
 def q_mktsegment_orders(sf_dir: str):
@@ -446,6 +477,15 @@ def q_mktsegment_orders(sf_dir: str):
 
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        # money as exact int64 cents => block-order-invariant sums
+        lambda b: pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "cents": _money_cents(b.column("o_totalprice")),
+            }
+        ),
+        batch_format="pyarrow",
     )
     customer = rd.read_parquet(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
@@ -456,12 +496,12 @@ def q_mktsegment_orders(sf_dir: str):
     )
     out = (
         joined.groupby("c_mktsegment")
-        .aggregate(Count(), Sum("o_totalprice"))
+        .aggregate(Count(), Sum("cents"))
         .to_pandas()
-        .rename(columns={"count()": "n_orders", "sum(o_totalprice)": "total_price"})
+        .rename(columns={"count()": "n_orders"})
     )
-    out["total_price"] = out["total_price"].round(2)
-    return out
+    out["total_price"] = out["sum(cents)"] / 100.0
+    return out.drop(columns=["sum(cents)"])
 
 
 def q_events_asof_order(sf_dir: str):
@@ -515,12 +555,18 @@ def q_top_suppliers_per_nation(sf_dir: str):
     )
 
     def revenue(b: pa.Table) -> pa.Table:
+        # price has 2 decimals, discount 2 decimals: revenue in exact
+        # int64 units of 10^-4 dollars = cents * (100 - discount_pct).
+        # Integer sums are associative => the per-supplier total (and
+        # therefore the rank order AND the hashed value) is identical
+        # no matter how Ray lays out blocks (r03 flake fix).
+        cents = _money_cents(b.column("l_extendedprice"))
+        disc = _money_cents(b.column("l_discount"))
         return pa.table(
             {
                 "s_suppkey": b.column("l_suppkey"),
                 "revenue": pc.multiply(
-                    b.column("l_extendedprice"),
-                    pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                    cents, pc.subtract(pa.scalar(100, pa.int64()), disc)
                 ),
             }
         )
@@ -558,7 +604,11 @@ def q_top_suppliers_per_nation(sf_dir: str):
             {
                 "s_nationkey": t.column("s_nationkey"),
                 "s_suppkey": t.column("s_suppkey"),
-                "revenue": pc.round(t.column("sum(revenue)"), ndigits=2),
+                # one IEEE division from the exact integer — no round()
+                "revenue": pc.divide(
+                    pc.cast(t.column("sum(revenue)"), pa.float64()),
+                    pa.scalar(10000.0),
+                ),
                 "rk": pa.array(np.arange(1, t.num_rows + 1), pa.int64()),
             }
         )
@@ -603,18 +653,25 @@ def q_events_sliding_window(sf_dir: str):
     )
     out = (
         ds.map_batches(
+            # money to exact int64 cents before the fan-out so the
+            # window sums are block-order invariant
             lambda b: expand_sliding_windows(
-                b, "ts", window_us=3_600_000_000, slide_us=900_000_000
+                pa.table(
+                    {"ts": b.column("ts"), "cents": _money_cents(b.column("value"))}
+                ),
+                "ts",
+                window_us=3_600_000_000,
+                slide_us=900_000_000,
             ),
             batch_format="pyarrow",
         )
         .groupby("window_start")
-        .aggregate(Count(), Sum("value"))
+        .aggregate(Count(), Sum("cents"))
         .to_pandas()
-        .rename(columns={"count()": "n_events", "sum(value)": "total_value"})
+        .rename(columns={"count()": "n_events"})
     )
-    out["total_value"] = out["total_value"].round(2)
-    return out
+    out["total_value"] = out["sum(cents)"] / 100.0
+    return out.drop(columns=["sum(cents)"])
 
 
 def q_top_terms_per_lang(sf_dir: str):
@@ -1223,6 +1280,15 @@ def q_nation_order_revenue(sf_dir: str):
 
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        # money as exact int64 cents => block-order-invariant sums
+        lambda b: pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "cents": _money_cents(b.column("o_totalprice")),
+            }
+        ),
+        batch_format="pyarrow",
     )
     customer = rd.read_parquet(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
@@ -1244,19 +1310,19 @@ def q_nation_order_revenue(sf_dir: str):
         return pa.table(
             {
                 "n_name": pa.array(list(nnames[pos]), pa.string()),
-                "o_totalprice": b.column("o_totalprice"),
+                "cents": b.column("cents"),
             }
         )
 
     out = (
         joined.map_batches(add_name, batch_format="pyarrow")
         .groupby("n_name")
-        .aggregate(Count(), Sum("o_totalprice"))
+        .aggregate(Count(), Sum("cents"))
         .to_pandas()
-        .rename(columns={"count()": "n_orders", "sum(o_totalprice)": "revenue"})
+        .rename(columns={"count()": "n_orders"})
     )
-    out["revenue"] = out["revenue"].round(2)
-    return out
+    out["revenue"] = out["sum(cents)"] / 100.0
+    return out.drop(columns=["sum(cents)"])
 
 
 def q_emb_label_centroids(sf_dir: str):
@@ -1927,9 +1993,13 @@ def q_tpch_q5(sf_dir: str):
         nk = snat[np.minimum(pos, len(skeys) - 1)]
         keep = found & np.isin(nk, nkeys)
         b = b.filter(pa.array(keep))
+        # revenue in exact int64 units of 10^-4 dollars (cents x
+        # (100 - discount_pct)) => partition-invariant sums (r03 fix)
         rev = pc.multiply(
-            b.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            _money_cents(b.column("l_extendedprice")),
+            pc.subtract(
+                pa.scalar(100, pa.int64()), _money_cents(b.column("l_discount"))
+            ),
         )
         return pa.table(
             {
@@ -2003,10 +2073,10 @@ def q_tpch_q5(sf_dir: str):
         .groupby("n_name")
         .aggregate(Count(), Sum("rev"))
         .to_pandas()
-        .rename(columns={"count()": "n_items", "sum(rev)": "revenue"})
+        .rename(columns={"count()": "n_items"})
     )
-    out["revenue"] = out["revenue"].round(2)
-    return out
+    out["revenue"] = out["sum(rev)"] / 10000.0
+    return out.drop(columns=["sum(rev)"])
 
 
 def q_video_frames(sf_dir: str):
@@ -2314,8 +2384,8 @@ ORACLE_SQL = {
     """,
     "events_by_type": """
         SELECT event_type, count(*) AS n_events,
-               round(sum(value), 2) AS total_value,
-               round(avg(value), 4) AS avg_value
+               sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value,
+               sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*) AS avg_value
         FROM events GROUP BY event_type
     """,
     "events_hourly": """
@@ -2397,17 +2467,20 @@ ORACLE_SQL = {
         GROUP BY doc_id
         ORDER BY score DESC, doc_id ASC LIMIT 20
     """,
+    # money sums in exact int64 cents on BOTH engines (block-order /
+    # group-order invariant), converted back with one IEEE division —
+    # no round() anywhere, so hashes are bit-stable across reruns
     "tpch_q1": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(avg(l_quantity), 4) AS avg_qty,
+               sum(CAST(round(l_quantity) AS BIGINT))::DOUBLE AS sum_qty,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+               sum(CAST(round(l_quantity) AS BIGINT))::DOUBLE / count(*) AS avg_qty,
                count(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
     "mktsegment_orders": """
         SELECT c_mktsegment, count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_price
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
     """,
@@ -2435,13 +2508,17 @@ ORACLE_SQL = {
         )
         SELECT event_id, k AS user_id, fill AS o_orderkey FROM f WHERE side = 1
     """,
+    # revenue as exact int64 units of 10^-4 dollars on both engines:
+    # cents x (100 - discount_pct); ranks compare the exact integer
     "top_suppliers_per_nation": """
-        SELECT s_nationkey, s_suppkey, round(rev, 2) AS revenue, rk FROM (
+        SELECT s_nationkey, s_suppkey, rev / 10000.0 AS revenue, rk FROM (
             SELECT s.s_nationkey::BIGINT AS s_nationkey, l.l_suppkey AS s_suppkey,
-                   sum(l_extendedprice * (1 - l_discount)) AS rev,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev,
                    row_number() OVER (
                        PARTITION BY s.s_nationkey
-                       ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC,
+                       ORDER BY sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) DESC,
                                 l.l_suppkey ASC
                    ) AS rk
             FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -2463,7 +2540,7 @@ ORACLE_SQL = {
         SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE,
                         '%Y-%m-%d %H:%M:%S') AS window_start,
                count(*) AS n_events,
-               round(sum(value), 2) AS total_value
+               sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
         FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
         GROUP BY 1
     """,
@@ -2545,7 +2622,7 @@ ORACLE_SQL = {
     """,
     "nation_order_revenue": """
         SELECT n_name, count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS revenue
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
@@ -2778,7 +2855,8 @@ ORACLE_SQL = {
     "tpch_q5": r"""
         SELECT n_name,
                count(*)::BIGINT AS n_items,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
         FROM lineitem, orders, customer, supplier, nation, region
         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey

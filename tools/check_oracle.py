@@ -3,8 +3,12 @@ __ray_entry__ query at a given sf and, where an oracle exists, compare
 against DuckDB (row count + sorted-column schema + order-insensitive
 value comparison).  Usage::
 
-    python tools/check_oracle.py [sf_dir] [query ...]
-"""
+    python tools/check_oracle.py [sf_dir] [--repeat N] [query ...]
+
+``--repeat N`` reruns each query N times and asserts the canonical
+value hash (md5 over float BITS, not displayed digits) is identical on
+every run — the determinism gate for float-aggregate queries whose
+block order Ray does not fix (VERDICT r03 item 1)."""
 
 from __future__ import annotations
 
@@ -49,9 +53,27 @@ def dtype_kinds(df: pd.DataFrame) -> list[str]:
     ]
 
 
+def value_hash(df: pd.DataFrame) -> str:
+    """Bit-exact content hash of a canonical frame (order-insensitive
+    because canon() already sorted rows and columns)."""
+    import hashlib
+
+    h = hashlib.md5()
+    for c in df.columns:
+        h.update(c.encode())
+        h.update(pd.util.hash_pandas_object(df[c], index=False).values.tobytes())
+    return h.hexdigest()
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    repeat = 1
+    if "--repeat" in argv:
+        i = argv.index("--repeat")
+        repeat = int(argv[i + 1])
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import ray
 
@@ -109,6 +131,22 @@ def main() -> int:
         except AssertionError as ex:
             failures.append(name)
             print(f"[FAIL-vals] {name}: {str(ex).splitlines()[-1]}")
+            continue
+        if repeat > 1:
+            h0, stable = value_hash(got), True
+            for _ in range(repeat - 1):
+                hi = value_hash(canon(to_pandas(fn(sf_dir))))
+                if hi != h0:
+                    stable = False
+                    break
+            if not stable:
+                failures.append(name)
+                print(f"[FAIL-hash] {name}: value hash varies across {repeat} runs")
+                continue
+            print(
+                f"[OK x{repeat:<4}] {name}: {len(got)} rows match oracle, "
+                f"hash bit-stable ({dt:.1f}s)"
+            )
             continue
         print(f"[OK       ] {name}: {len(got)} rows match oracle ({dt:.1f}s)")
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nall checks passed")

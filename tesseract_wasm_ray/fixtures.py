@@ -394,7 +394,9 @@ def generate_corpus(out_dir: str, n_docs: int, parallelism: int | None = None) -
     import ray.data as rd
 
     meta_path = os.path.join(out_dir, "meta.json")
-    meta = {"n_docs": n_docs, "seed": SEED, "model_version": MODEL_VERSION, "v": 3}
+    # v4: golden_boxes carries the dead-letter ``error`` column
+    # (OCR_RESULT_SCHEMA change) — cached v3 corpora must regenerate
+    meta = {"n_docs": n_docs, "seed": SEED, "model_version": MODEL_VERSION, "v": 4}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             if json.load(f) == meta:

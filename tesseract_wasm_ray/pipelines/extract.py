@@ -38,6 +38,7 @@ from ..stages.manifest import (
     completed_buckets,
     config_fingerprint,
     write_bucket_atomic,
+    write_quarantine_atomic,
 )
 from ..stages.ocr_actor import OcrActor
 from ..stages.reassemble import add_bucket_column, stitch_bucket
@@ -273,6 +274,9 @@ def _span_rows(
         )
         codes = enc.indices.to_numpy(zero_copy_only=False)
         bk = lut[codes] if len(lut) else np.empty(0, np.int32)
+        # dead-letter column: spans start clean; OCR failures arrive via
+        # the co-bucketed __ocr rows (pad_ocr) and gather in fill_text
+        rows = rows.append_column("error", pa.nulls(rows.num_rows, pa.string()))
         return rows.append_column("__jb", pa.array(bk, pa.int32()))
 
     def pad_ocr(batch: pa.Table) -> pa.Table:
@@ -289,6 +293,7 @@ def _span_rows(
                 "kind": pa.array(["__ocr"] * batch.num_rows, pa.string()),
                 "text": batch.column("text").combine_chunks(),
                 "media_ref": batch.column("media_ref").combine_chunks(),
+                "error": batch.column("error").combine_chunks(),
                 "__jb": pa.array(bk, pa.int32()),
             }
         )
@@ -317,11 +322,17 @@ def _span_rows(
         keep_idx = np.flatnonzero(~mask_ocr)
         src = lut[codes[keep_idx]]
         gather = np.where(mask_media[keep_idx] & (src >= 0), src, keep_idx)
+        gather_arr = pa.array(gather, pa.int64())
         text_col = t.column("text").combine_chunks()
-        filled = text_col.take(pa.array(gather, pa.int64()))
+        filled = text_col.take(gather_arr)
+        # the same gather routes the dead-letter column: a media span
+        # whose __ocr row errored inherits that error string
+        err_filled = t.column("error").combine_chunks().take(gather_arr)
         out = t.filter(pc.invert(is_ocr))
         i = out.schema.get_field_index("text")
-        return out.set_column(i, "text", filled)
+        out = out.set_column(i, "text", filled)
+        ie = out.schema.get_field_index("error")
+        return out.set_column(ie, "error", err_filled)
 
     if cfg.join_strategy != "bucket":
         return _span_rows_two_branch(docs_path, media_path, cfg)
@@ -367,7 +378,8 @@ def _span_rows(
         media_path, cfg, emit_boxes=False, ref_filter=ref_filter,
         ref_filter_ds=ref_filter_ds,
     ).map_batches(
-        lambda b: pad_ocr(b.select(["media_ref", "text"])), batch_format="pyarrow"
+        lambda b: pad_ocr(b.select(["media_ref", "text", "error"])),
+        batch_format="pyarrow",
     )
     both = span_stream.union(ocr_rows).repartition(cfg.coalesce_partitions)
     return both.groupby("__jb", num_partitions=cfg.join_partitions).map_groups(
@@ -392,6 +404,35 @@ def _span_rows_two_branch(docs_path: str, media_path: str, cfg: ExtractConfig) -
     )
     media_with_text = _join_media_text(media_rows, ocr_text, cfg)
     return text_rows.union(media_with_text)
+
+
+def split_quarantine(t: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """Span rows -> (clean rows WITHOUT the error column, quarantined
+    rows WITH it).  A document quarantines WHOLE when any of its spans
+    errored: emitting the doc with a silently-empty media span would
+    pass through looking healthy and break span-sequence equality
+    downstream, which is exactly the failure mode the dead-letter path
+    exists to make loud.  Tables with no error column (legacy
+    hash/broadcast join strategies) pass through untouched."""
+    from ..schema import QUARANTINE_SCHEMA
+
+    import pyarrow.compute as pc
+
+    empty_q = pa.Table.from_pylist([], schema=QUARANTINE_SCHEMA)
+    if "error" not in t.column_names:
+        return t, empty_q
+    err = t.column("error")
+    if err.null_count == len(err):
+        return t.drop_columns(["error"]), empty_q
+    bad_docs = pc.unique(
+        t.filter(pc.is_valid(err)).column("doc_id").combine_chunks()
+    )
+    doc_bad = pc.is_in(t.column("doc_id"), value_set=bad_docs)
+    quarantined = t.filter(doc_bad).select(
+        ["doc_id", "offset", "kind", "text", "media_ref", "error"]
+    ).cast(QUARANTINE_SCHEMA)
+    clean = t.filter(pc.invert(doc_bad)).drop_columns(["error"])
+    return clean, quarantined
 
 
 def run_extract(
@@ -421,10 +462,12 @@ def run_extract(
     bucketed = rows.map_batches(add_bucket_column(cfg.num_buckets), batch_format="pyarrow")
 
     if out_dir is None:
+        # lazy-return path: poisoned docs are dropped (the out_dir path
+        # is where quarantine rows + manifest accounting live)
         return bucketed.groupby(
             "bucket", num_partitions=min(cfg.num_buckets, 64)
         ).map_groups(
-            lambda g: stitch_bucket(g.drop_columns(["bucket"])),
+            lambda g: stitch_bucket(split_quarantine(g.drop_columns(["bucket"]))[0]),
             batch_format="pyarrow",
         )
 
@@ -449,7 +492,15 @@ def run_extract(
     def stitch_and_write(group: pa.Table) -> pa.Table:
         t0 = time.monotonic()
         bucket = int(group.column("bucket")[0].as_py())
-        table = stitch_bucket(group.drop_columns(["bucket"]))
+        clean, quarantined = split_quarantine(group.drop_columns(["bucket"]))
+        qname = ""
+        n_quar = 0
+        if quarantined.num_rows:
+            qname = write_quarantine_atomic(out_dir, bucket, quarantined)
+            import pyarrow.compute as _pc
+
+            n_quar = len(_pc.unique(quarantined.column("doc_id").combine_chunks()))
+        table = stitch_bucket(clean)
         name = write_bucket_atomic(out_dir, bucket, table)
         # Manifest metrics via Arrow kernels: flatten the span structs
         # once, count non-whitespace runs per media span (identical to
@@ -473,6 +524,8 @@ def run_extract(
             "n_docs": table.num_rows,
             "n_spans": int(n_spans),
             "n_words": int(n_words),
+            "n_quarantined": n_quar,
+            "quarantine_file": qname,
             "wall_ms": (time.monotonic() - t0) * 1000.0,
             "output_file": name,
         }

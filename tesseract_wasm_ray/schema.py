@@ -64,7 +64,12 @@ ORIENTATION_STRUCT = pa.struct(
     ]
 )
 
-# Per-page OCR result (output of the OCR actor stage).
+# Per-page OCR result (output of the OCR actor stage).  ``error`` is
+# the dead-letter column: null for healthy rows; a "Type: message"
+# string when the per-row decode/recognize raised — the Ray analogue of
+# the reference's catchable per-call Errors
+# (/root/reference/src/ocr-engine.ts:179-185,205-207).  One corrupt
+# pixel buffer must quarantine ONE row, not kill the job.
 OCR_RESULT_SCHEMA = pa.schema(
     [
         ("media_ref", pa.string()),
@@ -73,6 +78,7 @@ OCR_RESULT_SCHEMA = pa.schema(
         ("lines", pa.list_(TEXT_ITEM_STRUCT)),
         ("orientation", ORIENTATION_STRUCT),
         ("n_words", pa.int32()),
+        ("error", pa.string()),
     ]
 )
 
@@ -96,7 +102,26 @@ MANIFEST_SCHEMA = pa.schema(
         ("n_docs", pa.int64()),
         ("n_spans", pa.int64()),
         ("n_words", pa.int64()),
+        # dead-letter accounting: documents quarantined from this bucket
+        # (any span errored) and the quarantine parquet holding their
+        # span rows + error strings ("" when the bucket was clean)
+        ("n_quarantined", pa.int64()),
+        ("quarantine_file", pa.string()),
         ("wall_ms", pa.float64()),
         ("output_file", pa.string()),
+    ]
+)
+
+# Quarantined span rows (dead-letter sink): the flat span rows of every
+# document that contained at least one errored media span, plus the
+# error string — enough to re-drive just the poison rows after a fix.
+QUARANTINE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("offset", pa.int32()),
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("error", pa.string()),
     ]
 )

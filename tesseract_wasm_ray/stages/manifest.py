@@ -87,3 +87,18 @@ def write_bucket_atomic(out_dir: str, bucket: int, table: pa.Table) -> str:
     pq.write_table(table, tmp)
     os.replace(tmp, final)
     return name
+
+
+def write_quarantine_atomic(out_dir: str, bucket: int, table: pa.Table) -> str:
+    """Dead-letter sink: one quarantine parquet per bucket (atomic, same
+    tmp+rename discipline), holding the span rows + error strings of
+    documents whose media failed decode/recognition.  Returns the
+    relative name recorded in the manifest's ``quarantine_file``."""
+    qdir = os.path.join(out_dir, "quarantine")
+    os.makedirs(qdir, exist_ok=True)
+    name = f"quarantine/part-{bucket:05d}.parquet"
+    final = os.path.join(out_dir, name)
+    tmp = final + f".tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
+    return name

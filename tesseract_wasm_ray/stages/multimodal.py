@@ -278,10 +278,61 @@ class MediaDecodeActor:
     model handles at scale); ``__call__`` handles one Arrow batch.
     """
 
-    def __init__(self, fake: str | None = None):
+    def __init__(self, fake: str | None = None, on_error: str = "raise"):
         # Real codec initialization would happen here (load libjpeg
         # contexts etc.) — once per actor, NOT per batch.
+        if on_error not in ("raise", "quarantine"):
+            raise ValueError(f"on_error must be raise|quarantine, got {on_error!r}")
         self.fake = fake
+        self.on_error = on_error
+
+    def _decode_one(self, ref, codec, payload, width, height, channels):
+        """One row's decode -> (pixels, h, w, c).  Raises on corrupt or
+        unsupported input; the caller decides raise-vs-quarantine."""
+        if codec in RAW_CODECS:
+            return payload, height, width, channels
+        if codec in REAL_CODECS:
+            # Genuine codec decode (pure numpy + stdlib zlib) —
+            # decoded dimensions are authoritative over the metadata
+            # columns.
+            if codec == "bmp":
+                img = decode_bmp(payload)
+            elif codec == "png":
+                img = decode_png(payload)
+            elif codec == "jpeg":
+                from ..functions.jpegcodec import decode_jpeg
+
+                img = decode_jpeg(payload)
+            elif codec == "gif":
+                from ..functions.gifcodec import decode_gif
+
+                img = decode_gif(payload)
+            elif codec == "tiff":
+                from ..functions.tiffcodec import decode_tiff
+
+                img = decode_tiff(payload)
+            elif codec == "webp":
+                from ..functions.webpcodec import decode_webp
+
+                img = decode_webp(payload)
+            else:
+                img = decode_pnm(payload)
+            return img.tobytes(), img.shape[0], img.shape[1], img.shape[2]
+        if codec in STUB_CODECS:
+            if self.fake == "deterministic":
+                return (
+                    _fake_raster(ref, width, height, channels).tobytes(),
+                    height,
+                    width,
+                    channels,
+                )
+            # STUB: compressed-codec decode requires an image/audio
+            # library not present in this environment.
+            raise NotImplementedError(
+                f"decode of codec {codec!r} is stubbed in this environment; "
+                "pass fake='deterministic' to exercise the pipeline"
+            )
+        raise ValueError(f"unknown codec {codec!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = _single_chunk(batch.column("media_ref")).to_pylist()
@@ -291,55 +342,27 @@ class MediaDecodeActor:
         heights = batch.column("height").to_pylist()
         channels = batch.column("channels").to_pylist()
         out = []
+        errors: list[str | None] = []
         for i, codec in enumerate(codecs):
-            if codec in RAW_CODECS:
-                out.append(payloads[i].as_py())
-            elif codec in REAL_CODECS:
-                # Genuine codec decode (pure numpy + stdlib zlib) —
-                # decoded dimensions are authoritative over the metadata
-                # columns.
-                if codec == "bmp":
-                    img = decode_bmp(payloads[i].as_py())
-                elif codec == "png":
-                    img = decode_png(payloads[i].as_py())
-                elif codec == "jpeg":
-                    from ..functions.jpegcodec import decode_jpeg
-
-                    img = decode_jpeg(payloads[i].as_py())
-                elif codec == "gif":
-                    from ..functions.gifcodec import decode_gif
-
-                    img = decode_gif(payloads[i].as_py())
-                elif codec == "tiff":
-                    from ..functions.tiffcodec import decode_tiff
-
-                    img = decode_tiff(payloads[i].as_py())
-                elif codec == "webp":
-                    from ..functions.webpcodec import decode_webp
-
-                    img = decode_webp(payloads[i].as_py())
-                else:
-                    img = decode_pnm(payloads[i].as_py())
-                heights[i], widths[i], channels[i] = (
-                    img.shape[0],
-                    img.shape[1],
-                    img.shape[2],
+            if self.on_error == "raise":
+                px, heights[i], widths[i], channels[i] = self._decode_one(
+                    refs[i], codec, payloads[i].as_py(), widths[i], heights[i], channels[i]
                 )
-                out.append(img.tobytes())
-            elif codec in STUB_CODECS:
-                if self.fake == "deterministic":
-                    out.append(
-                        _fake_raster(refs[i], widths[i], heights[i], channels[i]).tobytes()
-                    )
-                else:
-                    # STUB: compressed-codec decode requires an image/audio
-                    # library not present in this environment.
-                    raise NotImplementedError(
-                        f"decode of codec {codec!r} is stubbed in this environment; "
-                        "pass fake='deterministic' to exercise the pipeline"
-                    )
-            else:
-                raise ValueError(f"unknown codec {codec!r}")
+                out.append(px)
+                errors.append(None)
+                continue
+            # Dead-letter mode: one truncated/garbage payload poisons
+            # ONE row (error column set, empty pixels), not the task.
+            try:
+                px, heights[i], widths[i], channels[i] = self._decode_one(
+                    refs[i], codec, payloads[i].as_py(), widths[i], heights[i], channels[i]
+                )
+                out.append(px)
+                errors.append(None)
+            except Exception as ex:  # noqa: BLE001 — quarantine, don't die
+                out.append(b"")
+                widths[i], heights[i], channels[i] = 0, 0, 0
+                errors.append(f"{type(ex).__name__}: {ex}")
         return pa.table(
             {
                 "media_ref": pa.array(refs, pa.string()),
@@ -347,6 +370,7 @@ class MediaDecodeActor:
                 "height": pa.array(heights, pa.int32()),
                 "channels": pa.array(channels, pa.int32()),
                 "pixels": pa.array(out, pa.binary()),
+                "error": pa.array(errors, pa.string()),
             }
         )
 

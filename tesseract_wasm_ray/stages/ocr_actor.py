@@ -85,24 +85,44 @@ class OcrActor:
         texts: list[str] = []
         word_groups: list[list] = []
         line_groups: list[list] = []
+        errors: list[str | None] = []
         rotations = np.empty(n, np.int32)
         confidences = np.empty(n, np.float32)
         n_words = np.empty(n, np.int32)
         eng = self.engine
         for j in range(n):
-            w, h, c = int(widths[j]), int(heights[j]), int(channels[j])
-            buf = pixels[j].as_buffer()
-            img = np.frombuffer(buf, dtype=np.uint8)
-            img = img.reshape((h, w) if c == 1 else (h, w, 4))
-            eng.load_image(img)
-            o = eng.orient_and_recognize()  # one pass: orientation + OCR cache
-            words = eng.get_text_boxes("word")
-            texts.append(eng.get_text())
-            word_groups.append(words if self.emit_boxes else [])
-            line_groups.append(eng.get_text_boxes("line") if self.emit_boxes else [])
-            rotations[j] = o["rotation"]
-            confidences[j] = o["confidence"]
-            n_words[j] = sum(1 for x in words if x.text)
+            # Per-row error isolation (dead-letter): a corrupt pixel
+            # buffer poisons ONE row, not the task — Ray would retry a
+            # deterministic raise forever and then kill the job.  The
+            # reference surfaces these as catchable per-call Errors
+            # (/root/reference/src/ocr-engine.ts:179-185,205-207).
+            try:
+                w, h, c = int(widths[j]), int(heights[j]), int(channels[j])
+                buf = pixels[j].as_buffer()
+                img = np.frombuffer(buf, dtype=np.uint8)
+                img = img.reshape((h, w) if c == 1 else (h, w, 4))
+                eng.load_image(img)
+                o = eng.orient_and_recognize()  # one pass: orientation + OCR cache
+                words = eng.get_text_boxes("word")
+                texts.append(eng.get_text())
+                word_groups.append(words if self.emit_boxes else [])
+                line_groups.append(eng.get_text_boxes("line") if self.emit_boxes else [])
+                rotations[j] = o["rotation"]
+                confidences[j] = o["confidence"]
+                n_words[j] = sum(1 for x in words if x.text)
+                errors.append(None)
+            except Exception as ex:  # noqa: BLE001 — quarantine, don't die
+                texts.append("")
+                word_groups.append([])
+                line_groups.append([])
+                rotations[j] = 0
+                confidences[j] = 0.0
+                n_words[j] = 0
+                errors.append(f"{type(ex).__name__}: {ex}")
+                try:
+                    eng.clear_image()  # engine hygiene after a failed load
+                except Exception:
+                    pass
         orientation = pa.StructArray.from_arrays(
             [pa.array(rotations), pa.array(confidences)],
             names=["rotation", "confidence"],
@@ -115,6 +135,7 @@ class OcrActor:
                 "lines": _items_column(line_groups),
                 "orientation": orientation,
                 "n_words": pa.array(n_words),
+                "error": pa.array(errors, pa.string()),
             }
         )
         return out.cast(OCR_RESULT_SCHEMA)

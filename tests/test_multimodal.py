@@ -41,7 +41,10 @@ def _raw_batch():
 
 def test_decode_raw_passthrough_and_fake_codec():
     out = MediaDecodeActor(fake="deterministic")(_raw_batch())
-    assert out.column_names == ["media_ref", "width", "height", "channels", "pixels"]
+    assert out.column_names == [
+        "media_ref", "width", "height", "channels", "pixels", "error",
+    ]
+    assert out.column("error").null_count == 2  # healthy rows: error null
     pix = out.column("pixels").to_pylist()
     assert pix[0] == bytes(range(6))  # raw path: exact passthrough
     assert len(pix[1]) == 4 * 4 * 4  # fake decode: right-sized raster

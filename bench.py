@@ -581,14 +581,9 @@ def run_knn_scale(num_cpus: int, n_rows: int | None = None, k: int = 10) -> dict
             path,
         )
     ds = rd.read_parquet(path)
-    t0 = time.monotonic()
-    n_out = knn_self_join(
-        ds, k=k, strategy="cells", n_centroids=128, nprobe=16,
-        num_partitions=max(16, num_cpus),
-    ).count()
-    dt = time.monotonic() - t0
+    nprobe, n_centroids = 16, 128
 
-    # recall@k vs exact brute force on a deterministic 1k-row sample
+    # exact brute force on a deterministic 1k-row sample (recall truth)
     t = pq.read_table(path)
     ids = t.column("vec_id").to_numpy(zero_copy_only=False)
     mat = np.stack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(
@@ -599,35 +594,52 @@ def run_knn_scale(num_cpus: int, n_rows: int | None = None, k: int = 10) -> dict
     sims = mat[sample] @ mat.T
     sims[np.arange(len(sample)), sample] = -np.inf  # exclude self
     exact = np.argpartition(-sims, k, axis=1)[:, :k]
-    got = (
-        knn_self_join(
-            ds, k=k, strategy="cells", n_centroids=128, nprobe=16,
-            num_partitions=max(16, num_cpus),
-        )
-        .to_pandas()
-        .groupby("vec_id")["neighbor_id"]
-        .apply(set)
-    )
-    hits = tot = 0
-    for qi, row in zip(sample, exact):
-        mine = got.get(qi, set())
-        hits += len(mine & set(ids[row]))
-        tot += k
-    recall = hits / tot
+
+    def one_run(payload: str) -> tuple[float, int, float]:
+        t0 = time.monotonic()
+        res = knn_self_join(
+            ds, k=k, strategy="cells", n_centroids=n_centroids, nprobe=nprobe,
+            num_partitions=max(16, num_cpus), payload=payload,
+        ).to_pandas()
+        dt = time.monotonic() - t0
+        got = res.groupby("vec_id")["neighbor_id"].apply(set)
+        hits = tot = 0
+        for qi, row in zip(sample, exact):
+            hits += len(got.get(qi, set()) & set(ids[row]))
+            tot += k
+        return dt, len(res), hits / tot
+
+    # per-replica cell-shuffle payload bytes (vector column only; id /
+    # cell / side overhead is identical across modes).  r03 shipped
+    # (nprobe+1) float64 replicas; r4 ships nprobe replicas of the
+    # chosen payload (f32 raw = exact, q8 = 1B/dim + 8B scale approx).
+    bytes_r03 = n_rows * (nprobe + 1) * dim * 8
+    payload_bytes = {
+        "f32": n_rows * nprobe * dim * 4,
+        "q8": n_rows * nprobe * (dim + 8),
+    }
+    dt32, n_out, recall32 = one_run("f32")
+    dt8, _, recall8 = one_run("q8")
     out = {
         "metric": f"distributed knn_self_join_cells on {n_rows}x{dim} embeddings",
-        "value": round(n_rows / dt, 1),
+        "value": round(n_rows / dt32, 1),
         "unit": "rows/sec",
-        "queries": {"knn_cells": round(dt, 2)},
+        "queries": {"knn_cells_f32": round(dt32, 2), "knn_cells_q8": round(dt8, 2)},
         "sf": 0.1,
         "num_cpus": num_cpus,
         "k": k,
         "rows": n_rows,
         "pairs_out": n_out,
-        "wall_sec": round(dt, 2),
-        "recall_at_k_vs_bruteforce": round(recall, 4),
-        "nprobe": 16,
-        "n_centroids": 128,
+        "wall_sec": round(dt32, 2),
+        "recall_at_k_vs_bruteforce": round(recall32, 4),
+        "recall_at_k_q8": round(recall8, 4),
+        "nprobe": nprobe,
+        "n_centroids": n_centroids,
+        "shuffle_vec_bytes_r03_f64": bytes_r03,
+        "shuffle_vec_bytes_f32": payload_bytes["f32"],
+        "shuffle_vec_bytes_q8": payload_bytes["q8"],
+        "shuffle_reduction_f32": round(bytes_r03 / payload_bytes["f32"], 2),
+        "shuffle_reduction_q8": round(bytes_r03 / payload_bytes["q8"], 2),
     }
     print(f"[knn-scale] {out}", file=sys.stderr)
     return out

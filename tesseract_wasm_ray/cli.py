@@ -93,6 +93,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "query":
         import pandas as pd
         import pyarrow as pa
+        import ray.data as rd
 
         from .pipelines.queries import QUERIES
 
@@ -102,12 +103,24 @@ def main(argv: list[str] | None = None) -> int:
         res = QUERIES[args.name](args.sf_dir)
         part_cols = args.partition_by.split(",") if args.partition_by else None
         if hasattr(res, "write_parquet"):  # ray.data.Dataset
-            n = res.count()
-            if args.out and part_cols:
-                res.write_parquet(args.out, partition_cols=part_cols)
-            elif args.out:
-                res.write_parquet(args.out)
+            if args.out:
+                # write first, count from what was written — count()
+                # before write_parquet() executes the lazy pipeline
+                # twice end-to-end
+                if part_cols:
+                    res.write_parquet(args.out, partition_cols=part_cols)
+                else:
+                    res.write_parquet(args.out)
+                n = rd.read_parquet(args.out).count()
+            else:
+                n = res.count()
         else:  # pandas DataFrame / pyarrow Table (small results)
+            if part_cols:
+                print(
+                    f"--partition-by ignored: operator {args.name!r} returns a "
+                    "driver-side result, written as one file",
+                    file=sys.stderr,
+                )
             df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
             n = len(df)
             if args.out:

@@ -154,6 +154,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     scale: int = 1000,
     cache: bool = False,
+    cache_cap_bytes: int = 256 << 20,
 ) -> np.ndarray:
     """Distributed Lloyd's over the full dataset -> (k, dim) int64
     centroids.  ``iters`` streaming passes; every pass ships the
@@ -164,11 +165,19 @@ def kmeans_fit(
     ``cache=True`` materializes the quantized (id, q) view once so the
     per-iteration passes skip the re-read + re-quantize — right when
     the quantized table fits the object store (it is ~2x the float32
-    input); leave False at full corpus scale, where re-reading the
-    source per pass is the streaming-friendly choice."""
+    input).  The request is CAPPED at ``cache_cap_bytes`` (the
+    lookup_join_auto discipline): a corpus whose estimated quantized
+    size exceeds the cap silently falls back to streaming re-reads per
+    pass, so an over-eager ``cache=True`` cannot pin a 100 TB corpus in
+    the object store.  Results are identical either way — caching only
+    changes where the quantized blocks live between passes."""
     ds_q = _quantized_view(ds, emb_col, id_col, scale)
     if cache:
-        ds_q = ds_q.materialize()
+        # quantized int64 view is ~2x the float32 source bytes;
+        # size_bytes() is metadata-cheap for parquet-backed inputs
+        est_q = 2 * (ds.size_bytes() or 0)
+        if est_q <= cache_cap_bytes:
+            ds_q = ds_q.materialize()
     cent = _seed_centroids(ds_q, k, id_col)
     k_eff, dim = cent.shape
 

@@ -1465,6 +1465,14 @@ def chunk_dedup_docs(
 
     def chunks(b: pa.Table) -> pa.Table:
         t = chunk_tokens(b, chunk_size=chunk_size, id_col=id_col)
+        # guard the packing invariant: a >=2^20-chunk document (>16M
+        # tokens at chunk_size=16) would silently collide into the next
+        # doc_id's order range and corrupt first-occurrence selection
+        if t.num_rows and pc.max(t.column("chunk_id")).as_py() >= SHIFT:
+            raise ValueError(
+                f"document exceeds {SHIFT} chunks; raise chunk_size or widen "
+                "the (doc_id, chunk_id) order key"
+            )
         order = pc.add(
             pc.multiply(pc.cast(t.column(id_col), pa.int64()), SHIFT),
             t.column("chunk_id"),
@@ -1527,12 +1535,20 @@ def incremental_exact_dedup(
     md5(text) already exists in ``snapshot_ds`` (the prior corpus) —
     without re-shuffling the snapshot.  Fingerprints are md5 hex of the
     text column on both sides; the membership is anti_join_ids'
-    strategy machinery (broadcast / bloom-routed shuffle / auto)."""
+    strategy machinery (broadcast / bloom-routed shuffle / auto).
+
+    Null texts are kept UNCONDITIONALLY (no fingerprint): SQL's
+    ``md5(NULL) IS NULL`` never matches a snapshot key, so hashing
+    nulls as md5('') would drop rows the oracle keeps — null keys stay
+    out of the membership probe on both engines."""
 
     def with_key(b: pa.Table) -> pa.Table:
         texts = b.column(text_col).to_pylist()
         keys = pa.array(
-            [hashlib.md5((t or "").encode()).hexdigest() for t in texts],
+            [
+                None if t is None else hashlib.md5(t.encode()).hexdigest()
+                for t in texts
+            ],
             pa.string(),
         )
         return b.append_column("__k", keys)

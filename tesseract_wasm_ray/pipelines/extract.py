@@ -544,24 +544,53 @@ def run_extract(
 
 def _span_seq_hashes(side: str):
     """(doc_id, spans) -> (doc_id, side, seq_hash) where seq_hash is a
-    canonical digest of the (kind, text, media_ref, order) sequence."""
+    canonical digest of the (kind, text, media_ref, order) sequence.
+
+    Vectorized (VERDICT r03 item 8): the canonical per-doc string is
+    built entirely with Arrow kernels — flatten the span lists, lexsort
+    flat rows by (doc, offset) in numpy, render each span as
+    ``kind\\x1ftext\\x1fmedia_ref\\x1e`` via binary_join_element_wise,
+    and binary_join each doc's sorted records — so Python touches one
+    string per DOCUMENT (the sha1 call), not four fields per span."""
     import hashlib
 
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.arrow_util import single_chunk
+
     def fn(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        hashes = []
-        for spans in batch.column("spans").to_pylist():
-            spans = sorted(spans, key=lambda s: s["offset"])
-            h = hashlib.sha1()
-            for s in spans:
-                h.update(
-                    f"{s['kind']}\x1f{s['text']}\x1f{s['media_ref']}\x1e".encode()
-                )
-            hashes.append(h.hexdigest())
+        n = batch.num_rows
+        spans = single_chunk(batch.column("spans").combine_chunks())
+        flat = pc.list_flatten(spans)
+        counts = pc.list_value_length(spans).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        parents = np.repeat(np.arange(n), counts)
+        offs = pc.struct_field(flat, "offset").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.lexsort((offs, parents))
+        # "None" fill mirrors the previous f-string rendering of nulls
+        rec = pc.binary_join_element_wise(
+            pc.fill_null(pc.struct_field(flat, "kind"), "None"),
+            pc.fill_null(pc.struct_field(flat, "text"), "None"),
+            pc.fill_null(pc.struct_field(flat, "media_ref"), "None"),
+            "\x1f",
+        )
+        rec = pc.binary_join_element_wise(rec, "", "\x1e")  # trailing sep
+        rec_sorted = pc.take(rec, pa.array(order, pa.int64()))
+        offsets = pa.array(np.r_[0, np.cumsum(counts)], pa.int32())
+        per_doc = pc.binary_join(
+            pa.ListArray.from_arrays(offsets, rec_sorted), ""
+        )
+        hashes = [
+            hashlib.sha1(s.encode()).hexdigest() for s in per_doc.to_pylist()
+        ]
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, pa.string()),
-                "side": pa.array([side] * len(doc_ids), pa.string()),
+                "doc_id": pa.array(batch.column("doc_id").to_pylist(), pa.string()),
+                "side": pa.array([side] * n, pa.string()),
                 "seq_hash": pa.array(hashes, pa.string()),
             }
         )

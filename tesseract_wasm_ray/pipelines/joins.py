@@ -266,7 +266,14 @@ def lookup_join_auto(
 
     key_type = left.schema().base_schema.field(left_key).type
     if tbls:
-        lut = pa.concat_tables(tbls).sort_by(
+        lut = pa.concat_tables(tbls)
+        # drop null right keys BEFORE building the lookup: a null key
+        # never matches under left-outer semantics (bucket_lookup_join
+        # agrees), the run-dedup's equal() kernel would otherwise emit
+        # null-masked booleans, and index_in would let a null left key
+        # "match" a null right key
+        lut = lut.filter(pc.is_valid(lut.column(right_key)))
+        lut = lut.sort_by(
             [(right_key, "ascending"), (value_col, "ascending")]
         )
         keys = _single_chunk(pc.cast(lut.column(right_key), key_type))

@@ -76,6 +76,21 @@ def _docs(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
     )
 
 
+def _run_rank(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """0-based rank within each run of equal values in an
+    ALREADY-SORTED column (the vectorized per-group top-k trick from
+    similarity.merge_topk): one C++ compare + numpy cumsum, no pandas."""
+    arr = _single_chunk_q(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.int64)
+    neq = pc.not_equal(arr.slice(1), arr.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+    new = np.r_[True, neq]
+    starts = np.flatnonzero(new)
+    run_of = np.cumsum(new) - 1
+    return np.arange(n) - starts[run_of]
+
+
 def _money_cents(arr, factor: float = 100.0) -> pa.Array:
     """Exact int64 cents from fixed-decimal money doubles.
 
@@ -331,14 +346,15 @@ def q_top_docs_per_lang(sf_dir: str):
     )
 
     def topk(group: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = group.to_pandas().sort_values(
-            ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+        # Arrow sort + run-rank (the merge_topk pattern,
+        # similarity.py): rank within each sorted lang run, keep the
+        # first 2 — no pandas round-trip in the group task.
+        if group.num_rows == 0:
+            return group
+        t = group.sort_by(
+            [("lang", "ascending"), ("n_chars", "descending"), ("doc_id", "ascending")]
         )
-        return pa.Table.from_pandas(
-            df.groupby("lang", sort=False).head(2), preserve_index=False
-        )
+        return t.filter(pa.array(_run_rank(t.column("lang")) < 2))
 
     return ds.groupby("lang", num_partitions=4).map_groups(topk, batch_format="pyarrow")
 
@@ -835,11 +851,15 @@ def q_domain_cap(sf_dir: str):
     ds = _docs(sf_dir, columns=["doc_id", "source", "text"]).map_batches(key, batch_format="pyarrow")
 
     def cap(group: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = group.to_pandas().sort_values(["source", "__k", "doc_id"])
-        out = df.groupby("source", sort=False).head(10)[["doc_id", "source"]]
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # Arrow sort + run-rank (merge_topk pattern) instead of a
+        # pandas groupby().head() round-trip.
+        if group.num_rows == 0:
+            return group.select(["doc_id", "source"])
+        t = group.sort_by(
+            [("source", "ascending"), ("__k", "ascending"), ("doc_id", "ascending")]
+        )
+        keep = t.filter(pa.array(_run_rank(t.column("source")) < 10))
+        return keep.select(["doc_id", "source"])
 
     return ds.groupby("source", num_partitions=4).map_groups(
         cap, batch_format="pyarrow"
@@ -2233,16 +2253,25 @@ def q_quality_zscore(sf_dir: str):
     }
 
     def zscore(b: pa.Table) -> pa.Table:
-        langs = b.column("lang").to_pylist()
+        # dictionary-encoded lang -> per-UNIQUE-lang moment lookup, then
+        # one vectorized gather (no per-row Python loop); sd == 0
+        # (a lang whose n_chars is constant) emits z = 0 instead of
+        # inf/NaN — the oracle mirrors with the same CASE
         nc = b.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
-        mean = np.empty(len(langs))
-        sd = np.empty(len(langs))
-        for i, lg in enumerate(langs):
+        enc = _single_chunk_q(pc.dictionary_encode(b.column("lang")))
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        dvals = enc.dictionary.to_pylist()
+        m_lut = np.empty(len(dvals))
+        v_lut = np.empty(len(dvals))
+        for j, lg in enumerate(dvals):
             s1, s2, c = mom[lg]
             m = s1 / c
-            mean[i] = m
-            sd[i] = np.sqrt(s2 / c - m * m)
-        z = np.round((nc - mean) / sd, 6)
+            m_lut[j] = m
+            v_lut[j] = s2 / c - m * m
+        mean, var = m_lut[codes], v_lut[codes]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (nc - mean) / np.sqrt(var)
+        z = np.round(np.where(var <= 0, 0.0, z), 6)
         return pa.table(
             {
                 "doc_id": b.column("doc_id"),
@@ -2837,7 +2866,11 @@ ORACLE_SQL = {
         LIMIT 50
     """,
     # incremental exact dedup: new batch anti-joined against the
-    # snapshot slice's md5 fingerprints
+    # snapshot slice's md5 fingerprints.  Null-text rows are kept
+    # unconditionally and null snapshot keys ignored — mirrors the
+    # engine (dedup.incremental_exact_dedup emits null fingerprints,
+    # anti_join_ids never drops null-key rows); a bare NOT IN would
+    # nullify the whole predicate on a NULL operand.
     "incremental_dedup": """
         WITH snap AS (
             SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id % 7 = 0
@@ -2849,7 +2882,8 @@ ORACLE_SQL = {
         )
         SELECT doc_id, n_chars
         FROM newdocs
-        WHERE md5(text) NOT IN (SELECT k FROM snap)
+        WHERE text IS NULL
+           OR md5(text) NOT IN (SELECT k FROM snap WHERE k IS NOT NULL)
     """,
     # TPC-H Q5 shape: 6-way join with cross-dimension predicate
     "tpch_q5": r"""
@@ -2877,7 +2911,10 @@ ORACLE_SQL = {
             FROM documents GROUP BY lang
         )
         SELECT d.doc_id, d.lang, d.n_chars,
-               round((d.n_chars - s1/c) / sqrt(s2/c - (s1/c)*(s1/c)), 6) AS zscore
+               CASE WHEN s2/c - (s1/c)*(s1/c) <= 0 THEN 0.0
+                    ELSE round((d.n_chars - s1/c)
+                               / sqrt(s2/c - (s1/c)*(s1/c)), 6)
+               END AS zscore
         FROM documents d JOIN s USING (lang)
     """,
 }

@@ -66,6 +66,19 @@ def test_kmeans_fit_invariant_to_partitioning(ray_session):
     assert np.array_equal(c1, c8)
 
 
+def test_kmeans_cache_cap_falls_back_to_streaming(ray_session):
+    """cache=True above the byte cap must NOT materialize the quantized
+    view (the 100 TB guard) and still produce bit-identical centroids;
+    under the cap the cached run matches too."""
+    base = kmeans_fit(_toy_dataset(blocks=4), k=4, iters=3, cache=False)
+    capped = kmeans_fit(
+        _toy_dataset(blocks=4), k=4, iters=3, cache=True, cache_cap_bytes=1
+    )
+    cached = kmeans_fit(_toy_dataset(blocks=4), k=4, iters=3, cache=True)
+    assert np.array_equal(base, capped)
+    assert np.array_equal(base, cached)
+
+
 def test_kmeans_clusters_assigns_every_row(ray_session):
     out = kmeans_clusters(_toy_dataset(blocks=4), k=4, iters=2).to_pandas()
     assert len(out) == 300

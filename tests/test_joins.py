@@ -86,6 +86,23 @@ def test_auto_falls_back_to_shuffle_over_cap(ray_session):
     assert (out["v1"] == out["id"] + 1).all()
 
 
+def test_auto_null_right_keys_never_match(ray_session):
+    """Null keys on either side must behave like bucket_lookup_join:
+    a null right key is dropped from the lookup (never matched, never
+    crashes the run-dedup), and a null left key fills null instead of
+    'matching' a null right key."""
+    left = [{"id": 1}, {"id": None}, {"id": 2}]
+    right = [{"k": 1, "v": 10}, {"k": None, "v": 99}]
+    out = _run_auto(left, right, "id", "k", "v", "val")
+    by = {r["id"]: r["val"] for _, r in out.iterrows() if r["id"] is not None}
+    import pandas as pd
+
+    assert by[1] == 10
+    assert pd.isna(by[2])
+    null_rows = out[out["id"].isna()]
+    assert len(null_rows) == 1 and null_rows["val"].isna().all()
+
+
 def test_auto_string_keys_and_unmatched(ray_session):
     left = [{"ref": f"img-{i}"} for i in range(6)]
     right = [{"k": "img-2", "v": "x"}, {"k": "img-5", "v": "y"}]

@@ -39,21 +39,46 @@ def _pad4(n: int) -> int:
     return (n + 3) & ~3
 
 
-def encode_avi(frames: np.ndarray, fps: int = 12) -> bytes:
-    """Frames ``(n, h, w, 3)`` uint8 RGB -> AVI bytes with uncompressed
-    24-bit DIB frames (bottom-up BGR rows, 4-byte-aligned)."""
+MJPG_FOURCC = int.from_bytes(b"MJPG", "little")
+
+
+def encode_avi(frames: np.ndarray, fps: int = 12, codec: str = "dib") -> bytes:
+    """Frames ``(n, h, w, 3)`` uint8 RGB -> AVI bytes.
+
+    ``codec="dib"``: uncompressed 24-bit DIB frames (bottom-up BGR
+    rows, 4-byte-aligned).  ``codec="mjpg"``: Motion-JPEG — each frame
+    is a standalone baseline JPEG from the engine's own from-scratch
+    T.81 codec (functions/jpegcodec.py), quality 100 / 4:4:4, which
+    round-trips SOLID-color frames exactly (all-ones quant tables:
+    a uniform block is DC-only and the DC survives quantization), so
+    the closed-form fixture oracles stay exact while the container
+    exercises a real compressed video essence."""
     if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
         raise ValueError("frames must be (n, h, w, 3) uint8 RGB")
+    if codec not in ("dib", "mjpg"):
+        raise ValueError(f"codec must be dib|mjpg, got {codec!r}")
     n, h, w, _ = frames.shape
     if n == 0 or h == 0 or w == 0:
         raise ValueError("frames must be non-empty")
     stride = _pad4(w * 3)
-    frame_size = stride * h
 
-    # one DIB per frame: flip rows (bottom-up), RGB->BGR, pad rows
-    padded = np.zeros((n, h, stride), np.uint8)
-    padded[:, :, : w * 3] = frames[:, ::-1, :, ::-1].reshape(n, h, w * 3)
-    dibs = [padded[i].tobytes() for i in range(n)]
+    if codec == "mjpg":
+        from .jpegcodec import encode_jpeg
+
+        dibs = [
+            encode_jpeg(frames[i], quality=100, subsample=False) for i in range(n)
+        ]
+        frame_size = max(len(d) for d in dibs)
+        handler, compression, bitcount = b"MJPG", MJPG_FOURCC, 24
+        frame_ckid = b"00dc"
+    else:
+        frame_size = stride * h
+        # one DIB per frame: flip rows (bottom-up), RGB->BGR, pad rows
+        padded = np.zeros((n, h, stride), np.uint8)
+        padded[:, :, : w * 3] = frames[:, ::-1, :, ::-1].reshape(n, h, w * 3)
+        dibs = [padded[i].tobytes() for i in range(n)]
+        handler, compression, bitcount = b"DIB ", 0, 24
+        frame_ckid = b"00db"
 
     avih = struct.pack(
         "<IIIIIIIIII4I",
@@ -71,7 +96,7 @@ def encode_avi(frames: np.ndarray, fps: int = 12) -> bytes:
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIIIhhhh",
-        b"vids", b"DIB ",
+        b"vids", handler,
         0, 0, 0, 0,
         1,  # dwScale
         fps,  # dwRate  (fps = rate / scale)
@@ -81,7 +106,7 @@ def encode_avi(frames: np.ndarray, fps: int = 12) -> bytes:
         0, 0, np.int16(w), np.int16(h),
     )
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0
+        "<IiiHHIIiiII", 40, w, h, 1, bitcount, compression, frame_size, 0, 0, 0, 0
     )
 
     def chunk(cid: bytes, body: bytes) -> bytes:
@@ -94,14 +119,14 @@ def encode_avi(frames: np.ndarray, fps: int = 12) -> bytes:
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
 
     movi_body = b"movi"
-    offsets = []
+    entries = []
     for dib in dibs:
-        offsets.append(len(movi_body))  # offset of ckid from 'movi' tag
-        movi_body += chunk(b"00db", dib)
+        entries.append((len(movi_body), len(dib)))  # offset from 'movi' tag
+        movi_body += chunk(frame_ckid, dib)
     movi = chunk(b"LIST", movi_body)
 
     idx = b"".join(
-        struct.pack("<4sIII", b"00db", 0x10, off, frame_size) for off in offsets
+        struct.pack("<4sIII", frame_ckid, 0x10, off, sz) for off, sz in entries
     )
     body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
     return b"RIFF" + struct.pack("<I", len(body)) + body
@@ -109,8 +134,11 @@ def encode_avi(frames: np.ndarray, fps: int = 12) -> bytes:
 
 def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
     """AVI bytes -> ``(frames (n, h, w, 3) uint8 RGB, fps)``.  Walks the
-    RIFF chunk tree per the spec; only uncompressed 24-bit DIB video
-    streams are supported (compressed essences raise ``ValueError``)."""
+    RIFF chunk tree per the spec.  Supported essences: uncompressed
+    24-bit DIB and Motion-JPEG ('MJPG' — each frame chunk is a
+    standalone baseline JPEG, decoded by the engine's from-scratch T.81
+    codec).  Other compressed essences (h264/vp9/...) raise
+    ``ValueError`` loudly."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI stream")
 
@@ -148,9 +176,24 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
 
     if width is None or not frames:
         raise ValueError("AVI without video stream format / frame chunks")
+    if compression == MJPG_FOURCC:
+        from .jpegcodec import decode_jpeg
+
+        w, h = int(width), abs(int(height))
+        out = np.empty((len(frames), h, w, 3), np.uint8)
+        for i, jpg in enumerate(frames):
+            img = decode_jpeg(bytes(jpg))
+            if img.shape[0] != h or img.shape[1] != w:
+                raise ValueError(
+                    f"frame {i}: JPEG {img.shape[1]}x{img.shape[0]} != "
+                    f"header {w}x{h}"
+                )
+            out[i] = img[:, :, :3]
+        fps = (rate / scale) if (rate and scale) else 0.0
+        return out, fps
     if compression != 0 or bitcount != 24:
         raise ValueError(
-            f"only uncompressed 24-bit DIB frames supported "
+            f"only uncompressed 24-bit DIB and MJPG essences supported "
             f"(biCompression={compression}, biBitCount={bitcount})"
         )
     top_down = height < 0

@@ -2100,16 +2100,21 @@ def q_tpch_q5(sf_dir: str):
 
 
 def q_video_frames(sf_dir: str):
-    """Video-modality plumbing over a REAL from-scratch AVI/RIFF
-    container + uncompressed-DIB frame codec (functions/avicodec.py):
-    each doc gets a deterministic solid-color frame sequence
-    synthesized from md5(doc_id) (dimensions, frame count, and the
-    per-frame value ramp all md5-derived so DuckDB recomputes them in
-    closed form), encoded to AVI, then decoded + frame-sampled
-    (stride 2) by the actor-pool stage (stages.multimodal
-    .video_frames).  A solid frame of value v has mean exactly v, so
-    the oracle verifies the whole encode → RIFF walk → DIB decode →
-    sample chain per frame, not just row counts."""
+    """Video-modality plumbing over the REAL from-scratch AVI/RIFF
+    container codec (functions/avicodec.py): each doc gets a
+    deterministic solid-color frame sequence synthesized from
+    md5(doc_id) (dimensions, frame count, and the per-frame value ramp
+    all md5-derived so DuckDB recomputes them in closed form), encoded
+    to AVI, then decoded + frame-sampled (stride 2) by the actor-pool
+    stage (stages.multimodal.video_frames).  Essence routing is
+    md5-derived too: docs with an even 11th hex digit encode as
+    Motion-JPEG (each frame a standalone baseline JPEG from the
+    engine's own T.81 codec — a real COMPRESSED video essence), the
+    rest as uncompressed 24-bit DIB.  Solid frames round-trip both
+    essences exactly (MJPEG at quality 100 / 4:4:4 keeps a uniform
+    block bit-exact: DC-only, all-ones quant tables), so one
+    closed-form oracle verifies the whole encode → RIFF walk →
+    JPEG/DIB decode → sample chain per frame."""
     from ..functions.avicodec import encode_avi
     from ..stages.multimodal import video_frames
 
@@ -2127,7 +2132,8 @@ def q_video_frames(sf_dir: str):
             frames = np.broadcast_to(
                 vals.astype(np.uint8)[:, None, None, None], (n, ht, w, 3)
             ).copy()
-            payloads.append(encode_avi(frames, fps=12))
+            codec = "mjpg" if int(h[10], 16) % 2 == 0 else "dib"
+            payloads.append(encode_avi(frames, fps=12, codec=codec))
         return pa.table(
             {"doc_id": b.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
         )

@@ -14,9 +14,11 @@ predictor 2, functions/tiffcodec.py) and the WebP-lossless codec
 (VP8L prefix codes + LZ77 + color cache + all four transforms,
 functions/webpcodec.py) — all real compressed formats, from
 scratch.  Audio is REAL (WAV/RIFF PCM, functions/wavcodec.py) and
-so is the video container + raw frame path (AVI/RIFF with uncompressed
-DIB frames, functions/avicodec.py, frame-sampled by VideoFrameActor).
-The remaining codecs (compressed essences: mp3/h264) are
+so is the video path (AVI/RIFF container, functions/avicodec.py,
+frame-sampled by VideoFrameActor) with TWO real essences: uncompressed
+24-bit DIB and Motion-JPEG (each frame a standalone baseline JPEG from
+the engine's own T.81 codec).  The remaining codecs (compressed
+essences: mp3/h264-proper/vp9) are
 STUBBED (no codec libs in this container — driver brief): they raise
 ``NotImplementedError`` unless ``fake="deterministic"``, which produces
 a seeded synthetic raster so the Ray-side plumbing (schema, batch

@@ -54,6 +54,35 @@ def test_rejects_garbage_and_compressed():
         encode_avi(np.zeros((2, 2, 2), np.uint8))  # missing channel dim
 
 
+def test_mjpeg_solid_frames_roundtrip_exact():
+    """MJPEG essence: solid-color frames survive the JPEG q100/4:4:4
+    round-trip bit-exactly (DC-only blocks, all-ones quant tables) —
+    the property the closed-form video_frames oracle relies on."""
+    vals = np.array([0, 7, 128, 201, 255], np.uint8)
+    f = np.broadcast_to(vals[:, None, None, None], (5, 16, 24, 3)).copy()
+    raw = encode_avi(f, fps=12, codec="mjpg")
+    assert b"MJPG" in raw[:200]  # compressed essence advertised
+    dec, fps = decode_avi(raw)
+    assert fps == 12.0
+    assert np.array_equal(dec, f)
+    # a compressed stream is NOT the DIB layout: frames are smaller
+    assert len(raw) < len(encode_avi(f, fps=12, codec="dib"))
+
+
+def test_mjpeg_textured_frames_lossy_but_close():
+    rng = np.random.default_rng(5)
+    f = rng.integers(60, 196, (2, 16, 16, 3), dtype=np.uint8)
+    dec, _ = decode_avi(encode_avi(f, codec="mjpg"))
+    assert dec.shape == f.shape
+    err = np.abs(dec.astype(np.int16) - f.astype(np.int16))
+    assert err.mean() < 4 and err.max() <= 32  # q100 is nearly lossless
+
+
+def test_encode_avi_rejects_unknown_codec():
+    with pytest.raises(ValueError, match="codec"):
+        encode_avi(np.zeros((1, 2, 2, 3), np.uint8), codec="h264")
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     n=st.integers(1, 4),

@@ -165,6 +165,8 @@ def main(argv: list[str] | None = None) -> int:
         "docs": int(sum(r["n_docs"] for r in all_rows)),
         "spans": int(sum(r["n_spans"] for r in all_rows)),
         "words": int(sum(r["n_words"] for r in all_rows)),
+        # dead-letter accounting: docs quarantined by corrupt media
+        "quarantined": int(sum(r.get("n_quarantined") or 0 for r in all_rows)),
         "out": args.out,
     }
     if args.golden:

@@ -229,6 +229,14 @@ def _parallel_mips(nproc: int = 32) -> float:
         return round(sum(p.map(_spin_worker, range(nproc))) / 1e6, 1)
 
 
+# Healthy-window parallel-spin capacity of this host (M iters/s across
+# 32 procs), from the r03 driver artifact's quiet phase — the
+# denominator for queries_normalized.  Normalized walls answer "what
+# would this query have cost in a healthy window", so cross-round
+# comparisons stop needing a prose host-noise postmortem.
+REF_PARALLEL_MIPS = 743.0
+
+
 def run_default(
     sf_dir: str, num_cpus: int, headline_only: bool = False, n_docs: int | None = None
 ) -> dict:
@@ -239,6 +247,8 @@ def run_default(
     pmips0 = _parallel_mips(num_cpus)
     head = headline(sf_dir, num_cpus, n_docs=n_docs)
     qtimes: dict[str, float] = {}
+    qmid: dict[str, float] = {}  # per-query midpoint (monotonic secs)
+    anchors: list[tuple[float, float]] = []  # (monotonic secs, parallel mips)
     if not headline_only:
         # Fresh session for the query sweep: the headline streams ~GBs
         # of page pixels through the object store, and leftover
@@ -259,13 +269,34 @@ def run_default(
         rd.range(num_cpus * 4, override_num_blocks=num_cpus).map_batches(
             lambda b: b
         ).count()  # spawn the worker pool before timing
-        for name in BENCH_QUERIES:
+        anchors.append((time.monotonic(), _parallel_mips(num_cpus)))
+        half = len(BENCH_QUERIES) // 2
+        for qi, name in enumerate(BENCH_QUERIES):
             fn = QUERIES[name]
             gc.collect()
             t0 = time.monotonic()
             n = _consume(fn(sf_dir))
-            qtimes[name] = round(time.monotonic() - t0, 3)
+            t1 = time.monotonic()
+            qtimes[name] = round(t1 - t0, 3)
+            qmid[name] = (t0 + t1) / 2
             print(f"[bench] {name}: {qtimes[name]}s ({n} rows)", file=sys.stderr)
+            if qi == half:  # mid-sweep capacity anchor
+                anchors.append((time.monotonic(), _parallel_mips(num_cpus)))
+        anchors.append((time.monotonic(), _parallel_mips(num_cpus)))
+
+    queries_normalized: dict[str, float] = {}
+    if qtimes and anchors:
+        import numpy as _np
+
+        ts = _np.array([a[0] for a in anchors])
+        caps = _np.array([a[1] for a in anchors])
+        for name, wall in qtimes.items():
+            cap_t = float(_np.interp(qmid[name], ts, caps))
+            # wall x (capacity / healthy-reference): what the query
+            # would have cost in a quiet window (cap < ref => scale
+            # the noisy wall DOWN)
+            queries_normalized[name] = round(wall * cap_t / REF_PARALLEL_MIPS, 3)
+
     out = {
         "metric": "end-to-end extraction throughput (docs/sec + words/sec) "
         "+ per-query wall times",
@@ -283,6 +314,11 @@ def run_default(
         "host_spin_mips_end": _spin_mips(),
         "host_parallel_mips_start": pmips0,
         "host_parallel_mips_end": _parallel_mips(num_cpus),
+        # per-query walls divided into healthy-window equivalents via
+        # interpolated capacity anchors (VERDICT r03 item 9)
+        "queries_normalized": queries_normalized,
+        "normalization_ref_parallel_mips": REF_PARALLEL_MIPS,
+        "normalization_anchors_mips": [a[1] for a in anchors],
     }
     return out
 

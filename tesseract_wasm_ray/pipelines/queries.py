@@ -1552,6 +1552,82 @@ def q_extract_validate(sf_dir: str):
     return pa.Table.from_pylist([counts])
 
 
+def q_extract_quarantine(sf_dir: str):
+    """Dead-letter path as a first-class gated operator: a copy of the
+    fixture media table is deterministically POISONED (every media_ref
+    whose md5 hex starts with '0' — 1/16 of pages — gets a truncated
+    2-byte pixel buffer), the flagship runs over it, and the result is
+    the quarantine accounting per affected document
+    (doc_id, n_spans, n_err_spans) read back from the quarantine
+    parquet sink.  The oracle recomputes the poisoned set in closed
+    form from golden_spans (md5 is the routing hash on both engines);
+    clean docs keep extracting as usual — extract_validate covers
+    their span equality separately."""
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    paths = corpus_for(sf_dir)
+    sf = sf_of(sf_dir)
+    poison_dir = os.path.join(FIXTURE_ROOT, f"sf{sf}", "media_poisoned")
+    marker = os.path.join(poison_dir, "_done")
+    if not os.path.exists(marker):
+        os.makedirs(poison_dir, exist_ok=True)
+        for i, f in enumerate(
+            sorted(glob.glob(os.path.join(paths["media"], "*.parquet")))
+        ):
+            t = pq.read_table(f)
+            refs = t.column("media_ref").to_pylist()
+            pixels = t.column("pixels").to_pylist()
+            for j, r in enumerate(refs):
+                if hashlib.md5(str(r).encode()).hexdigest()[0] == "0":
+                    pixels[j] = b"\xde\xad"  # truncated buffer: reshape fails
+            idx = t.schema.get_field_index("pixels")
+            t = t.set_column(idx, "pixels", pa.array(pixels, pa.binary()))
+            pq.write_table(t, os.path.join(poison_dir, f"part-{i}.parquet"))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    out_dir = os.path.join("/tmp/twr_scratch", f"quarantine_sf{sf}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    rows = run_extract(
+        paths["documents"], poison_dir, _extract_cfg(), out_dir=out_dir, resume=False
+    )
+    qfiles = [
+        os.path.join(out_dir, r["quarantine_file"])
+        for r in rows
+        if r["quarantine_file"]
+    ]
+    if not qfiles:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.string()),
+                "n_spans": pa.array([], pa.int64()),
+                "n_err_spans": pa.array([], pa.int64()),
+            }
+        )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+                "err": pc.cast(pc.is_valid(b.column("error")), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(qfiles)
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("one"), Sum("err"))
+        .map_batches(
+            lambda b: _rename(b, {"sum(one)": "n_spans", "sum(err)": "n_err_spans"}),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def q_ocr_text(sf_dir: str):
     """OCR actor pool over the media table -> page text + word count."""
     paths = corpus_for(sf_dir)
@@ -2353,6 +2429,7 @@ QUERIES = {
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
+    "extract_quarantine": q_extract_quarantine,
     "ocr_text": q_ocr_text,
     "ocr_boxes": q_ocr_boxes,
     "orientation_detect": q_orientation,
@@ -2959,6 +3036,25 @@ ORACLE_SQL.update(
             SELECT (SELECT count(*) FROM read_parquet('{_G01}/golden_spans/*.parquet'))::BIGINT AS docs_ok,
                    0::BIGINT AS docs_mismatched,
                    0::BIGINT AS docs_missing
+        """,
+        # dead-letter accounting in closed form: the poisoned refs are
+        # exactly those whose md5 hex starts with '0' (the same routing
+        # hash the Ray side uses to corrupt the media copy); a poisoned
+        # doc quarantines WHOLE, so n_spans is the doc's full span count
+        "extract_quarantine": f"""
+            WITH s AS (
+                SELECT doc_id, unnest(spans) AS sp
+                FROM read_parquet('{_G01}/golden_spans/*.parquet')
+            ),
+            m AS (
+                SELECT doc_id,
+                       count(*)::BIGINT AS n_spans,
+                       sum(CASE WHEN sp['kind'] = 'media_ref'
+                                 AND substr(md5(sp['media_ref']), 1, 1) = '0'
+                                THEN 1 ELSE 0 END)::BIGINT AS n_err_spans
+                FROM s GROUP BY doc_id
+            )
+            SELECT doc_id, n_spans, n_err_spans FROM m WHERE n_err_spans > 0
         """,
         "ocr_text": f"""
             SELECT media_ref, text, n_words

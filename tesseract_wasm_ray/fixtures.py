@@ -405,6 +405,22 @@ def generate_corpus(out_dir: str, n_docs: int, parallelism: int | None = None) -
     model = GlyphModel.build()
     paths = corpus_paths(out_dir)
 
+    # Regeneration over a stale cache must start from CLEAN table dirs:
+    # write_parquet appends new part files next to old ones, silently
+    # doubling every table (observed when the v3->v4 bump regenerated a
+    # multi-file sf0.1 corpus: 70392 spans where 35196 exist).  Also
+    # drop the meta marker first so a crash mid-regeneration can't
+    # leave a directory that looks valid.
+    import shutil
+
+    if os.path.exists(meta_path):
+        os.remove(meta_path)
+    for p in paths.values():
+        shutil.rmtree(p, ignore_errors=True)
+    # derived caches (the poisoned-media copy of queries
+    # .q_extract_quarantine) go stale with the corpus — drop them too
+    shutil.rmtree(os.path.join(out_dir, "media_poisoned"), ignore_errors=True)
+
     if parallelism is None:
         parallelism = max(4, min(256, n_docs // 256))
 

@@ -5,6 +5,8 @@ from .dedup import (  # noqa: F401
     exact_dedup,
     exact_substring_dedup,
     incremental_exact_dedup,
+    keep_first_by,
+    keep_min_by,
     minhash_lsh_dedup,
     simhash_dedup,
 )

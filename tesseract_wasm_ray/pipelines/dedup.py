@@ -69,9 +69,31 @@ def keep_min_by(
     shuffle_partitions: int = 16,
 ) -> rd.Dataset:
     """Keep, per distinct ``key_col`` value, the single row with the
-    minimum ``order_col``.  Hash-bucket the key (bounded group count),
-    one vectorized sort + boundary-take per bucket.  Input blocks are
-    coalesced first (sort-shuffle cost is per-block, docs/RAY_NOTES.md §3).
+    minimum ``order_col`` (see :func:`keep_first_by` for multi-key /
+    descending orderings)."""
+    return keep_first_by(
+        ds,
+        key_col,
+        [(order_col, "ascending")],
+        num_buckets=num_buckets,
+        shuffle_partitions=shuffle_partitions,
+    )
+
+
+def keep_first_by(
+    ds: rd.Dataset,
+    key_col: str,
+    sort_keys: list[tuple[str, str]],
+    num_buckets: int = 64,
+    shuffle_partitions: int = 16,
+) -> rd.Dataset:
+    """Keep, per distinct ``key_col`` value, the single row ranked first
+    under ``sort_keys`` (a list of ``(column, "ascending"|"descending")``
+    pairs — e.g. quality descending, id ascending for a
+    best-representative pick).  Hash-bucket the key (bounded group
+    count), one vectorized sort + boundary-take per bucket.  Input
+    blocks are coalesced first (sort-shuffle cost is per-block,
+    docs/RAY_NOTES.md §3).
 
     Keys must be non-null: a null key has no well-defined group and the
     boundary arithmetic would silently misgroup it — asserted loudly per
@@ -101,7 +123,7 @@ def keep_min_by(
 
     def first_per_key(group: pa.Table) -> pa.Table:
         t = group.drop_columns(["__bucket"]).sort_by(
-            [(key_col, "ascending"), (order_col, "ascending")]
+            [(key_col, "ascending"), *sort_keys]
         )
         if t.num_rows == 0:
             return t

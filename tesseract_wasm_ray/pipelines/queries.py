@@ -40,6 +40,7 @@ from ..functions.textstats import (
 from .dedup import (
     embedding_neardup,
     exact_dedup,
+    keep_first_by,
     keep_min_by,
     minhash_lsh_dedup,
     ngram_jaccard_dedup,
@@ -190,6 +191,110 @@ def q_dedup_prefix(sf_dir: str):
         batch_format="pyarrow",
     )
     return keep_min_by(ds, "pfx", "doc_id", num_buckets=16)
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Cluster-representative dedup: within each 24-char-prefix dup
+    cluster keep the BEST document (longest text, ties by min doc_id)
+    rather than the first — the curation-grade variant of dedup where
+    quality decides the survivor.  One bucketed keep_first_by shuffle
+    (same scale shape as exact_dedup); quality is map-side."""
+    ds = _docs(sf_dir, columns=["doc_id", "text", "n_chars"]).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "pfx": pc.utf8_slice_codeunits(b.column("text"), 0, 24),
+                "n_chars": b.column("n_chars"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return keep_first_by(
+        ds,
+        "pfx",
+        [("n_chars", "descending"), ("doc_id", "ascending")],
+        num_buckets=16,
+    )
+
+
+def q_token_pmi(sf_dir: str, top_k: int = 40, min_co: int = 5):
+    """Pointwise mutual information of frequent-term co-occurrence.
+
+    Stage 1: distributed document frequencies (_doc_freq), top-K terms
+    by (df desc, term asc) — a bounded K-row driver table, broadcast.
+    Stage 2: per batch, a boolean doc×term membership matrix B over the
+    K terms; the batch's co-occurrence partial is ONE matmul (B.T @ B)
+    — no per-row loops, no pair explosion in the shuffle (≤ K² partial
+    rows per batch regardless of corpus size).  groupby-sum of packed
+    pair codes, then PMI from exact integer counts: deterministic
+    hashes.  Scales: the only shuffle carries ≤ K²-row partials."""
+    import pandas as pd
+
+    from ..functions.textstats import _tokens
+
+    top = (
+        _doc_freq(sf_dir)
+        .sort(["df", "term"], descending=[True, False])
+        .limit(top_k)
+        .to_pandas()
+    )
+    # idx assigned in lexicographic term order so packed-code order
+    # reproduces the oracle's binary-collation `t1 < t2`
+    terms = sorted(top["term"].tolist())
+    dfs = dict(zip(top["term"], top["df"].astype(int)))
+    n_docs = _docs(sf_dir, columns=["doc_id"]).count()
+    k = len(terms)
+    term_idx_ref = ray.put({t: i for i, t in enumerate(terms)})
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        lut = ray.get(term_idx_ref)
+        texts = b.column("text")
+        texts = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+        flat, parents, n_rows = _tokens(texts)
+        enc = pc.dictionary_encode(flat)
+        enc = enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc
+        dict_map = np.array(
+            [lut.get(t, -1) for t in enc.dictionary.to_pylist()], dtype=np.int64
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        mapped = dict_map[codes] if len(codes) else np.empty(0, np.int64)
+        keep = mapped >= 0
+        membership = np.zeros((n_rows, k), dtype=np.uint8)
+        if keep.any():
+            membership[parents[keep], mapped[keep]] = 1
+        co = membership.T.astype(np.int64) @ membership.astype(np.int64)
+        i1, i2 = np.triu_indices(k, k=1)
+        counts = co[i1, i2]
+        nz = counts > 0
+        return pa.table(
+            {
+                "pair": pa.array(i1[nz] * k + i2[nz], pa.int64()),
+                "co": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("co"))
+        .to_pandas()
+    )
+    agg = agg[agg["sum(co)"] >= min_co]
+    t1 = [terms[p // k] for p in agg["pair"]]
+    t2 = [terms[p % k] for p in agg["pair"]]
+    co = agg["sum(co)"].to_numpy(dtype=np.int64)
+    d1 = np.array([dfs[t] for t in t1], dtype=np.float64)
+    d2 = np.array([dfs[t] for t in t2], dtype=np.float64)
+    out = pd.DataFrame(
+        {
+            "t1": t1,
+            "t2": t2,
+            "co": co,
+            "pmi": np.round(np.log(co * float(n_docs) / (d1 * d2)), 4),
+        }
+    )
+    return out.sort_values(["t1", "t2"]).reset_index(drop=True)
 
 
 def q_events_by_type(sf_dir: str):
@@ -2380,6 +2485,8 @@ QUERIES = {
     "lang_stats": q_lang_stats,
     "exact_dedup": q_exact_dedup,
     "dedup_prefix": q_dedup_prefix,
+    "dedup_keep_best": q_dedup_keep_best,
+    "token_pmi": q_token_pmi,
     "events_by_type": q_events_by_type,
     "events_hourly": q_events_hourly,
     "top_long_docs": q_top_long_docs,
@@ -2493,6 +2600,45 @@ ORACLE_SQL = {
     "dedup_prefix": """
         SELECT min(doc_id) AS doc_id, substr(text, 1, 24) AS pfx
         FROM documents GROUP BY pfx
+    """,
+    "dedup_keep_best": """
+        SELECT doc_id, pfx, n_chars FROM (
+            SELECT doc_id, substr(text, 1, 24) AS pfx, n_chars,
+                   row_number() OVER (
+                       PARTITION BY substr(text, 1, 24)
+                       ORDER BY n_chars DESC, doc_id ASC
+                   ) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    """,
+    "token_pmi": """
+        WITH toks AS (
+            SELECT DISTINCT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+            FROM documents
+        ),
+        t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        df AS (SELECT term, count(*) AS df FROM t GROUP BY term),
+        top AS (
+            SELECT term, df FROM (
+                SELECT *, row_number() OVER (ORDER BY df DESC, term ASC) AS rk
+                FROM df
+            ) WHERE rk <= 40
+        ),
+        ft AS (SELECT t.doc_id, t.term FROM t JOIN top ON t.term = top.term),
+        pairs AS (
+            SELECT a.term AS t1, b.term AS t2, count(*) AS co
+            FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.term < b.term
+            GROUP BY 1, 2
+        ),
+        n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+        SELECT t1, t2, co,
+               round(ln(co * n.n / (d1.df * d2.df)), 4) AS pmi
+        FROM pairs
+        JOIN top d1 ON pairs.t1 = d1.term
+        JOIN top d2 ON pairs.t2 = d2.term
+        CROSS JOIN n
+        WHERE co >= 5
     """,
     "events_by_type": """
         SELECT event_type, count(*) AS n_events,

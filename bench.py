@@ -83,6 +83,11 @@ BENCH_QUERIES = [
     "video_frames",
     "incremental_dedup",
     "exact_substring_dedup",
+    # round-4 curation additions
+    "dedup_keep_best",
+    "token_pmi",
+    "skipgram_cooc",
+    "lang_len_quantiles",
 ]
 
 

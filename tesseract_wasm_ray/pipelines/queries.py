@@ -297,6 +297,130 @@ def q_token_pmi(sf_dir: str, top_k: int = 40, min_co: int = 5):
     return out.sort_values(["t1", "t2"]).reset_index(drop=True)
 
 
+def q_skipgram_cooc(sf_dir: str, top_k: int = 40, window: int = 3, min_co: int = 5):
+    """Window-based skip-gram co-occurrence counts (word2vec-style
+    pair statistics) over the top-``top_k`` document-frequency terms.
+
+    Unlike :func:`q_token_pmi` (doc-level co-membership) this counts
+    ORDERED pairs within a ±``window`` token distance, so it needs
+    token positions.  Per batch: one flat tokenize (``_tokens``
+    preserves in-doc order), top-K id mapping, then for each offset
+    d in 1..window a single vectorized shifted-array comparison —
+    pairs (t[i], t[i+d]) kept when both ids are in-vocabulary and both
+    positions fall in the same document.  Partials are ≤ K² rows per
+    batch regardless of corpus size; one small groupby-sum shuffle;
+    exact integer counts → deterministic hashes.  Scales: the token
+    stream never leaves the map task."""
+    import pandas as pd
+
+    from ..functions.textstats import _tokens
+
+    top = (
+        _doc_freq(sf_dir)
+        .sort(["df", "term"], descending=[True, False])
+        .limit(top_k)
+        .to_pandas()
+    )
+    terms = sorted(top["term"].tolist())
+    k = len(terms)
+    term_idx_ref = ray.put({t: i for i, t in enumerate(terms)})
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        lut = ray.get(term_idx_ref)
+        texts = b.column("text")
+        texts = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+        flat, parents, _ = _tokens(texts)
+        enc = pc.dictionary_encode(flat)
+        enc = enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc
+        dict_map = np.array(
+            [lut.get(t, -1) for t in enc.dictionary.to_pylist()], dtype=np.int64
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        mapped = dict_map[codes] if len(codes) else np.empty(0, np.int64)
+        acc = np.zeros(k * k, dtype=np.int64)
+        for d in range(1, window + 1):
+            if len(mapped) <= d:
+                break
+            left, right = mapped[:-d], mapped[d:]
+            keep = (parents[:-d] == parents[d:]) & (left >= 0) & (right >= 0)
+            if keep.any():
+                acc += np.bincount(left[keep] * k + right[keep], minlength=k * k)
+        nz = np.flatnonzero(acc)
+        return pa.table(
+            {
+                "pair": pa.array(nz, pa.int64()),
+                "co": pa.array(acc[nz], pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("co"))
+        .to_pandas()
+    )
+    agg = agg[agg["sum(co)"] >= min_co]
+    out = pd.DataFrame(
+        {
+            "t1": [terms[p // k] for p in agg["pair"]],
+            "t2": [terms[p % k] for p in agg["pair"]],
+            "co": agg["sum(co)"].to_numpy(dtype=np.int64),
+        }
+    )
+    return out.sort_values(["t1", "t2"]).reset_index(drop=True)
+
+
+def q_lang_len_quantiles(sf_dir: str):
+    """EXACT per-language length quantiles (p25/p50/p75) WITHOUT a
+    sort: ``n_chars`` is integer-domain, so each batch emits bounded
+    (lang, n_chars) → count partials, one small groupby-sum folds
+    them, and the driver interpolates quantile_cont positions from the
+    cumulative histogram (≤ langs × distinct-lengths rows — thousands,
+    not corpus-sized).  The binary-exact fractions {.25,.5,.75} make
+    the interpolation arithmetic exact (no float-rounding flake), so
+    results bit-match DuckDB's sort-based quantile_cont.  Scales: the
+    only shuffle carries histogram partials; contrast with
+    approx_quantiles which trades exactness for fixed O(bins) state on
+    non-integer domains."""
+    import pandas as pd
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b.column("lang"), "n_chars": b.column("n_chars")})
+        g = t.group_by(["lang", "n_chars"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "n_chars": g.column("n_chars"),
+                "cnt": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    hist = (
+        _docs(sf_dir, columns=["lang", "n_chars"])
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("cnt"))
+        .to_pandas()
+    )
+    rows = []
+    for lang, g in hist.groupby("lang", sort=True):
+        g = g.sort_values("n_chars")
+        vals = g["n_chars"].to_numpy(dtype=np.int64)
+        cnts = g["sum(cnt)"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        row = {"lang": lang, "n_docs": n}
+        for q, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+            h = q * (n - 1)
+            lo_i, hi_i = int(np.floor(h)), int(np.ceil(h))
+            lo_v = float(vals[np.searchsorted(cum, lo_i + 1)])
+            hi_v = float(vals[np.searchsorted(cum, hi_i + 1)])
+            row[col] = lo_v + (h - np.floor(h)) * (hi_v - lo_v)
+        rows.append(row)
+    return pd.DataFrame(rows, columns=["lang", "n_docs", "p25", "p50", "p75"])
+
+
 def q_events_by_type(sf_dir: str):
     """Partial-aggregate rollup of the events stream.  Money sums run
     in exact int64 cents (_money_cents) so the result is block-order
@@ -2487,6 +2611,8 @@ QUERIES = {
     "dedup_prefix": q_dedup_prefix,
     "dedup_keep_best": q_dedup_keep_best,
     "token_pmi": q_token_pmi,
+    "skipgram_cooc": q_skipgram_cooc,
+    "lang_len_quantiles": q_lang_len_quantiles,
     "events_by_type": q_events_by_type,
     "events_hourly": q_events_hourly,
     "top_long_docs": q_top_long_docs,
@@ -2639,6 +2765,42 @@ ORACLE_SQL = {
         JOIN top d2 ON pairs.t2 = d2.term
         CROSS JOIN n
         WHERE co >= 5
+    """,
+    "skipgram_cooc": """
+        WITH tok0 AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS term,
+                   generate_subscripts(
+                       regexp_split_to_array(lower(text), '\\s+'), 1) AS pos
+            FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, term,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+            FROM tok0 WHERE term <> ''
+        ),
+        df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+        ),
+        top AS (
+            SELECT term FROM (
+                SELECT *, row_number() OVER (ORDER BY df DESC, term ASC) AS rk
+                FROM df
+            ) WHERE rk <= 40
+        )
+        SELECT a.term AS t1, b.term AS t2, count(*) AS co
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND b.rn > a.rn AND b.rn <= a.rn + 3
+        WHERE a.term IN (SELECT term FROM top)
+          AND b.term IN (SELECT term FROM top)
+        GROUP BY 1, 2 HAVING count(*) >= 5
+    """,
+    "lang_len_quantiles": """
+        SELECT lang, count(*) AS n_docs,
+               quantile_cont(n_chars, 0.25) AS p25,
+               quantile_cont(n_chars, 0.5)  AS p50,
+               quantile_cont(n_chars, 0.75) AS p75
+        FROM documents GROUP BY lang
     """,
     "events_by_type": """
         SELECT event_type, count(*) AS n_events,

@@ -239,3 +239,105 @@ def test_incremental_dedup_removes_planted_recrawl(ray_session, tmp_path):
     out = q_incremental_dedup(sf).to_pandas()
     # planted re-crawls (1000000, 1000007) are removed; fresh docs stay
     assert sorted(out["doc_id"].tolist()) == [1, 2]
+
+
+def test_keep_first_by_multi_key_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from tesseract_wasm_ray.pipelines.dedup import keep_first_by
+
+    rng = np.random.default_rng(7)
+    n = 500
+    t = pa.table(
+        {
+            "k": pa.array([f"g{int(x)}" for x in rng.integers(0, 40, n)]),
+            "q": pa.array(rng.integers(0, 9, n), pa.int64()),
+            "i": pa.array(np.arange(n), pa.int64()),
+        }
+    )
+    got = (
+        keep_first_by(
+            rd.from_arrow(t), "k", [("q", "descending"), ("i", "ascending")],
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    exp = (
+        t.to_pandas()
+        .sort_values(["q", "i"], ascending=[False, True])
+        .groupby("k", as_index=False)
+        .first()
+        .sort_values("k", ignore_index=True)
+    )
+    assert got[["k", "q", "i"]].equals(exp[["k", "q", "i"]])
+
+
+def test_token_pmi_hand_computed(ray_session, tmp_path):
+    from tesseract_wasm_ray.pipelines.queries import q_token_pmi
+
+    sf = _write_docs(tmp_path, [(0, "a b"), (1, "a b"), (2, "a c"), (3, "b")])
+    out = q_token_pmi(sf, min_co=1).set_index(["t1", "t2"])
+    # df: a=3, b=3, c=1; n=4; co(a,b)=2 (distinct doc membership), co(a,c)=1
+    assert out.loc[("a", "b"), "co"] == 2
+    assert abs(out.loc[("a", "b"), "pmi"] - round(math.log(2 * 4 / 9), 4)) < 1e-12
+    assert abs(out.loc[("a", "c"), "pmi"] - round(math.log(4 / 3), 4)) < 1e-12
+    assert ("b", "c") not in out.index  # never co-occur
+
+
+def test_skipgram_cooc_hand_computed(ray_session, tmp_path):
+    from tesseract_wasm_ray.pipelines.queries import q_skipgram_cooc
+
+    sf = _write_docs(tmp_path, [(0, "a b a c"), (1, "c a")])
+    out = q_skipgram_cooc(sf, window=2, min_co=1)
+    got = {(r.t1, r.t2): r.co for r in out.itertuples()}
+    # doc0 d=1: (a,b) (b,a) (a,c); d=2: (a,a) (b,c); doc1 d=1: (c,a)
+    assert got == {
+        ("a", "b"): 1, ("b", "a"): 1, ("a", "c"): 1,
+        ("a", "a"): 1, ("b", "c"): 1, ("c", "a"): 1,
+    }
+
+
+def test_skipgram_no_cross_doc_pairs(ray_session, tmp_path):
+    from tesseract_wasm_ray.pipelines.queries import q_skipgram_cooc
+
+    # 'x' only ends doc0 and 'y' only starts doc1: any (x,y) pair would
+    # be a cross-document leak through the flat token stream
+    sf = _write_docs(tmp_path, [(0, "a a x"), (1, "y a a")])
+    out = q_skipgram_cooc(sf, window=3, min_co=1)
+    pairs = set(zip(out["t1"], out["t2"]))
+    assert ("x", "y") not in pairs and ("y", "a") in pairs
+
+
+def test_lang_len_quantiles_bit_matches_duckdb(ray_session, tmp_path):
+    import duckdb
+    import pandas as pd
+
+    from tesseract_wasm_ray.pipelines.queries import q_lang_len_quantiles
+
+    rng = np.random.default_rng(3)
+    langs = [["en", "fr", "de"][int(x)] for x in rng.integers(0, 3, 200)]
+    n_chars = rng.integers(1, 400, 200).astype(np.int64)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(200), pa.int64()),
+            "text": pa.array(["t"] * 200),
+            "lang": pa.array(langs),
+            "source": pa.array(["s"] * 200),
+            "n_chars": pa.array(n_chars, pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = (
+        q_lang_len_quantiles(str(tmp_path))
+        .sort_values("lang", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    exp = con.execute(
+        "SELECT lang, count(*) AS n_docs, quantile_cont(n_chars, 0.25) AS p25,"
+        " quantile_cont(n_chars, 0.5) AS p50, quantile_cont(n_chars, 0.75) AS p75"
+        " FROM documents GROUP BY lang ORDER BY lang"
+    ).df()
+    # integer domain + binary-exact fractions -> bit equality, not approx
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, rtol=0, atol=0)

@@ -88,6 +88,10 @@ BENCH_QUERIES = [
     "token_pmi",
     "skipgram_cooc",
     "lang_len_quantiles",
+    "tpch_q3",
+    "tpch_q6",
+    "event_funnel",
+    "cohort_retention",
 ]
 
 

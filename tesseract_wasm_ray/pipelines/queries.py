@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Count, Mean, Min, Sum
 
 from ..fixtures import generate_corpus
 from ..functions.arrow_util import single_chunk as _single_chunk_q
@@ -2404,6 +2404,315 @@ def q_tpch_q5(sf_dir: str):
     return out.drop(columns=["sum(rev)"])
 
 
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 shape: pure filter + scalar aggregate — the zero-shuffle
+    end of the relational spectrum.  Everything happens map-side (the
+    date/discount/quantity predicates prune each block independently);
+    the only cross-block traffic is one int64 partial sum per block.
+    Revenue aggregates as exact int64 units of 10^-4 dollars
+    (cents × discount_pct via _money_cents) so the single-row result is
+    block-order-invariant and bit-matches the oracle."""
+    import pandas as pd
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    def prep(b: pa.Table) -> pa.Table:
+        disc_c = _money_cents(b.column("l_discount"))
+        qty = _money_cents(b.column("l_quantity"), factor=1.0)
+        ship = b.column("l_shipdate")
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(ship, lo), pc.less(ship, hi)),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(disc_c, pa.scalar(5, pa.int64())),
+                    pc.less_equal(disc_c, pa.scalar(7, pa.int64())),
+                ),
+                pc.less(qty, pa.scalar(24, pa.int64())),
+            ),
+        )
+        b = b.filter(keep)
+        rev = pc.multiply(
+            _money_cents(b.column("l_extendedprice")),
+            _money_cents(b.column("l_discount")),
+        )
+        return pa.table({"rev": rev})
+
+    total = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        .aggregate(Sum("rev"))
+    )
+    cents4 = total.get("sum(rev)") or 0
+    return pd.DataFrame({"revenue": [cents4 / 10000.0]})
+
+
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shape: customer(BUILDING) ⋈ orders(date <) ⋈
+    lineitem(shipdate >) → per-order revenue → global top-10.  The
+    customer dim filter broadcasts as a sorted key array applied to
+    orders map-side (no customer shuffle); the surviving (orderkey,
+    orderdate) pairs join lineitem through lookup_join_auto (broadcast
+    under the byte cap, bucketed task-shuffle beyond — the 100-TB
+    path).  The top-10 never materializes the per-order rollup on the
+    driver: each output block keeps its own 10 best rows map-side, so
+    the driver merge sees ≤ 10 × n_blocks rows.  Revenue is exact
+    int64 (cents × (100 − discount_pct)) with an (rev DESC, orderkey
+    ASC) tie-break — deterministic hashes."""
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    from .joins import lookup_join_auto
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    bkeys = np.sort(
+        cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+        .column("c_custkey")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    cutoff = pa.scalar(np.datetime64("1996-03-15", "us"))
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("o_orderdate"), cutoff))
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(bkeys, ck)
+        keep = (pos < len(bkeys)) & (bkeys[np.minimum(pos, len(bkeys) - 1)] == ck)
+        b = b.filter(pa.array(keep))
+        # date as exact int64 micros: Ray's Min aggregate and the
+        # block-top-k sort both run in integer domain
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_date_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ord_prep, batch_format="pyarrow")
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("l_shipdate"), cutoff))
+        rev = pc.multiply(
+            _money_cents(b.column("l_extendedprice")),
+            pc.subtract(
+                pa.scalar(100, pa.int64()), _money_cents(b.column("l_discount"))
+            ),
+        )
+        return pa.table({"l_orderkey": b.column("l_orderkey"), "rev": rev})
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    joined = lookup_join_auto(
+        li, orders, "l_orderkey", "o_orderkey", "o_date_us", "o_date_us",
+        num_buckets=64, num_partitions=16,
+    ).map_batches(
+        # inner semantics: drop lineitems whose order fell to the
+        # date/segment filters (lookup came back null)
+        lambda b: b.filter(pc.is_valid(b.column("o_date_us"))),
+        batch_format="pyarrow",
+    )
+
+    def block_top10(b: pa.Table) -> pa.Table:
+        return b.sort_by(
+            [("rev", "descending"), ("l_orderkey", "ascending")]
+        ).slice(0, 10)
+
+    parts = (
+        joined.groupby("l_orderkey")
+        .aggregate(Sum("rev"), Min("o_date_us"))
+        .map_batches(
+            lambda b: _rename(
+                b, {"sum(rev)": "rev", "min(o_date_us)": "o_date_us"}
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(block_top10, batch_format="pyarrow")
+        .take_all()  # bounded: ≤ 10 rows per output block
+    )
+    top = (
+        pa.Table.from_pylist(parts)
+        .sort_by([("rev", "descending"), ("l_orderkey", "ascending")])
+        .slice(0, 10)
+    )
+    return pd.DataFrame(
+        {
+            "l_orderkey": top.column("l_orderkey").to_numpy(zero_copy_only=False),
+            "revenue": top.column("rev").to_numpy(zero_copy_only=False) / 10000.0,
+            "o_orderdate": top.column("o_date_us")
+            .cast(pa.timestamp("us"))
+            .to_pandas(),
+        }
+    )
+
+
+def _events_ts_us(sf_dir: str, event_type: str | None = None) -> rd.Dataset:
+    """events with ``ts`` cast to exact int64 micros (``ts_us``) —
+    timestamp comparisons and min-aggregates run in integer domain so
+    funnel/retention results are block-order-invariant."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        if event_type is not None:
+            b = b.filter(pc.equal(b.column("event_type"), event_type))
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts_us": pc.cast(b.column("ts"), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+def q_event_funnel(sf_dir: str):
+    """Staged conversion funnel view → click → purchase with strict
+    event-time ordering: stage k counts users whose earliest type-k
+    event happens AFTER their stage-(k−1) anchor time.  Each stage is
+    one map-side type filter (cheap — no other columns move), one
+    lookup_join_auto against the previous stage's (user, anchor_ts)
+    table (broadcast while the user set fits the byte cap, bucketed
+    task-shuffle beyond — the billion-user path), a map-side ts >
+    anchor filter, and a groupby-min.  No per-user event list is ever
+    assembled; the conditional-min recurrence replaces the
+    sort-within-user a sessionization would need.  All arithmetic is
+    int64 micros — deterministic counts."""
+    import pandas as pd
+
+    from .joins import lookup_join_auto
+
+    def stage_min(ds: rd.Dataset) -> rd.Dataset:
+        return (
+            ds.groupby("user_id")
+            .aggregate(Min("ts_us"))
+            .map_batches(
+                lambda b: _rename(b, {"min(ts_us)": "anchor"}),
+                batch_format="pyarrow",
+            )
+            # each stage table is consumed twice (next stage's join +
+            # the final count); it is per-user bounded — dim-sized
+            # next to the event stream — so pinning it beats
+            # re-scanning events per consumer
+            .materialize()
+        )
+
+    def next_stage(prev: rd.Dataset, event_type: str) -> rd.Dataset:
+        ev = _events_ts_us(sf_dir, event_type)
+        tagged = lookup_join_auto(
+            ev, prev, "user_id", "user_id", "anchor", "anchor",
+            num_buckets=32, num_partitions=8,
+        )
+        after = tagged.map_batches(
+            lambda b: b.filter(
+                pc.fill_null(pc.greater(b.column("ts_us"), b.column("anchor")), False)
+            ).select(["user_id", "ts_us"]),
+            batch_format="pyarrow",
+        )
+        return stage_min(after)
+
+    s1 = stage_min(_events_ts_us(sf_dir, "view"))
+    s2 = next_stage(s1, "click")
+    s3 = next_stage(s2, "purchase")
+    return pd.DataFrame(
+        {
+            "n_view": [s1.count()],
+            "n_view_click": [s2.count()],
+            "n_full_funnel": [s3.count()],
+        }
+    )
+
+
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention matrix: cohort = a user's first active
+    epoch-week, n_active = distinct users from that cohort active at
+    each week offset.  Three bounded shuffles: (user → min week) for
+    cohorts, (user, week) distinct for activity — both pre-reduced
+    map-side by the groupby's combiner — then the activity table picks
+    up its cohort via lookup_join_auto (broadcast under the cap,
+    bucketed beyond) and folds to the ≤ weeks² retention grid.  Weeks
+    are exact int64 (ts_us // 604800e6 — epoch weeks, no calendar
+    dependency), so counts are deterministic."""
+    import pandas as pd
+
+    from .joins import lookup_join_auto
+
+    WEEK_US = 7 * 86400 * 1_000_000
+
+    act = (
+        _events_ts_us(sf_dir)
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "user_id": b.column("user_id"),
+                    "week": pc.divide(
+                        pc.subtract(
+                            b.column("ts_us"),
+                            pc.if_else(
+                                pc.less(b.column("ts_us"), 0),
+                                pa.scalar(WEEK_US - 1, pa.int64()),
+                                pa.scalar(0, pa.int64()),
+                            ),
+                        ),
+                        pa.scalar(WEEK_US, pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["user_id", "week"])
+        .aggregate(Count())
+        .map_batches(
+            lambda b: b.select(["user_id", "week"]), batch_format="pyarrow"
+        )
+    )
+    cohort = (
+        act.groupby("user_id")
+        .aggregate(Min("week"))
+        .map_batches(
+            lambda b: _rename(b, {"min(week)": "cohort_week"}),
+            batch_format="pyarrow",
+        )
+    )
+    out = (
+        lookup_join_auto(
+            act, cohort, "user_id", "user_id", "cohort_week", "cohort_week",
+            num_buckets=32, num_partitions=8,
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "cohort_week": b.column("cohort_week"),
+                    "week_offset": pc.subtract(
+                        b.column("week"), b.column("cohort_week")
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Count())
+        .to_pandas()
+        .rename(columns={"count()": "n_active"})
+    )
+    return out.sort_values(
+        ["cohort_week", "week_offset"], ignore_index=True
+    )
+
+
 def q_video_frames(sf_dir: str):
     """Video-modality plumbing over the REAL from-scratch AVI/RIFF
     container codec (functions/avicodec.py): each doc gets a
@@ -2655,6 +2964,10 @@ QUERIES = {
     "chunk_dedup": q_chunk_dedup,
     "bpe_pairs": q_bpe_pairs,
     "tpch_q5": q_tpch_q5,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q6": q_tpch_q6,
+    "event_funnel": q_event_funnel,
+    "cohort_retention": q_cohort_retention,
     "quality_zscore": q_quality_zscore,
     "video_frames": q_video_frames,
     "incremental_dedup": q_incremental_dedup,
@@ -3290,6 +3603,74 @@ ORACLE_SQL = {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name
+    """,
+    # TPC-H Q3 shape: segment+date joins, per-order revenue, top-10;
+    # revenue in exact int64 10^-4 units, (rev DESC, orderkey) tie-break
+    "tpch_q3": """
+        SELECT l_orderkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+                   AS revenue,
+               min(o_orderdate) AS o_orderdate
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1996-03-15'
+          AND l_shipdate > TIMESTAMP '1996-03-15'
+        GROUP BY l_orderkey
+        ORDER BY sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) DESC,
+                 l_orderkey ASC
+        LIMIT 10
+    """,
+    # TPC-H Q6 shape: pure filter + scalar agg, exact 10^-4 units
+    "tpch_q6": """
+        SELECT coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round(l_discount * 100) AS BIGINT)), 0)
+                   / 10000.0 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+          AND CAST(round(l_quantity) AS BIGINT) < 24
+    """,
+    # staged view -> click -> purchase funnel with strict event-time
+    # ordering; each stage anchors at the min qualifying timestamp
+    "event_funnel": """
+        WITH v AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+            WHERE e.event_type = 'click' GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM v) AS n_view,
+               (SELECT count(*) FROM c) AS n_view_click,
+               (SELECT count(*) FROM p) AS n_full_funnel
+    """,
+    # weekly cohort retention; weeks are epoch-weeks (floor of epoch
+    # seconds / 604800) so both engines share the integer week id
+    "cohort_retention": """
+        WITH w AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+            FROM events
+        ), coh AS (
+            SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id
+        ), act AS (
+            SELECT DISTINCT user_id, week FROM w
+        )
+        SELECT coh.cohort_week,
+               act.week - coh.cohort_week AS week_offset,
+               count(*)::BIGINT AS n_active
+        FROM act JOIN coh ON act.user_id = coh.user_id
+        GROUP BY 1, 2
+        ORDER BY 1, 2
     """,
     # per-lang z-score of n_chars; mean/var from exact integer moments
     # with the same naive-formula IEEE order as the Ray side

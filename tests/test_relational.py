@@ -205,3 +205,92 @@ def test_pack_sequences_matches_reference_greedy(ray_session):
         # it holds a single oversized row
         tot = sub.groupby("seq_id").sz.agg(["sum", "count"])
         assert all((tot["sum"] <= 128) | (tot["count"] == 1))
+
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _oracle_df(name, sf_dir):
+    from tesseract_wasm_ray.pipelines.queries import ORACLE_SQL
+
+    con = duckdb.connect()
+    for t in "customer orders lineitem events".split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con.execute(ORACLE_SQL[name]).df()
+
+
+def test_tpch_q6_matches_duckdb(ray_session):
+    from tesseract_wasm_ray.pipelines.queries import q_tpch_q6
+
+    got = q_tpch_q6(SF001)
+    exp = _oracle_df("tpch_q6", SF001)
+    assert got["revenue"].iloc[0] == exp["revenue"].iloc[0]
+
+
+def test_tpch_q3_matches_duckdb(ray_session):
+    from tesseract_wasm_ray.pipelines.queries import q_tpch_q3
+
+    got = q_tpch_q3(SF001).reset_index(drop=True)
+    exp = _oracle_df("tpch_q3", SF001)
+    assert got["l_orderkey"].tolist() == exp["l_orderkey"].tolist()
+    assert got["revenue"].tolist() == exp["revenue"].tolist()
+    assert list(got["o_orderdate"]) == list(exp["o_orderdate"])
+
+
+def test_event_funnel_matches_duckdb(ray_session):
+    from tesseract_wasm_ray.pipelines.queries import q_event_funnel
+
+    got = q_event_funnel(SF001)
+    exp = _oracle_df("event_funnel", SF001)
+    assert got.iloc[0].to_dict() == exp.iloc[0].to_dict()
+    # funnel is monotone by construction
+    assert got["n_view"].iloc[0] >= got["n_view_click"].iloc[0] >= got["n_full_funnel"].iloc[0]
+
+
+def test_event_funnel_strict_ordering(ray_session, tmp_path):
+    """A user whose purchase precedes their first view must not convert."""
+    import pyarrow.parquet as pq
+
+    from tesseract_wasm_ray.pipelines.queries import q_event_funnel
+
+    def ts(s):
+        return np.datetime64(s, "us")
+
+    t = pa.table(
+        {
+            "event_id": pa.array(range(7), pa.int64()),
+            "ts": pa.array(
+                [
+                    ts("2024-01-01T00"), ts("2024-01-01T01"), ts("2024-01-01T02"),
+                    # user 2: purchase BEFORE view/click
+                    ts("2024-01-02T00"), ts("2024-01-02T01"), ts("2024-01-02T02"),
+                    # user 3: view only
+                    ts("2024-01-03T00"),
+                ]
+            ),
+            "user_id": pa.array([1, 1, 1, 2, 2, 2, 3], pa.int64()),
+            "event_type": pa.array(
+                ["view", "click", "purchase", "purchase", "view", "click", "view"]
+            ),
+            "value": pa.array([0.0] * 7),
+            "props": pa.array(["{}"] * 7),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = q_event_funnel(str(tmp_path))
+    assert got.iloc[0].to_dict() == {"n_view": 3, "n_view_click": 2, "n_full_funnel": 1}
+
+
+def test_cohort_retention_matches_duckdb(ray_session):
+    from tesseract_wasm_ray.pipelines.queries import q_cohort_retention
+
+    got = q_cohort_retention(SF001)
+    exp = _oracle_df("cohort_retention", SF001)
+    pd.testing.assert_frame_equal(
+        got, exp.astype({"n_active": "int64"}), check_dtype=False
+    )
+    # offset 0 row exists for every cohort (a user is active in their
+    # own first week by definition)
+    assert (got[got["week_offset"] == 0]["n_active"] > 0).all()

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "tpch_q6",
     "event_funnel",
     "cohort_retention",
+    "incremental_neardup",
 ]
 
 

@@ -1586,6 +1586,77 @@ def incremental_exact_dedup(
     )
 
 
+def incremental_minhash_dedup(
+    new_ds: rd.Dataset,
+    snapshot_ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    num_buckets: int = 64,
+    anti_strategy: str = "auto",
+) -> rd.Dataset:
+    """Ingest-time NEAR-dup dedup: drop every row of ``new_ds`` whose
+    MinHash signature-Jaccard vs some ``snapshot_ds`` row is ≥
+    ``threshold`` (band-collision candidates, exactly
+    minhash_lsh_dedup's sketch chain) — the incremental companion to
+    incremental_exact_dedup for re-crawls that differ by a few tokens.
+
+    CROSS-SIDE pairs only: new-vs-new and snapshot-vs-snapshot
+    collisions remove nothing (self-dedup of the incoming batch is a
+    separate minhash_lsh_dedup pass; the snapshot is already deduped).
+    Side is encoded in the pair id's parity (snapshot → 2·id, new →
+    2·id+1) so candidate_pairs_from_buckets is reused verbatim; the
+    verify screen rejects same-parity pairs before the signature test.
+
+    Scale shape: only (2·id±1, band_key, uint32 sig) sketch rows
+    shuffle — the snapshot's TEXT never moves, and the snapshot sketch
+    could be a precomputed on-disk table in a real ingest loop.  The
+    final membership filter is anti_join_ids' auto strategy (broadcast
+    under the byte cap, bloom-routed bucketed shuffle beyond)."""
+
+    def tag(parity: int):
+        def add(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b.column(id_col), pa.int64())
+            id2 = pc.add(pc.multiply(ids, pa.scalar(2, pa.int64())),
+                         pa.scalar(parity, pa.int64()))
+            return b.set_column(b.schema.get_field_index(id_col), id_col, id2)
+
+        return add
+
+    snap_rows = minhash_band_rows(
+        snapshot_ds, text_col, id_col, k, bands, shingle_n
+    ).map_batches(tag(0), batch_format="pyarrow")
+    new_rows = minhash_band_rows(
+        new_ds, text_col, id_col, k, bands, shingle_n
+    ).map_batches(tag(1), batch_format="pyarrow")
+    both = snap_rows.union(new_rows)
+
+    def verify(t: pa.Table, lo_idx: np.ndarray, hi_idx: np.ndarray) -> np.ndarray:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        cross = (ids[lo_idx] & 1) != (ids[hi_idx] & 1)
+        if not cross.any():
+            return cross
+        sig = _sig_matrix(t, "sig")
+        return cross & (signature_jaccard(sig[hi_idx], sig[lo_idx]) >= threshold)
+
+    pairs = candidate_pairs_from_buckets(both, "band_key", id_col, verify, num_buckets)
+
+    def new_member(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or id_col not in b.column_names:
+            return pa.schema([(id_col, pa.int64())]).empty_table()
+        a = b.column(id_col).to_numpy(zero_copy_only=False)
+        r = b.column("rep_id").to_numpy(zero_copy_only=False)
+        # cross-side is guaranteed by verify: exactly one member is odd
+        orig = np.where((a & 1) == 1, a, r) >> 1
+        return pa.table({id_col: pa.array(orig, pa.int64())})
+
+    removed = pairs.map_batches(new_member, batch_format="pyarrow")
+    return anti_join_ids(new_ds, removed, id_col, strategy=anti_strategy)
+
+
 def exact_substring_dedup(
     ds: rd.Dataset,
     n: int = 5,

@@ -62,7 +62,7 @@ th AS (
 )"""
 
 
-def _minhash_sketch_cte(threshold: float) -> str:
+def _minhash_sketch_cte(threshold: float, table: str = "documents") -> str:
     """Shared CTE chain ending in verified near-dup pairs (lo < hi):
     shingles -> 64 MinHash perms -> 16x4 LSH band keys -> band-colliding
     pairs -> signature-Jaccard >= threshold.  Mirrors
@@ -74,7 +74,7 @@ def _minhash_sketch_cte(threshold: float) -> str:
         f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)" for i in range(64)
     )
     mix_lo = _BAND_MIX % (1 << 32)
-    return f"""{_tok_cte()}{_fnv_cte()},
+    return f"""{_tok_cte(table)}{_fnv_cte()},
 sh AS (
     SELECT doc_id,
            CASE WHEN len(hs) >= 3 THEN
@@ -131,6 +131,39 @@ def sql_minhash_dedup(threshold: float = 0.8) -> str:
 WITH {_minhash_sketch_cte(threshold)},
 removed AS (SELECT DISTINCT hi AS doc_id FROM verified)
 SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+"""
+
+
+def sql_incremental_minhash_dedup(threshold: float = 0.8) -> str:
+    """Incremental near-dup: the MinHash sketch chain runs over the
+    UNION of the snapshot slice (doc_id % 7 == 0, side 0) and the
+    incoming batch (remaining docs plus a one-token-perturbed re-crawl
+    of every snapshot doc at doc_id + 1,000,000, side 1 — near- but
+    not exact-duplicates, so incremental_exact_dedup would keep them);
+    only CROSS-side verified pairs remove their side-1 member.
+    Mirrors dedup.incremental_minhash_dedup (parity-encoded sides,
+    same uint32 signature verify)."""
+    return f"""
+WITH corpus AS (
+    SELECT doc_id, text, 0 AS side FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id, text, 1 AS side FROM documents WHERE doc_id % 7 <> 0
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' xyzzy', 1 AS side
+    FROM documents WHERE doc_id % 7 = 0
+),
+{_minhash_sketch_cte(threshold, table="corpus")},
+sides AS (SELECT doc_id, side FROM corpus),
+removed AS (
+    SELECT DISTINCT CASE WHEN sa.side = 1 THEN v.lo ELSE v.hi END AS doc_id
+    FROM verified v
+    JOIN sides sa ON sa.doc_id = v.lo
+    JOIN sides sb ON sb.doc_id = v.hi
+    WHERE sa.side <> sb.side
+)
+SELECT doc_id, length(text) AS n_chars
+FROM corpus
+WHERE side = 1 AND doc_id NOT IN (SELECT doc_id FROM removed)
 """
 
 

@@ -2404,6 +2404,74 @@ def q_tpch_q5(sf_dir: str):
     return out.drop(columns=["sum(rev)"])
 
 
+def q_incremental_neardup(sf_dir: str):
+    """Incremental (cross-snapshot) NEAR-dup dedup
+    (dedup.incremental_minhash_dedup): drop every incoming doc whose
+    MinHash signature-Jaccard vs the prior snapshot is ≥ 0.8 — the
+    ingest-time companion to incremental_dedup for re-crawls that
+    differ by a few tokens (boilerplate tweak, appended footer), which
+    exact fingerprints cannot catch.  Snapshot = the doc_id % 7 == 0
+    slice; the incoming batch is the remaining docs PLUS a planted
+    near-copy of every snapshot doc (text + ' xyzzy', doc_id +
+    1,000,000) — near- but not exact-duplicates, so this is precisely
+    the gap between the two incremental operators.  Only the sketch
+    rows shuffle (snapshot text never moves); cross-side pairs only."""
+    from .dedup import incremental_minhash_dedup
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def snapshot_rows(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 7 == 0))
+
+    def new_rows(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        fresh = b.filter(pa.array(ids % 7 != 0))
+        recrawl = b.filter(pa.array(ids % 7 == 0))
+        perturbed = pc.binary_join_element_wise(
+            recrawl.column("text"), " xyzzy", ""
+        )
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays(
+                    [
+                        _single_chunk_q(pc.cast(fresh.column("doc_id"), pa.int64())),
+                        _single_chunk_q(
+                            pc.add(
+                                pc.cast(recrawl.column("doc_id"), pa.int64()),
+                                1_000_000,
+                            )
+                        ),
+                    ]
+                ),
+                "text": pa.concat_arrays(
+                    [
+                        _single_chunk_q(fresh.column("text")),
+                        _single_chunk_q(
+                            perturbed.combine_chunks()
+                            if isinstance(perturbed, pa.ChunkedArray)
+                            else perturbed
+                        ),
+                    ]
+                ),
+            }
+        )
+
+    kept = incremental_minhash_dedup(
+        docs.map_batches(new_rows, batch_format="pyarrow"),
+        docs.map_batches(snapshot_rows, batch_format="pyarrow"),
+    )
+    return kept.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chars": pc.cast(pc.utf8_length(b.column("text")), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_tpch_q6(sf_dir: str):
     """TPC-H Q6 shape: pure filter + scalar aggregate — the zero-shuffle
     end of the relational spectrum.  Everything happens map-side (the
@@ -2966,6 +3034,7 @@ QUERIES = {
     "tpch_q5": q_tpch_q5,
     "tpch_q3": q_tpch_q3,
     "tpch_q6": q_tpch_q6,
+    "incremental_neardup": q_incremental_neardup,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "quality_zscore": q_quality_zscore,
@@ -3807,6 +3876,7 @@ ORACLE_SQL.update(
         "minhash_components_dedup": _orc.sql_minhash_components_dedup(threshold=0.8),
         "simhash_dedup": _orc.sql_simhash_dedup(max_hamming=3),
         "ngram_jaccard_dedup": _orc.sql_ngram_jaccard_dedup(threshold=0.8, shingle_n=3),
+        "incremental_neardup": _orc.sql_incremental_minhash_dedup(threshold=0.8),
         "embedding_neardup": _orc.sql_embedding_neardup(threshold=0.98),
         "knn_self_join": _orc.sql_knn_self_join(k=3),
         "knn_self_join_cells": _orc.sql_knn_self_join(k=3),

@@ -341,3 +341,61 @@ def test_lang_len_quantiles_bit_matches_duckdb(ray_session, tmp_path):
     ).df()
     # integer domain + binary-exact fractions -> bit equality, not approx
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, rtol=0, atol=0)
+
+
+def test_incremental_minhash_dedup_cross_side_only(ray_session):
+    import ray.data as rd
+
+    from tesseract_wasm_ray.pipelines.dedup import incremental_minhash_dedup
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(400)]
+
+    def doc(n=120):
+        return " ".join(vocab[i] for i in rng.integers(0, 400, n))
+
+    a, b, c = doc(), doc(), doc()
+    snap = rd.from_arrow(
+        pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array([a, b])})
+    )
+    twin = doc()  # identical pair INSIDE the new batch: must both stay
+    new = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+                "text": pa.array([a + " xyzzy", c, twin, twin]),
+            }
+        )
+    )
+    kept = sorted(
+        incremental_minhash_dedup(new, snap).to_pandas()["doc_id"].tolist()
+    )
+    # 10 is a near-copy of snapshot doc 0 -> removed; 11 unrelated ->
+    # kept; 12/13 duplicate each other but match NO snapshot doc ->
+    # both kept (cross-side pairs only, no self-dedup of the batch)
+    assert kept == [11, 12, 13]
+
+
+def test_incremental_minhash_dedup_null_and_empty_kept(ray_session):
+    import ray.data as rd
+
+    from tesseract_wasm_ray.pipelines.dedup import incremental_minhash_dedup
+
+    snap = rd.from_arrow(
+        pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["x y z w v u t s"])})
+    )
+    new = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array([None, ""], pa.string()),
+            }
+        )
+    )
+    kept = sorted(
+        incremental_minhash_dedup(new, snap).to_pandas()["doc_id"].tolist()
+    )
+    # zero-shingle docs never become candidates
+    assert kept == [1, 2]

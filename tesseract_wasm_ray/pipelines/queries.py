@@ -2625,6 +2625,546 @@ def q_tpch_q3(sf_dir: str):
     )
 
 
+def q_tpch_q4(sf_dir: str):
+    """TPC-H Q4 shape: order-priority counts over an EXISTS semi-join
+    (orders in a quarter having at least one lineitem shipped after the
+    order date).  The in-window orders ship ONE packed int64 value per
+    key through lookup_join_auto (``o_orderdate`` micros × 8 + priority
+    digit — date_us < 2^60 so the pack is lossless), so the fact side
+    never re-reads the orders table and the EXISTS reduces to a
+    map-side filter; the surviving (orderkey, prio) pairs dedup with
+    one bounded groupby (≤ in-window order count) before the 5-row
+    priority rollup."""
+    import pandas as pd
+
+    from .joins import lookup_join_auto
+
+    lo = pa.scalar(np.datetime64("1996-07-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-10-01", "us"))
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate")
+        b = b.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        date_us = pc.cast(b.column("o_orderdate"), pa.int64())
+        digit = pc.cast(
+            pc.utf8_slice_codeunits(b.column("o_orderpriority"), 0, 1), pa.int64()
+        )
+        packed = pc.add(pc.multiply(date_us, pa.scalar(8, pa.int64())), digit)
+        return pa.table({"o_orderkey": b.column("o_orderkey"), "packed": packed})
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(ord_prep, batch_format="pyarrow")
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "ship_us": pc.cast(b.column("l_shipdate"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def exists_filter(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("packed")))
+        date_us = pc.divide(b.column("packed"), pa.scalar(8, pa.int64()))
+        b = b.filter(pc.greater(b.column("ship_us"), date_us))
+        prio = pc.bit_wise_and(b.column("packed"), pa.scalar(7, pa.int64()))
+        return pa.table({"l_orderkey": b.column("l_orderkey"), "prio": prio})
+
+    matched = lookup_join_auto(
+        li, orders, "l_orderkey", "o_orderkey", "packed", "packed",
+        num_buckets=64, num_partitions=16,
+    ).map_batches(exists_filter, batch_format="pyarrow")
+
+    counts = (
+        matched.groupby("l_orderkey")
+        .aggregate(Min("prio"))  # dedup: one row per qualifying order
+        .map_batches(
+            lambda b: pa.table({"prio": b.column("min(prio)")}),
+            batch_format="pyarrow",
+        )
+        .groupby("prio")
+        .aggregate(Count())
+        .to_pandas()
+    )
+    labels = {
+        1: "1-URGENT", 2: "2-HIGH", 3: "3-MEDIUM",
+        4: "4-NOT SPECIFIED", 5: "5-LOW",
+    }
+    return pd.DataFrame(
+        {
+            "o_orderpriority": counts["prio"].map(labels),
+            "order_count": counts["count()"].astype(np.int64),
+        }
+    )
+
+
+def q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter.  Returned lineitems pick up ``o_custkey`` from the
+    window-filtered orders via lookup_join_auto (broadcast under the
+    byte cap, bucketed shuffle beyond); revenue aggregates per customer
+    in exact int64 10^-4 units; each output block keeps only its own
+    top 20 so the driver merge sees ≤ 20 × n_blocks rows.  The final
+    20-key enrichment probes the customer dim with a parquet
+    row-group predicate pushdown (dim-sized read for 20 keys) and the
+    25-row nation table drives a direct index_in — no full-dim
+    driver materialization at any scale."""
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    from .joins import lookup_join_auto
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-04-01", "us"))
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate")
+        b = b.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        return b.select(["o_orderkey", "o_custkey"])
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ord_prep, batch_format="pyarrow")
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        rev = pc.multiply(
+            _money_cents(b.column("l_extendedprice")),
+            pc.subtract(
+                pa.scalar(100, pa.int64()), _money_cents(b.column("l_discount"))
+            ),
+        )
+        return pa.table({"l_orderkey": b.column("l_orderkey"), "rev": rev})
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    joined = lookup_join_auto(
+        li, orders, "l_orderkey", "o_orderkey", "o_custkey", "o_custkey",
+        num_buckets=64, num_partitions=16,
+    ).map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("o_custkey"))),
+        batch_format="pyarrow",
+    )
+
+    def block_top20(b: pa.Table) -> pa.Table:
+        return b.sort_by(
+            [("rev", "descending"), ("o_custkey", "ascending")]
+        ).slice(0, 20)
+
+    parts = (
+        joined.groupby("o_custkey")
+        .aggregate(Sum("rev"))
+        .map_batches(
+            lambda b: _rename(b, {"sum(rev)": "rev"}), batch_format="pyarrow"
+        )
+        .map_batches(block_top20, batch_format="pyarrow")
+        .take_all()  # bounded: ≤ 20 rows per output block
+    )
+    top = (
+        pa.Table.from_pylist(parts)
+        .sort_by([("rev", "descending"), ("o_custkey", "ascending")])
+        .slice(0, 20)
+    )
+    keys = top.column("o_custkey").to_pylist()
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filters=[("c_custkey", "in", keys)],
+    )
+    pos = pc.index_in(top.column("o_custkey"), cust.column("c_custkey"))
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nk = pc.take(cust.column("c_nationkey"), pos)
+    npos = pc.index_in(nk, nation.column("n_nationkey"))
+    return pd.DataFrame(
+        {
+            "c_custkey": top.column("o_custkey").to_numpy(zero_copy_only=False),
+            "c_name": pc.take(cust.column("c_name"), pos).to_pandas(),
+            "revenue": top.column("rev").to_numpy(zero_copy_only=False) / 10000.0,
+            "c_acctbal": pc.take(cust.column("c_acctbal"), pos).to_pandas(),
+            "n_name": pc.take(nation.column("n_name"), npos).to_pandas(),
+        }
+    )
+
+
+def q_tpch_q12(sf_dir: str):
+    """TPC-H Q12 shape (priority class stands in for the shipmode
+    column the synthetic schema lacks): lineitems shipped in 1996 pick
+    up the order's priority digit through lookup_join_auto, classify
+    map-side into high (1-URGENT / 2-HIGH) vs low, and roll up
+    conditional counts per returnflag — conditional aggregation after
+    a fact⋈dim join, all int64."""
+    from .joins import lookup_join_auto
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "prio": pc.cast(
+                    pc.utf8_slice_codeunits(b.column("o_orderpriority"), 0, 1),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate")
+        b = b.filter(pc.and_(pc.greater_equal(ship, lo), pc.less(ship, hi)))
+        return b.select(["l_orderkey", "l_returnflag"])
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    def classify(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("prio")))
+        high = pc.cast(
+            pc.less_equal(b.column("prio"), pa.scalar(2, pa.int64())), pa.int64()
+        )
+        low = pc.subtract(pa.scalar(1, pa.int64()), high)
+        return pa.table(
+            {"l_returnflag": b.column("l_returnflag"), "high": high, "low": low}
+        )
+
+    out = (
+        lookup_join_auto(
+            li, orders, "l_orderkey", "o_orderkey", "prio", "prio",
+            num_buckets=64, num_partitions=16,
+        )
+        .map_batches(classify, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("high"), Sum("low"))
+        .to_pandas()
+        .rename(
+            columns={"sum(high)": "high_line_count", "sum(low)": "low_line_count"}
+        )
+    )
+    return out
+
+
+def q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 shape: promo revenue share for one ship month.  The
+    part dim ships a 0/1 promo flag per key through lookup_join_auto;
+    both the promo and total revenue sums aggregate as exact int64
+    10^-4 units and the single percentage division happens once on the
+    driver (mirrored literally in the oracle: ``100.0 * promo /
+    total``)."""
+    import pandas as pd
+
+    from .joins import lookup_join_auto
+
+    lo = pa.scalar(np.datetime64("1996-09-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-10-01", "us"))
+
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "p_partkey": b.column("p_partkey"),
+                "promo": pc.cast(
+                    pc.equal(b.column("p_type"), "PROMO"), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate")
+        b = b.filter(pc.and_(pc.greater_equal(ship, lo), pc.less(ship, hi)))
+        rev = pc.multiply(
+            _money_cents(b.column("l_extendedprice")),
+            pc.subtract(
+                pa.scalar(100, pa.int64()), _money_cents(b.column("l_discount"))
+            ),
+        )
+        return pa.table({"l_partkey": b.column("l_partkey"), "rev": rev})
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    def split(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("promo")))
+        rev = b.column("rev")
+        return pa.table(
+            {"rev": rev, "promo_rev": pc.multiply(rev, b.column("promo"))}
+        )
+
+    totals = (
+        lookup_join_auto(
+            li, part, "l_partkey", "p_partkey", "promo", "promo",
+            num_buckets=64, num_partitions=16,
+        )
+        .map_batches(split, batch_format="pyarrow")
+        .aggregate(Sum("rev"), Sum("promo_rev"))
+    )
+    total = totals.get("sum(rev)") or 0
+    promo = totals.get("sum(promo_rev)") or 0
+    return pd.DataFrame({"promo_revenue": [(100.0 * promo) / total]})
+
+
+def q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    lineitem quantity exceeds 300.  One lineitem groupby produces the
+    per-order quantity sums (exact int64 ×100); the HAVING survivors —
+    output-sized, tiny relative to the fact — become the RIGHT side of
+    lookup_join_auto, so the orders table streams through exactly once
+    and never shuffles while the survivor set fits the broadcast cap
+    (bucketed shuffle beyond).  Block-local top-100 by exact totalprice
+    cents bounds the driver merge; the 100-key customer-name probe is
+    a parquet predicate-pushdown read."""
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    from .joins import lookup_join_auto
+
+    qsum = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_quantity"],
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "l_orderkey": b.column("l_orderkey"),
+                    "qty_c": _money_cents(b.column("l_quantity")),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("l_orderkey")
+        .aggregate(Sum("qty_c"))
+        .map_batches(
+            lambda b: _rename(b, {"sum(qty_c)": "qty_c"}).filter(
+                pc.greater(b.column("sum(qty_c)"), pa.scalar(30000, pa.int64()))
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "date_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+                "t_cents": _money_cents(b.column("o_totalprice")),
+            }
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(ord_prep, batch_format="pyarrow")
+
+    def block_top100(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("qty_c")))
+        return b.sort_by(
+            [("t_cents", "descending"), ("o_orderkey", "ascending")]
+        ).slice(0, 100)
+
+    parts = (
+        lookup_join_auto(
+            orders, qsum, "o_orderkey", "l_orderkey", "qty_c", "qty_c",
+            num_buckets=64, num_partitions=16,
+        )
+        .map_batches(block_top100, batch_format="pyarrow")
+        .take_all()  # bounded: ≤ 100 rows per output block
+    )
+    top = (
+        pa.Table.from_pylist(parts)
+        .sort_by([("t_cents", "descending"), ("o_orderkey", "ascending")])
+        .slice(0, 100)
+    )
+    keys = top.column("o_custkey").to_pylist()
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+        filters=[("c_custkey", "in", list(set(keys)))],
+    )
+    pos = pc.index_in(top.column("o_custkey"), cust.column("c_custkey"))
+    return pd.DataFrame(
+        {
+            "c_name": pc.take(cust.column("c_name"), pos).to_pandas(),
+            "o_custkey": top.column("o_custkey").to_numpy(zero_copy_only=False),
+            "o_orderkey": top.column("o_orderkey").to_numpy(zero_copy_only=False),
+            "o_orderdate": top.column("date_us").cast(pa.timestamp("us")).to_pandas(),
+            "o_totalprice": top.column("t_cents").to_numpy(zero_copy_only=False)
+            / 100.0,
+            "sum_qty": top.column("qty_c").to_numpy(zero_copy_only=False) / 100.0,
+        }
+    )
+
+
+def q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 shape: disjunctive brand/size/quantity predicates over
+    lineitem ⋈ part.  The part dim ships ONE packed int64 per key
+    (p_size × 1000 + brand number) through lookup_join_auto; the three
+    OR branches evaluate as vectorized masks map-side and only int64
+    revenue partials cross blocks."""
+    import pandas as pd
+
+    from .joins import lookup_join_auto
+
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "p_partkey": b.column("p_partkey"),
+                "code": pc.add(
+                    pc.multiply(
+                        pc.cast(b.column("p_size"), pa.int64()),
+                        pa.scalar(1000, pa.int64()),
+                    ),
+                    pc.cast(
+                        pc.utf8_slice_codeunits(b.column("p_brand"), 6, 12),
+                        pa.int64(),
+                    ),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "qty": _money_cents(b.column("l_quantity"), factor=1.0),
+                "rev": pc.multiply(
+                    _money_cents(b.column("l_extendedprice")),
+                    pc.subtract(
+                        pa.scalar(100, pa.int64()),
+                        _money_cents(b.column("l_discount")),
+                    ),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    BRANCHES = ((12, 5, 1, 11), (23, 10, 10, 20), (34, 15, 20, 30))
+
+    def branch_filter(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("code")))
+        code = b.column("code").to_numpy(zero_copy_only=False)
+        qty = b.column("qty").to_numpy(zero_copy_only=False)
+        size = code // 1000
+        brand = code % 1000
+        keep = np.zeros(len(code), dtype=bool)
+        for br, smax, qlo, qhi in BRANCHES:
+            keep |= (
+                (brand == br)
+                & (size >= 1)
+                & (size <= smax)
+                & (qty >= qlo)
+                & (qty <= qhi)
+            )
+        return pa.table({"rev": pc.filter(b.column("rev"), pa.array(keep))})
+
+    total = (
+        lookup_join_auto(
+            li, part, "l_partkey", "p_partkey", "code", "code",
+            num_buckets=64, num_partitions=16,
+        )
+        .map_batches(branch_filter, batch_format="pyarrow")
+        .aggregate(Sum("rev"))
+    )
+    cents4 = total.get("sum(rev)") or 0
+    return pd.DataFrame({"revenue": [cents4 / 10000.0]})
+
+
+def q_running_revenue(sf_dir: str):
+    """Per-customer running revenue (the window cumulative-sum shape:
+    ``sum(...) OVER (PARTITION BY o_custkey ORDER BY o_orderdate,
+    o_orderkey)``): one hash shuffle on the partition key, then a fully
+    vectorized segmented cumsum inside each group task — sort by
+    (custkey, date, orderkey), cumsum exact int64 cents, subtract each
+    run's base.  Order keys are unique so the RANGE/ROWS window frame
+    distinction is moot; both engines divide the exact cumulative cents
+    once at the end."""
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "o_orderkey": b.column("o_orderkey"),
+                "date_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+                "cents": _money_cents(b.column("o_totalprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def running(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "o_custkey": pa.array([], pa.int64()),
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "running_total": pa.array([], pa.float64()),
+                }
+            )
+        t = group.sort_by(
+            [
+                ("o_custkey", "ascending"),
+                ("date_us", "ascending"),
+                ("o_orderkey", "ascending"),
+            ]
+        )
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        cs = np.cumsum(cents)
+        # segmented cumsum: subtract the running total just before each
+        # customer run (map_groups may hand several groups per call)
+        rank = _run_rank(t.column("o_custkey"))
+        starts = np.flatnonzero(rank == 0)
+        run_of = np.cumsum(rank == 0) - 1
+        base = cs[starts] - cents[starts]
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "running_total": (cs - base[run_of]) / 100.0,
+            }
+        )
+
+    return orders.groupby("o_custkey", num_partitions=16).map_groups(
+        running, batch_format="pyarrow"
+    )
+
+
 def _events_ts_us(sf_dir: str, event_type: str | None = None) -> rd.Dataset:
     """events with ``ts`` cast to exact int64 micros (``ts_us``) —
     timestamp comparisons and min-aggregates run in integer domain so
@@ -3034,6 +3574,13 @@ QUERIES = {
     "tpch_q5": q_tpch_q5,
     "tpch_q3": q_tpch_q3,
     "tpch_q6": q_tpch_q6,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
+    "running_revenue": q_running_revenue,
     "incremental_neardup": q_incremental_neardup,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
@@ -3702,6 +4249,102 @@ ORACLE_SQL = {
           AND l_shipdate < TIMESTAMP '1997-01-01'
           AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
           AND CAST(round(l_quantity) AS BIGINT) < 24
+    """,
+    # TPC-H Q4 shape: priority counts over an EXISTS semi-join
+    "tpch_q4": """
+        SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    # TPC-H Q10 shape: top-20 customers by returned-item revenue;
+    # revenue in exact int64 10^-4 units, (rev DESC, custkey) tie-break
+    "tpch_q10": """
+        SELECT c_custkey, c_name,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+                   AS revenue,
+               c_acctbal, n_name
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) DESC,
+                 c_custkey ASC
+        LIMIT 20
+    """,
+    # TPC-H Q12 shape: conditional class counts after a fact⋈dim join
+    # (order priority stands in for the absent shipmode column)
+    "tpch_q12": """
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+        FROM lineitem, orders
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_returnflag
+    """,
+    # TPC-H Q14 shape: promo revenue share, one exact division at the end
+    "tpch_q14": """
+        SELECT (100.0 * sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       ELSE 0 END))
+               / sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS promo_revenue
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+    # TPC-H Q18 shape: large-volume customers (HAVING sum(qty) > 300);
+    # quantities exact int64 ×100, sort on exact totalprice cents
+    "tpch_q18": """
+        SELECT c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice,
+               t.qty_c / 100.0 AS sum_qty
+        FROM orders
+        JOIN (SELECT l_orderkey,
+                     sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 30000) t
+          ON o_orderkey = t.l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey ASC
+        LIMIT 100
+    """,
+    # TPC-H Q19 shape: disjunctive brand/size/quantity predicates
+    "tpch_q19": """
+        SELECT coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))), 0)
+                   / 10000.0 AS revenue
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30))
+    """,
+    # per-customer running revenue: window cumsum over exact cents
+    "running_revenue": """
+        SELECT o_custkey, o_orderkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) / 100.0
+                   AS running_total
+        FROM orders
     """,
     # staged view -> click -> purchase funnel with strict event-time
     # ordering; each stage anchors at the min qualifying timestamp

@@ -32,6 +32,8 @@ def test_entry_runs(ray_session):
         ("tpch_q1", {"l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "avg_qty", "count_order"}),
         ("orientation_detect", {"media_ref", "rotation", "confidence"}),
         ("boilerplate_strip", {"doc_id", "offset", "text"}),
+        ("tpch_q18", {"c_name", "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"}),
+        ("running_revenue", {"o_custkey", "o_orderkey", "running_total"}),
     ],
 )
 def test_query_schema(ray_session, name, cols):

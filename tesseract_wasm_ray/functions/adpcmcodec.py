@@ -1,0 +1,147 @@
+"""From-scratch IMA ADPCM codec (WAV format tag 0x0011) — numpy only.
+
+The engine's first COMPRESSED audio essence (4 bits/sample vs PCM's
+16): the audio analogue of the MJPEG-in-AVI video path.  Written to the
+public IMA/DVI ADPCM spec (the step/index tables and bit-weights every
+implementation shares — see the multimedia registration of wFormatTag
+0x0011 and the reference's pattern of delegating compressed decode to a
+host codec, /root/reference/examples/node-cli/ocr.js:10-18; here the
+codec itself is in-repo).
+
+Layout (mono): the stream is a sequence of independent blocks of
+``block_align`` bytes.  Each block = a 4-byte header (int16 LE initial
+predictor = the block's first sample, uint8 step index, 1 reserved
+byte) followed by ``block_align - 4`` bytes of 4-bit codes, LOW nibble
+first.  A block therefore carries ``2 * (block_align - 4) + 1``
+samples (header sample included).
+
+Both directions vectorize ACROSS BLOCKS: the per-sample recurrence is
+inherently sequential, so the hot loop runs ``samples_per_block`` numpy
+steps each touching every block at once — a clip with B blocks decodes
+in O(samples_per_block) vector ops, not O(total samples) Python steps.
+Stereo is out of scope (raises); mp3/h264/vp9 remain the documented
+stub surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# fmt: off
+STEP_TABLE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+], dtype=np.int64)
+# fmt: on
+INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def samples_per_block(block_align: int) -> int:
+    if block_align <= 4:
+        raise ValueError(f"block_align must exceed the 4-byte header, got {block_align}")
+    return 2 * (block_align - 4) + 1
+
+
+def _step_nibble(pred: np.ndarray, index: np.ndarray, nibble: np.ndarray):
+    """One decoder step, vectorized over blocks: returns updated
+    (pred, index).  The encoder reuses it verbatim so both sides track
+    the identical predictor state."""
+    step = STEP_TABLE[index]
+    diff = (
+        (step >> 3)
+        + step * ((nibble >> 2) & 1)
+        + (step >> 1) * ((nibble >> 1) & 1)
+        + (step >> 2) * (nibble & 1)
+    )
+    pred = np.where(nibble & 8, pred - diff, pred + diff)
+    np.clip(pred, -32768, 32767, out=pred)
+    index = np.clip(index + INDEX_TABLE[nibble & 7], 0, 88)
+    return pred, index
+
+
+def encode_adpcm_mono(samples: np.ndarray, block_align: int = 256) -> bytes:
+    """Mono int16 samples -> IMA ADPCM block stream.  The final partial
+    block is padded by repeating the last sample (decoders trim via the
+    WAV ``fact`` chunk's true length)."""
+    if samples.ndim != 1 or samples.size == 0:
+        raise ValueError("encode_adpcm_mono wants a non-empty (n,) int16 array")
+    spb = samples_per_block(block_align)
+    s = samples.astype(np.int64)
+    n = len(s)
+    nb = -(-n // spb)
+    if nb * spb != n:
+        s = np.concatenate([s, np.full(nb * spb - n, s[-1], np.int64)])
+    grid = s.reshape(nb, spb)
+
+    pred = grid[:, 0].copy()
+    index = np.zeros(nb, np.int64)
+    nibbles = np.empty((nb, spb - 1), np.uint8)
+    for j in range(1, spb):
+        step = STEP_TABLE[index]
+        delta = grid[:, j] - pred
+        sign = (delta < 0).astype(np.int64)
+        delta = np.abs(delta)
+        b2 = (delta >= step).astype(np.int64)
+        delta -= step * b2
+        b1 = (delta >= (step >> 1)).astype(np.int64)
+        delta -= (step >> 1) * b1
+        b0 = (delta >= (step >> 2)).astype(np.int64)
+        nib = (sign << 3) | (b2 << 2) | (b1 << 1) | b0
+        pred, index = _step_nibble(pred, index, nib)
+        nibbles[:, j - 1] = nib
+
+    # pack LOW nibble first: byte k = nib[2k] | nib[2k+1] << 4
+    lo = nibbles[:, 0::2]
+    hi = nibbles[:, 1::2]
+    packed = (lo | (hi << 4)).astype(np.uint8)
+
+    out = np.zeros((nb, block_align), np.uint8)
+    first = grid[:, 0].astype(np.int16)
+    out[:, 0] = (first.view(np.uint16) & 0xFF).astype(np.uint8)
+    out[:, 1] = (first.view(np.uint16) >> 8).astype(np.uint8)
+    # header step index is 0 for every block (blocks are independent);
+    # byte 3 reserved
+    out[:, 4:] = packed
+    return out.tobytes()
+
+
+def decode_adpcm_mono(
+    data: bytes, block_align: int, n_samples: int | None = None
+) -> np.ndarray:
+    """IMA ADPCM block stream -> mono int16 samples.  ``n_samples``
+    (from the WAV ``fact`` chunk) trims encoder padding."""
+    spb = samples_per_block(block_align)
+    usable = len(data) // block_align * block_align
+    if usable == 0:
+        raise ValueError("ADPCM stream shorter than one block")
+    raw = np.frombuffer(data[:usable], np.uint8).reshape(-1, block_align)
+    nb = raw.shape[0]
+
+    pred = raw[:, 0].astype(np.int64) | (raw[:, 1].astype(np.int64) << 8)
+    pred -= (pred & 0x8000) << 1  # sign-extend the int16 header predictor
+    index = np.clip(raw[:, 2].astype(np.int64), 0, 88)
+
+    packed = raw[:, 4:]
+    nibbles = np.empty((nb, spb - 1), np.uint8)
+    nibbles[:, 0::2] = packed & 0x0F
+    nibbles[:, 1::2] = packed >> 4
+
+    out = np.empty((nb, spb), np.int64)
+    out[:, 0] = pred
+    for j in range(1, spb):
+        pred, index = _step_nibble(pred, index, nibbles[:, j - 1].astype(np.int64))
+        out[:, j] = pred
+    flat = out.reshape(-1).astype(np.int16)
+    if n_samples is not None:
+        if n_samples > len(flat):
+            raise ValueError(
+                f"fact chunk claims {n_samples} samples but stream holds {len(flat)}"
+            )
+        flat = flat[:n_samples]
+    return flat

@@ -5,12 +5,14 @@ Audio enters the engine the same way images do — an opaque Arrow
 with decode/feature-extract as actor-pool stages).  WAV is an
 uncompressed RIFF container, the audio analogue of BMP: a real parser
 is ~60 lines of public-spec chunk walking, so the engine implements it
-instead of stubbing (the remaining compressed codecs — mp3/webp/h264 —
-stay stubbed; no codec libs in this container).
+instead of stubbing (mp3/h264/vp9 stay stubbed; no codec libs in this
+container).
 
-Supports canonical PCM: 8-bit unsigned and 16-bit signed little-endian,
-any channel count / sample rate, and tolerates extra chunks (LIST,
-fact, ...) before/after ``data`` as the RIFF spec allows.
+Supports canonical PCM (8-bit unsigned and 16-bit signed little-endian,
+any channel count / sample rate) plus COMPRESSED mono IMA ADPCM
+(format tag 0x0011, functions/adpcmcodec.py — 4 bits/sample with a
+``fact``-chunk length trim), and tolerates extra chunks (LIST, fact,
+...) before/after ``data`` as the RIFF spec allows.
 """
 
 from __future__ import annotations
@@ -46,6 +48,33 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_adpcm(
+    samples: np.ndarray, sample_rate: int = 8000, block_align: int = 256
+) -> bytes:
+    """Mono int16 samples -> RIFF/WAVE IMA ADPCM (format tag 0x0011):
+    extended fmt chunk (cbSize=2 + wSamplesPerBlock) and a ``fact``
+    chunk carrying the true sample count so decoders trim the final
+    block's padding — the canonical layout for compressed WAV."""
+    from .adpcmcodec import encode_adpcm_mono, samples_per_block
+
+    if samples.ndim != 1:
+        raise ValueError("ADPCM path is mono: expected (n,) int16 samples")
+    if samples.dtype != np.int16:
+        raise ValueError(f"unsupported sample dtype {samples.dtype}")
+    data = encode_adpcm_mono(samples, block_align)
+    spb = samples_per_block(block_align)
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4, 2, spb
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, len(samples))
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE PCM bytes -> ``(samples (n, channels), sample_rate)``.
     Samples are int16 for 16-bit streams, uint8 for 8-bit.  Walks the
@@ -56,6 +85,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     pos, end = 12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
     fmt = None
     data = None
+    fact_samples = None
     while pos + 8 <= end:
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
@@ -64,14 +94,26 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             if size < 16:
                 raise ValueError("truncated fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"fact" and size >= 4:
+            (fact_samples,) = struct.unpack("<I", body[:4])
         elif cid == b"data":
             data = body
         pos += 8 + size + (size % 2)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV without fmt/data chunks")
-    audio_format, ch, rate, _byte_rate, _block, bits = fmt
+    audio_format, ch, rate, _byte_rate, block_align, bits = fmt
+    if audio_format == 0x11:
+        # IMA ADPCM: the engine's real compressed audio essence
+        from .adpcmcodec import decode_adpcm_mono
+
+        if ch != 1:
+            raise ValueError("IMA ADPCM decode supports mono streams only")
+        if bits != 4:
+            raise ValueError(f"IMA ADPCM requires 4 bits/sample, got {bits}")
+        flat = decode_adpcm_mono(data, block_align, fact_samples)
+        return flat.reshape(-1, 1), rate
     if audio_format != 1:
-        raise ValueError(f"only PCM WAV supported (format tag {audio_format})")
+        raise ValueError(f"only PCM/IMA-ADPCM WAV supported (format tag {audio_format})")
     if bits == 8:
         arr = np.frombuffer(data, "<u1")
     elif bits == 16:

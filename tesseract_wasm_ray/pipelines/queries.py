@@ -1467,16 +1467,18 @@ def q_decontaminate(sf_dir: str):
 
 
 def q_audio_features(sf_dir: str):
-    """Audio-modality plumbing over a REAL from-scratch WAV/PCM codec
-    (functions/wavcodec.py): each doc gets a deterministic ±A square
-    wave synthesized from md5(doc_id) (amplitude and length both
-    md5-derived so DuckDB recomputes them in closed form), encoded to
-    RIFF/WAVE, then decoded + feature-extracted by the actor-pool stage
-    (stages.multimodal.audio_features).  A ±A square wave has RMS
-    exactly A and peak exactly A, so the oracle verifies the whole
-    encode → RIFF parse → PCM decode → feature chain, not just row
-    counts."""
-    from ..functions.wavcodec import encode_wav
+    """Audio-modality plumbing over REAL from-scratch WAV codecs
+    (functions/wavcodec.py): md5(doc_id) routes each doc to either a
+    ±A square wave in uncompressed PCM or a constant-A clip in
+    COMPRESSED mono IMA ADPCM (format tag 0x0011,
+    functions/adpcmcodec.py — the MJPEG-in-AVI analogue for audio; a
+    DC signal encodes to all-zero nibbles so the 4-bit round trip is
+    bit-exact and the fact-chunk trim restores the exact length).
+    Both waveforms have RMS exactly A and peak exactly A, so ONE
+    closed-form oracle gates both container paths — amplitude and
+    length are md5-derived so DuckDB recomputes them without running
+    either codec."""
+    from ..functions.wavcodec import encode_wav, encode_wav_adpcm
     from ..stages.multimodal import audio_features
 
     def synth(b: pa.Table) -> pa.Table:
@@ -1486,8 +1488,12 @@ def q_audio_features(sf_dir: str):
             h = hashlib.md5(str(d).encode()).hexdigest()
             amp = int(h[:2], 16) % 50 + 50
             n = 4000 + int(h[2:4], 16) * 8
-            wave = ((np.arange(n) % 2) * 2 - 1).astype(np.int16) * np.int16(amp)
-            payloads.append(encode_wav(wave, 8000))
+            if int(h[4:6], 16) % 2:
+                wave = np.full(n, amp, np.int16)
+                payloads.append(encode_wav_adpcm(wave, 8000))
+            else:
+                wave = ((np.arange(n) % 2) * 2 - 1).astype(np.int16) * np.int16(amp)
+                payloads.append(encode_wav(wave, 8000))
         return pa.table(
             {"doc_id": b.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
         )

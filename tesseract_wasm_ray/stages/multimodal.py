@@ -13,8 +13,9 @@ the TIFF codec (PackBits RLE + TIFF-flavor MSB/early-change LZW +
 predictor 2, functions/tiffcodec.py) and the WebP-lossless codec
 (VP8L prefix codes + LZ77 + color cache + all four transforms,
 functions/webpcodec.py) — all real compressed formats, from
-scratch.  Audio is REAL (WAV/RIFF PCM, functions/wavcodec.py) and
-so is the video path (AVI/RIFF container, functions/avicodec.py,
+scratch.  Audio is REAL with TWO essences (uncompressed WAV/RIFF PCM
+plus COMPRESSED mono IMA ADPCM, functions/{wavcodec,adpcmcodec}.py)
+and so is the video path (AVI/RIFF container, functions/avicodec.py,
 frame-sampled by VideoFrameActor) with TWO real essences: uncompressed
 24-bit DIB and Motion-JPEG (each frame a standalone baseline JPEG from
 the engine's own T.81 codec).  The remaining codecs (compressed
@@ -519,7 +520,8 @@ def sample_frames(batch: pa.Table, every_nth: int = 10) -> pa.Table:
 
 class AudioFeatureActor:
     """Actor-pool audio stage: decode WAV payloads (REAL from-scratch
-    RIFF/PCM codec, functions/wavcodec.py) and emit per-clip features.
+    RIFF codec — PCM and compressed IMA ADPCM essences,
+    functions/{wavcodec,adpcmcodec}.py) and emit per-clip features.
     Same shape as MediaDecodeActor: stateful setup in ``__init__`` once
     per actor, per-batch decode loop over opaque binary payloads,
     column-wise Arrow output."""

@@ -93,6 +93,15 @@ BENCH_QUERIES = [
     "event_funnel",
     "cohort_retention",
     "incremental_neardup",
+    # round-4 session-5 additions
+    "tpch_q4",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q19",
+    "running_revenue",
+    "audio_features",
 ]
 
 

@@ -526,11 +526,14 @@ class AudioFeatureActor:
     per actor, per-batch decode loop over opaque binary payloads,
     column-wise Arrow output."""
 
-    def __init__(self, id_col: str = "media_ref"):
+    def __init__(self, id_col: str = "media_ref", on_error: str = "raise"):
         from ..functions.wavcodec import decode_wav
 
+        if on_error not in ("raise", "quarantine"):
+            raise ValueError(f"on_error must be raise|quarantine, got {on_error!r}")
         self._decode = decode_wav
         self.id_col = id_col
+        self.on_error = on_error
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = _single_chunk(batch.column("payload"))
@@ -540,33 +543,51 @@ class AudioFeatureActor:
         n_ch = np.zeros(n, np.int64)
         rms = np.zeros(n, np.float64)
         peak = np.zeros(n, np.int64)
+        errors: list[str | None] = [None] * n
         for i in range(n):
-            samples, r = self._decode(payloads[i].as_py())
+            try:
+                samples, r = self._decode(payloads[i].as_py())
+            except Exception as ex:  # noqa: BLE001 — dead-letter, don't die
+                if self.on_error == "raise":
+                    raise
+                # quarantine: one corrupt clip poisons ONE row (error
+                # column set, zeroed features), not the whole task
+                errors[i] = f"{type(ex).__name__}: {ex}"
+                continue
             f = samples.astype(np.float64)
             rate[i] = r
             n_samples[i], n_ch[i] = samples.shape
             rms[i] = float(np.sqrt(np.mean(f * f))) if samples.size else 0.0
             peak[i] = int(np.abs(f).max()) if samples.size else 0
-        return pa.table(
-            {
-                self.id_col: batch.column(self.id_col),
-                "sample_rate": pa.array(rate, pa.int64()),
-                "n_samples": pa.array(n_samples, pa.int64()),
-                "n_channels": pa.array(n_ch, pa.int64()),
-                "rms": pa.array(rms, pa.float64()),
-                "peak": pa.array(peak, pa.int64()),
-            }
-        )
+        cols = {
+            self.id_col: batch.column(self.id_col),
+            "sample_rate": pa.array(rate, pa.int64()),
+            "n_samples": pa.array(n_samples, pa.int64()),
+            "n_channels": pa.array(n_ch, pa.int64()),
+            "rms": pa.array(rms, pa.float64()),
+            "peak": pa.array(peak, pa.int64()),
+        }
+        if self.on_error == "quarantine":
+            cols["error"] = pa.array(errors, pa.string())
+        return pa.table(cols)
 
 
-def audio_features(ds, id_col: str = "media_ref", concurrency: int = 4, batch_size: int = 64):
+def audio_features(
+    ds,
+    id_col: str = "media_ref",
+    concurrency: int = 4,
+    batch_size: int = 64,
+    on_error: str = "raise",
+):
     """Actor-pool WAV decode + feature extraction over a Dataset with
-    (id_col, payload) columns."""
+    (id_col, payload) columns.  ``on_error="quarantine"`` adds an
+    ``error`` column instead of failing the task on a corrupt clip
+    (the dead-letter discipline of MediaDecodeActor/OcrActor)."""
     import functools
 
     return ds.map_batches(
         AudioFeatureActor,
-        fn_constructor_kwargs={"id_col": id_col},
+        fn_constructor_kwargs={"id_col": id_col, "on_error": on_error},
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=batch_size,
@@ -589,14 +610,21 @@ class VideoFrameActor:
     small batch_size so batch x concurrency fits a worker heap)."""
 
     def __init__(
-        self, id_col: str = "media_ref", stride: int = 2, emit_pixels: bool = False
+        self,
+        id_col: str = "media_ref",
+        stride: int = 2,
+        emit_pixels: bool = False,
+        on_error: str = "raise",
     ):
         from ..functions.avicodec import decode_avi
 
+        if on_error not in ("raise", "quarantine"):
+            raise ValueError(f"on_error must be raise|quarantine, got {on_error!r}")
         self._decode = decode_avi
         self.id_col = id_col
         self.stride = stride
         self.emit_pixels = emit_pixels
+        self.on_error = on_error
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = _single_chunk(batch.column("payload"))
@@ -609,8 +637,26 @@ class VideoFrameActor:
         fpss: list[float] = []
         means: list[float] = []
         pix: list[bytes] = []
+        errors: list[str | None] = []
         for i in range(batch.num_rows):
-            frames, fps = self._decode(payloads[i].as_py())
+            try:
+                frames, fps = self._decode(payloads[i].as_py())
+            except Exception as ex:  # noqa: BLE001 — dead-letter, don't die
+                if self.on_error == "raise":
+                    raise
+                # quarantine: ONE error row for the corrupt clip
+                # (frame_idx -1, zeroed metadata), not a dead task
+                idx.append(i)
+                frame_idx.append(-1)
+                nf.append(0)
+                ww.append(0)
+                hh.append(0)
+                fpss.append(0.0)
+                means.append(0.0)
+                if self.emit_pixels:
+                    pix.append(b"")
+                errors.append(f"{type(ex).__name__}: {ex}")
+                continue
             n, h, w, _ = frames.shape
             for k in range(0, n, self.stride):
                 idx.append(i)
@@ -622,6 +668,7 @@ class VideoFrameActor:
                 means.append(float(frames[k].mean()))
                 if self.emit_pixels:
                     pix.append(frames[k].tobytes())
+                errors.append(None)
         cols = {
             self.id_col: ids_src.take(pa.array(idx, pa.int64())),
             "frame_idx": pa.array(frame_idx, pa.int64()),
@@ -633,6 +680,8 @@ class VideoFrameActor:
         }
         if self.emit_pixels:
             cols["pixels"] = pa.array(pix, pa.binary())
+        if self.on_error == "quarantine":
+            cols["error"] = pa.array(errors, pa.string())
         return pa.table(cols)
 
 
@@ -643,15 +692,20 @@ def video_frames(
     concurrency: int = 4,
     batch_size: int = 16,
     emit_pixels: bool = False,
+    on_error: str = "raise",
 ):
     """Actor-pool AVI decode + frame sampling over a Dataset with
     (id_col, payload) columns.  Video payloads are the widest rows in
     the engine (frames x stride x height), so the default batch_size
-    is small — batch x concurrency must fit a worker heap."""
+    is small — batch x concurrency must fit a worker heap.
+    ``on_error="quarantine"`` emits one error row per corrupt clip
+    instead of failing the task (the MediaDecodeActor dead-letter
+    discipline)."""
     return ds.map_batches(
         VideoFrameActor,
         fn_constructor_kwargs={
-            "id_col": id_col, "stride": stride, "emit_pixels": emit_pixels
+            "id_col": id_col, "stride": stride, "emit_pixels": emit_pixels,
+            "on_error": on_error,
         },
         batch_format="pyarrow",
         concurrency=concurrency,

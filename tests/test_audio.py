@@ -72,3 +72,29 @@ def test_audio_feature_actor(ray_session):
     row = out.iloc[0]
     assert (row["sample_rate"], row["n_samples"], row["n_channels"]) == (8000, 1000, 1)
     assert row["rms"] == float(amp) and row["peak"] == amp
+
+
+def test_audio_feature_actor_quarantine(ray_session):
+    from tesseract_wasm_ray.stages.multimodal import audio_features
+
+    good = encode_wav(np.full(100, 7, np.int16), 8000)
+    t = pa.table(
+        {
+            "media_ref": pa.array(["ok", "bad", "ok2"], pa.string()),
+            "payload": pa.array([good, b"not a wav at all", good], pa.binary()),
+        }
+    )
+    # default raises on the corrupt clip
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        audio_features(rd.from_arrow(t), concurrency=1).to_pandas()
+    # quarantine mode: one error row, clean rows unaffected
+    out = (
+        audio_features(rd.from_arrow(t), concurrency=1, on_error="quarantine")
+        .to_pandas()
+        .set_index("media_ref")
+    )
+    assert out.loc["bad", "error"] and out.loc["bad", "n_samples"] == 0
+    assert out.loc["ok", "error"] is None and out.loc["ok", "rms"] == 7.0
+    assert out.loc["ok2", "peak"] == 7

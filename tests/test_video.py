@@ -138,3 +138,28 @@ def test_video_frames_emit_pixels(ray_session):
     )
     assert sorted(out.index) == [0, 3]
     assert bytes(out.loc[3, "pixels"]) == clip[3].tobytes()
+
+
+def test_video_frames_quarantine(ray_session):
+    from tesseract_wasm_ray.stages.multimodal import video_frames
+
+    clip = np.zeros((4, 4, 4, 3), dtype=np.uint8)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "media_ref": pa.array(["good", "poison"]),
+                "payload": pa.array(
+                    [encode_avi(clip), b"RIFFgarbage"], pa.binary()
+                ),
+            }
+        )
+    )
+    with pytest.raises(Exception):
+        video_frames(ds, stride=2, concurrency=1).to_pandas()
+    out = video_frames(
+        ds, stride=2, concurrency=1, on_error="quarantine"
+    ).to_pandas()
+    bad = out[out.media_ref == "poison"]
+    assert len(bad) == 1 and bad.iloc[0]["frame_idx"] == -1 and bad.iloc[0]["error"]
+    ok = out[out.media_ref == "good"]
+    assert list(ok["frame_idx"]) == [0, 2] and ok["error"].isna().all()

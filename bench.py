@@ -102,6 +102,9 @@ BENCH_QUERIES = [
     "tpch_q19",
     "running_revenue",
     "audio_features",
+    "event_transitions",
+    "stratified_sample",
+    "bpe_train",
 ]
 
 

@@ -2272,6 +2272,114 @@ def q_bpe_pairs(sf_dir: str):
     return out
 
 
+def _apply_merge(syms: list[str], x: str, y: str) -> list[str]:
+    """Greedy left-to-right non-overlapping BPE merge of (x, y)."""
+    out = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == x and syms[i + 1] == y:
+            out.append(x + y)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def q_bpe_train(sf_dir: str):
+    """Iterative BPE tokenizer TRAINING (4 merge rounds) — the full
+    loop bpe_pairs counts one step of.  Each round is one streaming
+    pass over the corpus: map tasks tokenize, re-derive every token's
+    current symbol sequence by replaying the merges chosen so far
+    (broadcast via closure — bytes, not a shuffle), and emit per-batch
+    pair partials over DISTINCT tokens only; the global
+    groupby(left,right).sum is vocabulary-sized, so collecting it and
+    picking the winner (cnt desc, then (left, right) asc) driver-side
+    is the correct plan at any corpus scale.  The corpus itself never
+    materializes and no per-round state lives anywhere but the ≤4-pair
+    merge list.  The oracle replays the identical loop in DuckDB as
+    chained CTEs over a doubled-space symbol encoding, where
+    ``replace`` reproduces greedy left-to-right non-overlapping
+    merging exactly."""
+    from collections import Counter
+
+    import pandas as pd
+
+    EMPTY = pa.table(
+        {
+            "left_sym": pa.array([], pa.string()),
+            "right_sym": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+    tok_re = re.compile(r"\S+")
+    merges: list[tuple[str, str]] = []
+    rows = []
+    for rnd in range(1, 5):
+        m = list(merges)
+
+        def partial(b: pa.Table, m=m) -> pa.Table:
+            toks: Counter = Counter()
+            for t in b.column("text").to_pylist():
+                toks.update(tok_re.findall((t or "").lower()))
+            pairs: Counter = Counter()
+            for w, c in toks.items():
+                syms = list(w)
+                for x, y in m:
+                    syms = _apply_merge(syms, x, y)
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += c
+            if not pairs:
+                return EMPTY
+            items = list(pairs.items())
+            return pa.table(
+                {
+                    "left_sym": pa.array([k[0] for k, _ in items], pa.string()),
+                    "right_sym": pa.array([k[1] for k, _ in items], pa.string()),
+                    "cnt": pa.array([v for _, v in items], pa.int64()),
+                }
+            )
+
+        agg = (
+            _docs(sf_dir, columns=["text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["left_sym", "right_sym"])
+            .aggregate(Sum("cnt"))
+            .take_all()  # bounded: the running pair vocabulary
+        )
+        best = max(
+            agg, key=lambda r: (r["sum(cnt)"], _NEG_STR(r["left_sym"]), _NEG_STR(r["right_sym"]))
+        )
+        merges.append((best["left_sym"], best["right_sym"]))
+        rows.append(
+            {
+                "round": rnd,
+                "left_sym": best["left_sym"],
+                "right_sym": best["right_sym"],
+                "cnt": int(best["sum(cnt)"]),
+            }
+        )
+    out = pd.DataFrame(rows)
+    out["round"] = out["round"].astype(np.int64)
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out
+
+
+class _NEG_STR:
+    """Inverts string comparison so max() realizes (cnt DESC, str ASC)."""
+
+    __slots__ = ("s",)
+
+    def __init__(self, s: str):
+        self.s = s
+
+    def __lt__(self, other: "_NEG_STR") -> bool:
+        return self.s > other.s
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, _NEG_STR) and self.s == other.s
+
+
 def q_tpch_q5(sf_dir: str):
     """TPC-H Q5 shape: 6-way join lineitem ⋈ orders ⋈ customer ⋈
     supplier ⋈ nation ⋈ region with the cross-dimension predicate
@@ -3171,6 +3279,120 @@ def q_running_revenue(sf_dir: str):
     )
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts over the event stream: how often does a
+    user's event of type X immediately precede type Y?  Same
+    hash-bucket shape as user_sessions (users co-partition, one
+    vectorized sorted pass per bucket), but each bucket emits only its
+    PARTIAL ≤|types|² count matrix — dictionary-encoded pair codes +
+    one bincount — so the final groupby shuffles a bounded handful of
+    rows regardless of stream length.  Oracle: lag() OVER (PARTITION BY
+    user_id ORDER BY ts, event_id)."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type", "event_id"],
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            bk = (
+                (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+            ) % np.uint64(16)
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts_us": pc.cast(b.column("ts"), pa.int64()),
+                "event_type": b.column("event_type"),
+                "event_id": b.column("event_id"),
+                "__bucket": pa.array(bk.astype(np.int32), pa.int32()),
+            }
+        )
+
+    EMPTY = pa.table(
+        {
+            "from_type": pa.array([], pa.string()),
+            "to_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def transitions(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [
+                ("user_id", "ascending"),
+                ("ts_us", "ascending"),
+                ("event_id", "ascending"),
+            ]
+        )
+        n = t.num_rows
+        if n < 2:
+            return EMPTY
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(t.column("event_type").combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary.to_pylist()
+        k = len(vocab)
+        same = u[1:] == u[:-1]
+        pair = codes[:-1][same] * k + codes[1:][same]
+        if len(pair) == 0:
+            return EMPTY
+        counts = np.bincount(pair, minlength=k * k)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "from_type": pa.array([vocab[p // k] for p in nz], pa.string()),
+                "to_type": pa.array([vocab[p % k] for p in nz], pa.string()),
+                "n": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket", num_partitions=8)
+        .map_groups(transitions, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n"))
+        .map_batches(
+            lambda b: _rename(b, {"sum(n)": "n_transitions"}), batch_format="pyarrow"
+        )
+    )
+
+
+def q_stratified_sample(sf_dir: str):
+    """Stratified deterministic sample: the 5 docs per language with
+    the smallest md5(text) (doc_id tie-break) — the rerun- and
+    reshard-stable eval-set draw (each stratum contributes exactly
+    min(5, |stratum|) rows, unlike Bernoulli thinning).  Only (lang,
+    doc_id, fp) shuffle — the text never moves; per-group rank is the
+    sort + run-rank trick (no pandas)."""
+
+    def fp(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        digests = pa.array(
+            [hashlib.md5((t or "").encode()).hexdigest() for t in texts], pa.string()
+        )
+        return pa.table(
+            {"lang": b.column("lang"), "doc_id": b.column("doc_id"), "fp": digests}
+        )
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "text"]).map_batches(
+        fp, batch_format="pyarrow"
+    )
+
+    def topk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group
+        t = group.sort_by(
+            [("lang", "ascending"), ("fp", "ascending"), ("doc_id", "ascending")]
+        )
+        return t.filter(pa.array(_run_rank(t.column("lang")) < 5))
+
+    return ds.groupby("lang", num_partitions=4).map_groups(
+        topk, batch_format="pyarrow"
+    )
+
+
 def _events_ts_us(sf_dir: str, event_type: str | None = None) -> rd.Dataset:
     """events with ``ts`` cast to exact int64 micros (``ts_us``) —
     timestamp comparisons and min-aggregates run in integer domain so
@@ -3577,6 +3799,7 @@ QUERIES = {
     "dup_ngram_frac": q_dup_ngram_frac,
     "chunk_dedup": q_chunk_dedup,
     "bpe_pairs": q_bpe_pairs,
+    "bpe_train": q_bpe_train,
     "tpch_q5": q_tpch_q5,
     "tpch_q3": q_tpch_q3,
     "tpch_q6": q_tpch_q6,
@@ -3587,6 +3810,8 @@ QUERIES = {
     "tpch_q18": q_tpch_q18,
     "tpch_q19": q_tpch_q19,
     "running_revenue": q_running_revenue,
+    "event_transitions": q_event_transitions,
+    "stratified_sample": q_stratified_sample,
     "incremental_neardup": q_incremental_neardup,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
@@ -4256,6 +4481,75 @@ ORACLE_SQL = {
           AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
           AND CAST(round(l_quantity) AS BIGINT) < 24
     """,
+    # iterative BPE training: 4 chained merge rounds.  Symbol strings
+    # use DOUBLE-space separators + single-space padding so replace()
+    # reproduces greedy left-to-right non-overlapping merging (every
+    # symbol owns one space on each side; consecutive matches stay
+    # matchable).  Tie-break (cnt DESC, l ASC, r ASC) mirrors the
+    # engine's driver-side winner pick exactly.
+    "bpe_train": r"""
+        WITH toks AS (
+            SELECT array_to_string(
+                       [substr(w, i, 1) FOR i IN generate_series(1, length(w))],
+                       '  ') AS s
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w
+                  FROM documents)
+        ),
+        c1 AS (
+            SELECT split_part(p, ' ', 1) AS l, split_part(p, ' ', 2) AS r,
+                   count(*)::BIGINT AS cnt
+            FROM (SELECT unnest([syms[i] || ' ' || syms[i+1]
+                                 FOR i IN generate_series(1, len(syms)-1)]) AS p
+                  FROM (SELECT str_split(s, '  ') AS syms FROM toks))
+            GROUP BY l, r
+        ),
+        b1 AS (SELECT l, r, cnt FROM c1 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        t1 AS (SELECT trim(replace(' ' || s || ' ',
+                                   ' ' || l || '  ' || r || ' ',
+                                   ' ' || l || r || ' ')) AS s
+               FROM toks, b1),
+        c2 AS (
+            SELECT split_part(p, ' ', 1) AS l, split_part(p, ' ', 2) AS r,
+                   count(*)::BIGINT AS cnt
+            FROM (SELECT unnest([syms[i] || ' ' || syms[i+1]
+                                 FOR i IN generate_series(1, len(syms)-1)]) AS p
+                  FROM (SELECT str_split(s, '  ') AS syms FROM t1))
+            GROUP BY l, r
+        ),
+        b2 AS (SELECT l, r, cnt FROM c2 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        t2 AS (SELECT trim(replace(' ' || s || ' ',
+                                   ' ' || l || '  ' || r || ' ',
+                                   ' ' || l || r || ' ')) AS s
+               FROM t1, b2),
+        c3 AS (
+            SELECT split_part(p, ' ', 1) AS l, split_part(p, ' ', 2) AS r,
+                   count(*)::BIGINT AS cnt
+            FROM (SELECT unnest([syms[i] || ' ' || syms[i+1]
+                                 FOR i IN generate_series(1, len(syms)-1)]) AS p
+                  FROM (SELECT str_split(s, '  ') AS syms FROM t2))
+            GROUP BY l, r
+        ),
+        b3 AS (SELECT l, r, cnt FROM c3 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        t3 AS (SELECT trim(replace(' ' || s || ' ',
+                                   ' ' || l || '  ' || r || ' ',
+                                   ' ' || l || r || ' ')) AS s
+               FROM t2, b3),
+        c4 AS (
+            SELECT split_part(p, ' ', 1) AS l, split_part(p, ' ', 2) AS r,
+                   count(*)::BIGINT AS cnt
+            FROM (SELECT unnest([syms[i] || ' ' || syms[i+1]
+                                 FOR i IN generate_series(1, len(syms)-1)]) AS p
+                  FROM (SELECT str_split(s, '  ') AS syms FROM t3))
+            GROUP BY l, r
+        ),
+        b4 AS (SELECT l, r, cnt FROM c4 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)
+        SELECT * FROM (
+            SELECT 1::BIGINT AS round, l AS left_sym, r AS right_sym, cnt FROM b1
+            UNION ALL SELECT 2::BIGINT, l, r, cnt FROM b2
+            UNION ALL SELECT 3::BIGINT, l, r, cnt FROM b3
+            UNION ALL SELECT 4::BIGINT, l, r, cnt FROM b4
+        ) ORDER BY round
+    """,
     # TPC-H Q4 shape: priority counts over an EXISTS semi-join
     "tpch_q4": """
         SELECT o_orderpriority, count(*)::BIGINT AS order_count
@@ -4342,6 +4636,30 @@ ORACLE_SQL = {
                 AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                 AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30))
+    """,
+    # Markov transition counts: lag window partitioned by user
+    "event_transitions": """
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        )
+        SELECT prev_type AS from_type, event_type AS to_type,
+               count(*)::BIGINT AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    """,
+    # stratified deterministic sample: 5 smallest md5(text) per lang
+    "stratified_sample": """
+        SELECT lang, doc_id, fp FROM (
+            SELECT lang, doc_id, md5(text) AS fp,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY md5(text), doc_id
+                   ) AS rk
+            FROM documents
+        ) WHERE rk <= 5
     """,
     # per-customer running revenue: window cumsum over exact cents
     "running_revenue": """

@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "event_transitions",
     "stratified_sample",
     "bpe_train",
+    "idle_customers",
+    "lang_source_rollup",
 ]
 
 

@@ -3393,6 +3393,85 @@ def q_stratified_sample(sf_dir: str):
     )
 
 
+def q_idle_customers(sf_dir: str):
+    """Relational ANTI-join: customers who placed NO order in 1996 —
+    dedup.anti_join_ids applied to a dimension-vs-fact membership
+    probe (auto strategy: the distinct active-custkey set broadcasts
+    under the byte cap, routes through the fixed-size bloom + bucketed
+    exact join beyond it).  The active-key side pre-aggregates to
+    DISTINCT custkeys map-side + one bounded groupby before the probe,
+    so the fact table never shuffles."""
+    from .dedup import anti_join_ids
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    def active(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate")
+        b = b.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        # per-batch distinct before the groupby: only unique keys move
+        return pa.table(
+            {"c_custkey": pc.unique(b.column("o_custkey").combine_chunks())}
+        )
+
+    active_keys = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderdate"],
+        )
+        .map_batches(active, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Count())
+        .map_batches(lambda b: b.select(["c_custkey"]), batch_format="pyarrow")
+    )
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    )
+    return anti_join_ids(cust, active_keys, "c_custkey")
+
+
+def q_lang_source_rollup(sf_dir: str):
+    """GROUPING SETS rollup: doc counts and exact char sums at three
+    granularities — (lang, source), (lang), and grand total — as the
+    union of three bounded group-aggregates over ONE shared map-side
+    projection (int64 sums, so every level is block-order-invariant).
+    Subtotal rows carry NULL keys exactly like SQL ROLLUP."""
+    ds = _docs(sf_dir, columns=["lang", "source", "n_chars"])
+
+    def level(keys: list[str]) -> pa.Table:
+        d = ds
+        if keys:
+            agg = d.groupby(keys).aggregate(Count(), Sum("n_chars"))
+            t = pa.Table.from_pylist(agg.take_all())
+        else:
+            res = d.aggregate(Count(), Sum("n_chars"))
+            t = pa.table(
+                {
+                    "count()": pa.array([res["count()"]], pa.int64()),
+                    "sum(n_chars)": pa.array([res["sum(n_chars)"]], pa.int64()),
+                }
+            )
+        n = t.num_rows
+        cols = {
+            "lang": t.column("lang")
+            if "lang" in t.column_names
+            else pa.nulls(n, pa.string()),
+            "source": t.column("source")
+            if "source" in t.column_names
+            else pa.nulls(n, pa.string()),
+            "n_docs": pc.cast(t.column("count()"), pa.int64()),
+            "total_chars": pc.cast(t.column("sum(n_chars)"), pa.int64()),
+        }
+        return pa.table(cols)
+
+    # every level is group-cardinality-sized: concatenating driver-side
+    # is bounded by |langs| x |sources| + |langs| + 1 rows at any scale
+    return pa.concat_tables(
+        [level(["lang", "source"]), level(["lang"]), level([])]
+    )
+
+
 def _events_ts_us(sf_dir: str, event_type: str | None = None) -> rd.Dataset:
     """events with ``ts`` cast to exact int64 micros (``ts_us``) —
     timestamp comparisons and min-aggregates run in integer domain so
@@ -3812,6 +3891,8 @@ QUERIES = {
     "running_revenue": q_running_revenue,
     "event_transitions": q_event_transitions,
     "stratified_sample": q_stratified_sample,
+    "idle_customers": q_idle_customers,
+    "lang_source_rollup": q_lang_source_rollup,
     "incremental_neardup": q_incremental_neardup,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
@@ -4636,6 +4717,25 @@ ORACLE_SQL = {
                 AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                 AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30))
+    """,
+    # relational anti-join: customers with no 1996 order
+    "idle_customers": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+        )
+    """,
+    # GROUPING SETS rollup: (lang, source) / (lang) / grand total
+    "lang_source_rollup": """
+        SELECT lang, source,
+               count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS total_chars
+        FROM documents
+        GROUP BY GROUPING SETS ((lang, source), (lang), ())
     """,
     # Markov transition counts: lag window partitioned by user
     "event_transitions": """

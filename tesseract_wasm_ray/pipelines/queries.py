@@ -1489,8 +1489,12 @@ def q_audio_features(sf_dir: str):
             amp = int(h[:2], 16) % 50 + 50
             n = 4000 + int(h[2:4], 16) * 8
             if int(h[4:6], 16) % 2:
+                # block_align 64 -> 121 samples/block: enough blocks
+                # per clip that the across-block vectorized codec loop
+                # stays short (the recurrence cost is per block
+                # POSITION, not per sample)
                 wave = np.full(n, amp, np.int16)
-                payloads.append(encode_wav_adpcm(wave, 8000))
+                payloads.append(encode_wav_adpcm(wave, 8000, block_align=64))
             else:
                 wave = ((np.arange(n) % 2) * 2 - 1).astype(np.int16) * np.int16(amp)
                 payloads.append(encode_wav(wave, 8000))
@@ -1501,7 +1505,11 @@ def q_audio_features(sf_dir: str):
     ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     ).map_batches(synth, batch_format="pyarrow")
-    return audio_features(ds, id_col="doc_id", concurrency=4, batch_size=64)
+    # autoscaling (2, 8) actor pool: min 2 leaves CPUs for the feeding
+    # synth/read tasks in small sessions (a FIXED pool of 8 one-CPU
+    # actors deadlocks an 8-CPU driver — actors reserve every slot and
+    # the upstream tasks starve); max 8 soaks up a 32-CPU host.
+    return audio_features(ds, id_col="doc_id", concurrency=(2, 8), batch_size=64)
 
 
 def q_user_event_diversity(sf_dir: str):
@@ -3056,20 +3064,30 @@ def q_tpch_q18(sf_dir: str):
 
     from .joins import lookup_join_auto
 
+    def li_partial(b: pa.Table) -> pa.Table:
+        # map-side combine BEFORE the orderkey shuffle: lineitem is
+        # clustered by orderkey, so per-batch np.unique collapses the
+        # block to ~distinct-order rows and the groupby moves partials
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        qc = (
+            _money_cents(b.column("l_quantity"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        keys, inv = np.unique(ok, return_inverse=True)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(keys, pa.int64()),
+                "qty_c": pa.array(np.bincount(inv, weights=qc).astype(np.int64)),
+            }
+        )
+
     qsum = (
         rd.read_parquet(
             os.path.join(sf_dir, "lineitem.parquet"),
             columns=["l_orderkey", "l_quantity"],
         )
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "l_orderkey": b.column("l_orderkey"),
-                    "qty_c": _money_cents(b.column("l_quantity")),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        .map_batches(li_partial, batch_format="pyarrow")
         .groupby("l_orderkey")
         .aggregate(Sum("qty_c"))
         .map_batches(

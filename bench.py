@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "bpe_train",
     "idle_customers",
     "lang_source_rollup",
+    "emb_gram_q8",
 ]
 
 

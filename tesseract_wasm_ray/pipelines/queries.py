@@ -628,6 +628,53 @@ def q_emb_topk_q8(sf_dir: str):
     return topk_cosine_q8(ds, q, k=10)
 
 
+def q_emb_gram_q8(sf_dir: str):
+    """Exact int8-quantized Gram matrix of the embedding corpus (the
+    covariance/PCA building block: distributed X^T X).  Each block
+    quantizes its vectors (similarity.quantize_q8 — the oracle
+    recomputes the same floor(x*127/mx+0.5) rule) and emits ONE
+    dims×dims int64 partial via a single matmul, so the shuffle
+    carries ≤ d(d+1)/2 rows per block no matter how many vectors the
+    corpus holds; the global groupby folds exact integers.  Output is
+    the upper triangle with 1-based (i, j) to match SQL list
+    indexing."""
+    from .similarity import _matrix, quantize_q8
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = _matrix(b, "embedding")
+        if m.shape[0] == 0:
+            return pa.table(
+                {
+                    "i": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "gram": pa.array([], pa.int64()),
+                }
+            )
+        q, _ = quantize_q8(m)
+        g = q.T @ q  # (d, d) exact int64
+        d = g.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu + 1, pa.int64()),
+                "j": pa.array(ju + 1, pa.int64()),
+                "gram": pa.array(g[iu, ju], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("gram"))
+        .map_batches(
+            lambda b: _rename(b, {"sum(gram)": "gram"}), batch_format="pyarrow"
+        )
+    )
+
+
 def q_text_search(sf_dir: str):
     """On-disk inverted index + storage-pruned term search
     (pipelines.textindex): build term-bucketed postings under /tmp,
@@ -3865,6 +3912,7 @@ QUERIES = {
     "user_sessions": q_user_sessions,
     "emb_topk_cosine": q_emb_topk,
     "emb_topk_q8": q_emb_topk_q8,
+    "emb_gram_q8": q_emb_gram_q8,
     "text_search": q_text_search,
     "text_search_bm25": q_text_search_bm25,
     "tpch_q1": q_tpch_q1,
@@ -4735,6 +4783,26 @@ ORACLE_SQL = {
                 AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                 AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30))
+    """,
+    # exact q8 Gram matrix: quantizer identical to emb_topk_q8's
+    "emb_gram_q8": """
+        WITH quant AS (
+            SELECT list_transform(
+                       embedding,
+                       x -> floor(x * 127.0 /
+                                  greatest(list_max(list_transform(embedding,
+                                                                   y -> abs(y))),
+                                           1e-30) + 0.5)) AS qv
+            FROM embeddings
+        ), idx AS (
+            SELECT unnest(generate_series(1, 64)) AS i
+        ), pairs AS (
+            SELECT a.i AS i, b.i AS j FROM idx a, idx b WHERE b.i >= a.i
+        )
+        SELECT p.i::BIGINT AS i, p.j::BIGINT AS j,
+               sum(CAST(qv[p.i] * qv[p.j] AS BIGINT))::BIGINT AS gram
+        FROM quant, pairs p
+        GROUP BY p.i, p.j
     """,
     # relational anti-join: customers with no 1996 order
     "idle_customers": """

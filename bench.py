@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "idle_customers",
     "lang_source_rollup",
     "emb_gram_q8",
+    "pdf_text",
 ]
 
 

@@ -628,6 +628,56 @@ def q_emb_topk_q8(sf_dir: str):
     return topk_cosine_q8(ds, q, k=10)
 
 
+def q_pdf_text(sf_dir: str):
+    """PDF text + layout parse (north-rule operator: "PDF/layout
+    parse") over the REAL from-scratch PDF codec
+    (functions/pdfcodec.py).  Each doc's first 40 tokens typeset into
+    8-token lines across one or two pages (>3 lines spill to page 2),
+    md5-routed through FlateDecode or raw content streams, then decoded
+    by the stateless task-pool stage: trailer → page-tree walk → stream
+    inflate → content-stream tokenizer → per-page lines.  Extracted
+    pages join with form-feeds; the oracle rebuilds the exact expected
+    text from the source tokens in SQL, so the whole encode → parse
+    round trip is value-gated (escaping makes it text-exact for any
+    input)."""
+    from ..functions.pdfcodec import decode_pdf_text, encode_pdf
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        payloads = []
+        for d, t in zip(ids, texts):
+            toks = (t or "").split()[:40]
+            lines = [" ".join(toks[i : i + 8]) for i in range(0, len(toks), 8)]
+            pages = [lines[:3]] if len(lines) <= 3 else [lines[:3], lines[3:]]
+            comp = int(hashlib.md5(str(d).encode()).hexdigest()[6:8], 16) % 2 == 0
+            payloads.append(encode_pdf(pages, compress=comp))
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    def decode(b: pa.Table) -> pa.Table:
+        payloads = _single_chunk_q(b.column("payload"))
+        texts, n_pages = [], []
+        for i in range(b.num_rows):
+            pages = decode_pdf_text(payloads[i].as_py())
+            texts.append("\f".join(pages))
+            n_pages.append(len(pages))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "text": pa.array(texts, pa.string()),
+                "n_pages": pa.array(n_pages, pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(synth, batch_format="pyarrow")
+        .map_batches(decode, batch_format="pyarrow")
+    )
+
+
 def q_emb_gram_q8(sf_dir: str):
     """Exact int8-quantized Gram matrix of the embedding corpus (the
     covariance/PCA building block: distributed X^T X).  Each block
@@ -3913,6 +3963,7 @@ QUERIES = {
     "emb_topk_cosine": q_emb_topk,
     "emb_topk_q8": q_emb_topk_q8,
     "emb_gram_q8": q_emb_gram_q8,
+    "pdf_text": q_pdf_text,
     "text_search": q_text_search,
     "text_search_bm25": q_text_search_bm25,
     "tpch_q1": q_tpch_q1,
@@ -4783,6 +4834,29 @@ ORACLE_SQL = {
                 AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                 AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30))
+    """,
+    # PDF round trip: expected text rebuilt from source tokens (8-token
+    # lines, >3 lines spill to a second page joined by form-feed)
+    "pdf_text": r"""
+        WITH lim AS (
+            SELECT doc_id, tk[1:least(len(tk), 40)] AS tk,
+                   least(len(tk), 40) AS nt
+            FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk
+                  FROM documents)
+        ), lines AS (
+            SELECT doc_id,
+                   [array_to_string(tk[(i*8+1):least(i*8+8, nt)], ' ')
+                    FOR i IN generate_series(0, CAST(ceil(nt / 8.0) AS INT) - 1)]
+                       AS ls
+            FROM lim
+        )
+        SELECT doc_id,
+               array_to_string(ls[1:least(len(ls), 3)], chr(10)) ||
+               CASE WHEN len(ls) > 3
+                    THEN chr(12) || array_to_string(ls[4:len(ls)], chr(10))
+                    ELSE '' END AS text,
+               (CASE WHEN len(ls) > 3 THEN 2 ELSE 1 END)::BIGINT AS n_pages
+        FROM lines
     """,
     # exact q8 Gram matrix: quantizer identical to emb_topk_q8's
     "emb_gram_q8": """

@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "lang_source_rollup",
     "emb_gram_q8",
     "pdf_text",
+    "bpe_vocab",
 ]
 
 

@@ -2470,6 +2470,53 @@ def q_bpe_train(sf_dir: str):
     return out
 
 
+def q_bpe_vocab(sf_dir: str):
+    """The APPLY half of tokenizer training: run the 4 merges
+    bpe_train chooses over the corpus and count the resulting symbol
+    vocabulary (top-30 by count, symbol asc tie-break).  One extra
+    streaming pass after the training loop — map tasks replay the
+    broadcast merge list per DISTINCT token and emit symbol partials;
+    the groupby is vocabulary-sized.  The oracle extends bpe_train's
+    chained CTEs one step: unnest t4's symbol strings and count."""
+    from collections import Counter
+
+    train = q_bpe_train(sf_dir)
+    merges = list(zip(train["left_sym"], train["right_sym"]))
+    tok_re = re.compile(r"\S+")
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks: Counter = Counter()
+        for t in b.column("text").to_pylist():
+            toks.update(tok_re.findall((t or "").lower()))
+        syms: Counter = Counter()
+        for w, c in toks.items():
+            s = list(w)
+            for x, y in merges:
+                s = _apply_merge(s, x, y)
+            for sym in s:
+                syms[sym] += c
+        items = list(syms.items())
+        return pa.table(
+            {
+                "symbol": pa.array([k for k, _ in items], pa.string()),
+                "cnt": pa.array([v for _, v in items], pa.int64()),
+            }
+        )
+
+    out = (
+        _docs(sf_dir, columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("symbol")
+        .aggregate(Sum("cnt"))
+        .to_pandas()
+        .rename(columns={"sum(cnt)": "cnt"})
+        .sort_values(["cnt", "symbol"], ascending=[False, True], ignore_index=True)
+        .head(30)
+    )
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out
+
+
 class _NEG_STR:
     """Inverts string comparison so max() realizes (cnt DESC, str ASC)."""
 
@@ -3996,6 +4043,7 @@ QUERIES = {
     "chunk_dedup": q_chunk_dedup,
     "bpe_pairs": q_bpe_pairs,
     "bpe_train": q_bpe_train,
+    "bpe_vocab": q_bpe_vocab,
     "tpch_q5": q_tpch_q5,
     "tpch_q3": q_tpch_q3,
     "tpch_q6": q_tpch_q6,
@@ -4048,6 +4096,42 @@ QUERIES = {
 
 _TOK = r"\S+"
 _BPE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def _bpe_round_ctes(i: int, src: str) -> str:
+    """One BPE training round as SQL CTEs: count pairs over ``src``'s
+    doubled-space symbol strings, pick the (cnt DESC, l, r) winner,
+    apply it with the boundary-safe replace (see the bpe_train oracle
+    comment)."""
+    return f"""
+        c{i} AS (
+            SELECT split_part(p, ' ', 1) AS l, split_part(p, ' ', 2) AS r,
+                   count(*)::BIGINT AS cnt
+            FROM (SELECT unnest([syms[i] || ' ' || syms[i+1]
+                                 FOR i IN generate_series(1, len(syms)-1)]) AS p
+                  FROM (SELECT str_split(s, '  ') AS syms FROM {src}))
+            GROUP BY l, r
+        ),
+        b{i} AS (SELECT l, r, cnt FROM c{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        t{i} AS (SELECT trim(replace(' ' || s || ' ',
+                                     ' ' || l || '  ' || r || ' ',
+                                     ' ' || l || r || ' ')) AS s
+                 FROM {src}, b{i})"""
+
+
+_BPE_CHAIN = (
+    r"""
+        WITH toks AS (
+            SELECT array_to_string(
+                       [substr(w, i, 1) FOR i IN generate_series(1, length(w))],
+                       '  ') AS s
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w
+                  FROM documents)
+        ),"""
+    + ",".join(
+        _bpe_round_ctes(i, "toks" if i == 1 else f"t{i - 1}") for i in (1, 2, 3, 4)
+    )
+)
 
 ORACLE_SQL = {
     "doc_token_stats": f"""
@@ -4685,68 +4769,23 @@ ORACLE_SQL = {
     # symbol owns one space on each side; consecutive matches stay
     # matchable).  Tie-break (cnt DESC, l ASC, r ASC) mirrors the
     # engine's driver-side winner pick exactly.
-    "bpe_train": r"""
-        WITH toks AS (
-            SELECT array_to_string(
-                       [substr(w, i, 1) FOR i IN generate_series(1, length(w))],
-                       '  ') AS s
-            FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w
-                  FROM documents)
-        ),
-        c1 AS (
-            SELECT split_part(p, ' ', 1) AS l, split_part(p, ' ', 2) AS r,
-                   count(*)::BIGINT AS cnt
-            FROM (SELECT unnest([syms[i] || ' ' || syms[i+1]
-                                 FOR i IN generate_series(1, len(syms)-1)]) AS p
-                  FROM (SELECT str_split(s, '  ') AS syms FROM toks))
-            GROUP BY l, r
-        ),
-        b1 AS (SELECT l, r, cnt FROM c1 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-        t1 AS (SELECT trim(replace(' ' || s || ' ',
-                                   ' ' || l || '  ' || r || ' ',
-                                   ' ' || l || r || ' ')) AS s
-               FROM toks, b1),
-        c2 AS (
-            SELECT split_part(p, ' ', 1) AS l, split_part(p, ' ', 2) AS r,
-                   count(*)::BIGINT AS cnt
-            FROM (SELECT unnest([syms[i] || ' ' || syms[i+1]
-                                 FOR i IN generate_series(1, len(syms)-1)]) AS p
-                  FROM (SELECT str_split(s, '  ') AS syms FROM t1))
-            GROUP BY l, r
-        ),
-        b2 AS (SELECT l, r, cnt FROM c2 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-        t2 AS (SELECT trim(replace(' ' || s || ' ',
-                                   ' ' || l || '  ' || r || ' ',
-                                   ' ' || l || r || ' ')) AS s
-               FROM t1, b2),
-        c3 AS (
-            SELECT split_part(p, ' ', 1) AS l, split_part(p, ' ', 2) AS r,
-                   count(*)::BIGINT AS cnt
-            FROM (SELECT unnest([syms[i] || ' ' || syms[i+1]
-                                 FOR i IN generate_series(1, len(syms)-1)]) AS p
-                  FROM (SELECT str_split(s, '  ') AS syms FROM t2))
-            GROUP BY l, r
-        ),
-        b3 AS (SELECT l, r, cnt FROM c3 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-        t3 AS (SELECT trim(replace(' ' || s || ' ',
-                                   ' ' || l || '  ' || r || ' ',
-                                   ' ' || l || r || ' ')) AS s
-               FROM t2, b3),
-        c4 AS (
-            SELECT split_part(p, ' ', 1) AS l, split_part(p, ' ', 2) AS r,
-                   count(*)::BIGINT AS cnt
-            FROM (SELECT unnest([syms[i] || ' ' || syms[i+1]
-                                 FOR i IN generate_series(1, len(syms)-1)]) AS p
-                  FROM (SELECT str_split(s, '  ') AS syms FROM t3))
-            GROUP BY l, r
-        ),
-        b4 AS (SELECT l, r, cnt FROM c4 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)
+    "bpe_train": _BPE_CHAIN
+    + """
         SELECT * FROM (
             SELECT 1::BIGINT AS round, l AS left_sym, r AS right_sym, cnt FROM b1
             UNION ALL SELECT 2::BIGINT, l, r, cnt FROM b2
             UNION ALL SELECT 3::BIGINT, l, r, cnt FROM b3
             UNION ALL SELECT 4::BIGINT, l, r, cnt FROM b4
         ) ORDER BY round
+    """,
+    # the APPLY half: unnest t4's merged symbol strings and count
+    "bpe_vocab": _BPE_CHAIN
+    + """
+        SELECT sym AS symbol, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest(str_split(s, '  ')) AS sym FROM t4)
+        GROUP BY sym
+        ORDER BY cnt DESC, symbol ASC
+        LIMIT 30
     """,
     # TPC-H Q4 shape: priority counts over an EXISTS semi-join
     "tpch_q4": """

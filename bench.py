@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "emb_gram_q8",
     "pdf_text",
     "bpe_vocab",
+    "tpch_q7",
+    "tpch_q8",
 ]
 
 

@@ -3379,6 +3379,279 @@ def q_tpch_q19(sf_dir: str):
     return pd.DataFrame({"revenue": [cents4 / 10000.0]})
 
 
+def q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 shape (volume shipping between two nations): lineitems
+    shipped 1996-1997 where the supplier sits in NATION_1 and the
+    customer in NATION_2 or vice versa, rolled up by (supp_nation,
+    cust_nation, ship year).  Supplier and nation are tiny dims —
+    broadcast numpy lookups applied map-side BEFORE any join, and the
+    two-nation filter prunes ~92% of fact rows pre-shuffle; the
+    orders→custkey and customer→nationkey hops go through
+    lookup_join_auto.  Volume aggregates as exact int64 10^-4 units;
+    nation names attach driver-side to the ≤ 2×n_years result."""
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    from .joins import lookup_join_auto
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nkeys = nation.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nnames = nation.column("n_name").to_pylist()
+    by_name = {n: k for k, n in zip(nkeys, nnames)}
+    na, nb = by_name["NATION_1"], by_name["NATION_2"]
+
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    skeys = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    snat = sup.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    sorder = np.argsort(skeys)
+    skeys, snat = skeys[sorder], snat[sorder]
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"))
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate")
+        b = b.filter(pc.and_(pc.greater_equal(ship, lo), pc.less(ship, hi)))
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(skeys, sk)
+        pos = np.minimum(pos, len(skeys) - 1)
+        s_nat = snat[pos]
+        keep = (skeys[pos] == sk) & ((s_nat == na) | (s_nat == nb))
+        b = b.filter(pa.array(keep))
+        vol = pc.multiply(
+            _money_cents(b.column("l_extendedprice")),
+            pc.subtract(
+                pa.scalar(100, pa.int64()), _money_cents(b.column("l_discount"))
+            ),
+        )
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "s_nat": pa.array(s_nat[keep], pa.int64()),
+                "l_year": pc.year(b.column("l_shipdate")),
+                "volume": vol,
+            }
+        )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "c_nat": pc.cast(b.column("c_nationkey"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def pair_filter(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("c_nat")))
+        s = b.column("s_nat").to_numpy(zero_copy_only=False)
+        c = b.column("c_nat").to_numpy(zero_copy_only=False)
+        keep = ((s == na) & (c == nb)) | ((s == nb) & (c == na))
+        return b.filter(pa.array(keep)).select(["s_nat", "c_nat", "l_year", "volume"])
+
+    joined = lookup_join_auto(
+        lookup_join_auto(
+            li, orders, "l_orderkey", "o_orderkey", "o_custkey", "o_custkey",
+            num_buckets=64, num_partitions=16,
+        ),
+        cust, "o_custkey", "c_custkey", "c_nat", "c_nat",
+        num_buckets=64, num_partitions=16,
+    ).map_batches(pair_filter, batch_format="pyarrow")
+
+    out = (
+        joined.groupby(["s_nat", "c_nat", "l_year"])
+        .aggregate(Sum("volume"))
+        .to_pandas()
+    )
+    name_of = {k: n for k, n in zip(nkeys, nnames)}
+    return pd.DataFrame(
+        {
+            "supp_nation": out["s_nat"].map(name_of),
+            "cust_nation": out["c_nat"].map(name_of),
+            "l_year": out["l_year"].astype(np.int64),
+            "revenue": out["sum(volume)"] / 10000.0,
+        }
+    )
+
+
+def q_tpch_q8(sf_dir: str):
+    """TPC-H Q8 shape (national market share): of all PROMO-part volume
+    ordered 1996-1997 by ASIA customers, the share supplied from
+    NATION_3, per order year.  Supplier→nation and nation→region are
+    map-side numpy lookups; the part promo flag and the packed
+    (custkey, order-year) value ride lookup_join_auto; numerator and
+    denominator aggregate as exact int64 and divide once per year on
+    the driver (mirroring SQL's integer-sum / integer-sum double
+    division)."""
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    from .joins import lookup_join_auto
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    asia_rk = region.filter(pc.equal(region.column("r_name"), "ASIA")).column(
+        "r_regionkey"
+    )[0].as_py()
+    nk = nation.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    asia_nations = np.sort(
+        nk[
+            nation.column("n_regionkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            == asia_rk
+        ]
+    )
+    share_nat = nation.filter(
+        pc.equal(nation.column("n_name"), "NATION_3")
+    ).column("n_nationkey")[0].as_py()
+
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    skeys = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    snat = sup.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    sorder = np.argsort(skeys)
+    skeys, snat = skeys[sorder], snat[sorder]
+
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "p_partkey": b.column("p_partkey"),
+                "promo": pc.cast(pc.equal(b.column("p_type"), "PROMO"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"))
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate")
+        b = b.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        packed = pc.add(
+            pc.multiply(b.column("o_custkey"), pa.scalar(16, pa.int64())),
+            pc.subtract(pc.year(b.column("o_orderdate")), pa.scalar(1992, pa.int64())),
+        )
+        return pa.table({"o_orderkey": b.column("o_orderkey"), "packed": packed})
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ord_prep, batch_format="pyarrow")
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(skeys, sk), len(skeys) - 1)
+        keep = skeys[pos] == sk
+        b = b.filter(pa.array(keep))
+        vol = pc.multiply(
+            _money_cents(b.column("l_extendedprice")),
+            pc.subtract(
+                pa.scalar(100, pa.int64()), _money_cents(b.column("l_discount"))
+            ),
+        )
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_partkey": b.column("l_partkey"),
+                "s_nat": pa.array(snat[pos][keep], pa.int64()),
+                "volume": vol,
+            }
+        )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "c_nat": pc.cast(b.column("c_nationkey"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.is_valid(b.column("promo")), pc.is_valid(b.column("packed"))),
+            pc.is_valid(b.column("c_nat")),
+        )
+        b = b.filter(m)
+        b = b.filter(pc.equal(b.column("promo"), pa.scalar(1, pa.int64())))
+        cn = b.column("c_nat").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(asia_nations, cn), len(asia_nations) - 1)
+        b = b.filter(pa.array(asia_nations[pos] == cn))
+        year = pc.add(
+            pc.bit_wise_and(b.column("packed"), pa.scalar(15, pa.int64())),
+            pa.scalar(1992, pa.int64()),
+        )
+        vol = b.column("volume")
+        num = pc.multiply(
+            vol, pc.cast(pc.equal(b.column("s_nat"), share_nat), pa.int64())
+        )
+        return pa.table({"o_year": year, "num": num, "den": vol})
+
+    joined = lookup_join_auto(
+        lookup_join_auto(
+            lookup_join_auto(
+                li, part, "l_partkey", "p_partkey", "promo", "promo",
+                num_buckets=64, num_partitions=16,
+            ),
+            orders, "l_orderkey", "o_orderkey", "packed", "packed",
+            num_buckets=64, num_partitions=16,
+        ).map_batches(
+            # custkey for the customer hop comes out of the packed value
+            lambda b: b.append_column(
+                "o_custkey",
+                pc.divide(b.column("packed"), pa.scalar(16, pa.int64())),
+            ),
+            batch_format="pyarrow",
+        ),
+        cust, "o_custkey", "c_custkey", "c_nat", "c_nat",
+        num_buckets=64, num_partitions=16,
+    ).map_batches(finish, batch_format="pyarrow")
+
+    out = (
+        joined.groupby("o_year")
+        .aggregate(Sum("num"), Sum("den"))
+        .to_pandas()
+        .sort_values("o_year", ignore_index=True)
+    )
+    return pd.DataFrame(
+        {
+            "o_year": out["o_year"].astype(np.int64),
+            "mkt_share": out["sum(num)"].astype(float) / out["sum(den)"].astype(float),
+        }
+    )
+
+
 def q_running_revenue(sf_dir: str):
     """Per-customer running revenue (the window cumulative-sum shape:
     ``sum(...) OVER (PARTITION BY o_custkey ORDER BY o_orderdate,
@@ -4053,6 +4326,8 @@ QUERIES = {
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
     "tpch_q19": q_tpch_q19,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
     "running_revenue": q_running_revenue,
     "event_transitions": q_event_transitions,
     "stratified_sample": q_stratified_sample,
@@ -4959,6 +5234,45 @@ ORACLE_SQL = {
                    ) AS rk
             FROM documents
         ) WHERE rk <= 5
+    """,
+    # TPC-H Q7 shape: two-nation volume shipping by ship year
+    "tpch_q7": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+                   AS revenue
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey
+          AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    # TPC-H Q8 shape: NATION_3's share of ASIA-customer PROMO volume
+    "tpch_q8": """
+        SELECT o_year,
+               sum(CASE WHEN nat = 'NATION_3' THEN vol ELSE 0 END) / sum(vol)
+                   AS mkt_share
+        FROM (SELECT year(o_orderdate) AS o_year,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS vol,
+                     n2.n_name AS nat
+              FROM part, supplier, lineitem, orders, customer,
+                   nation n1, nation n2, region
+              WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+                AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+                AND c_nationkey = n1.n_nationkey
+                AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+                AND s_nationkey = n2.n_nationkey
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+                AND p_type = 'PROMO')
+        GROUP BY o_year
+        ORDER BY o_year
     """,
     # per-customer running revenue: window cumsum over exact cents
     "running_revenue": """

@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "bpe_vocab",
     "tpch_q7",
     "tpch_q8",
+    "event_props_stats",
 ]
 
 

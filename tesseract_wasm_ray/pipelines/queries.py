@@ -3714,6 +3714,40 @@ def q_running_revenue(sf_dir: str):
     )
 
 
+def q_event_props_stats(sf_dir: str):
+    """Semi-structured field extraction (the JSON-ish payload-parsing
+    shape every event pipeline runs): pull the integer ``k`` field out
+    of the ``props`` JSON string with one vectorized Arrow RE2 kernel
+    per batch — no Python json.loads per row — and roll up exact
+    integer stats per event type.  Oracle extracts the same field with
+    DuckDB's regexp_extract."""
+    from ray.data.aggregate import Max
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(
+            b.column("props").combine_chunks(), r'"k": (?P<k>\d+)'
+        )
+        k = pc.cast(pc.struct_field(hit, "k"), pa.int64())
+        return pa.table({"event_type": b.column("event_type"), "k": k})
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(), Sum("k"), Max("k"))
+        .map_batches(
+            lambda b: _rename(
+                b,
+                {"count()": "n_events", "sum(k)": "sum_k", "max(k)": "max_k"},
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def q_event_transitions(sf_dir: str):
     """Markov transition counts over the event stream: how often does a
     user's event of type X immediately precede type Y?  Same
@@ -4330,6 +4364,7 @@ QUERIES = {
     "tpch_q8": q_tpch_q8,
     "running_revenue": q_running_revenue,
     "event_transitions": q_event_transitions,
+    "event_props_stats": q_event_props_stats,
     "stratified_sample": q_stratified_sample,
     "idle_customers": q_idle_customers,
     "lang_source_rollup": q_lang_source_rollup,
@@ -5210,6 +5245,17 @@ ORACLE_SQL = {
                sum(n_chars)::BIGINT AS total_chars
         FROM documents
         GROUP BY GROUPING SETS ((lang, source), (lang), ())
+    """,
+    # semi-structured field extraction from the props JSON string
+    "event_props_stats": r"""
+        SELECT event_type,
+               count(*)::BIGINT AS n_events,
+               sum(regexp_extract(props, '"k": (\d+)', 1)::BIGINT)::BIGINT
+                   AS sum_k,
+               max(regexp_extract(props, '"k": (\d+)', 1)::BIGINT)::BIGINT
+                   AS max_k
+        FROM events
+        GROUP BY event_type
     """,
     # Markov transition counts: lag window partitioned by user
     "event_transitions": """

@@ -113,6 +113,10 @@ BENCH_QUERIES = [
     "tpch_q7",
     "tpch_q8",
     "event_props_stats",
+    # round-4 session-6 additions
+    "tpch_q13",
+    "tpch_q17",
+    "tpch_q22",
 ]
 
 

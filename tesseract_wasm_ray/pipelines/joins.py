@@ -286,7 +286,16 @@ def lookup_join_auto(
             keys, vals = keys.take(sel), vals.take(sel)
     else:
         keys = pa.array([], key_type)
-        vals = pa.array([], right.schema().base_schema.field(value_col).type)
+        # a fully-empty right side can surface schema() == None (Ray
+        # reports no schema when every block is empty); the lookup then
+        # matches nothing, so any concrete value type works — int64
+        schema = right.schema()
+        vtype = (
+            schema.base_schema.field(value_col).type
+            if schema is not None
+            else pa.int64()
+        )
+        vals = pa.array([], vtype)
     ref = ray.put((keys, vals))
 
     def fill(b: pa.Table) -> pa.Table:

@@ -3652,6 +3652,266 @@ def q_tpch_q8(sf_dir: str):
     )
 
 
+def q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 shape (customer order-count distribution): how many
+    customers placed 0, 1, 2, ... URGENT orders.  The LEFT OUTER join
+    that TPC-H needs (customers with zero matching orders must appear
+    with c_count = 0) is exactly lookup_join_auto's left-outer
+    semantics: the per-customer count table — customer-bounded, built
+    by ONE groupby over the priority-filtered fact — rides the
+    broadcast/bucket lookup, unmatched customers surface as null and
+    coalesce to 0 map-side.  The final distribution groupby is
+    count-domain-bounded (≤ max orders per customer rows)."""
+    from .joins import lookup_join_auto
+
+    counts = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderpriority"],
+        )
+        .map_batches(
+            lambda b: b.filter(
+                pc.equal(b.column("o_orderpriority"), "1-URGENT")
+            ).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Count())
+        .map_batches(
+            lambda b: _rename(b, {"count()": "c_count"}), batch_format="pyarrow"
+        )
+    )
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+
+    def fill_zero(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_count": pc.coalesce(
+                    pc.cast(b.column("c_count"), pa.int64()),
+                    pa.scalar(0, pa.int64()),
+                )
+            }
+        )
+
+    return (
+        lookup_join_auto(
+            cust, counts, "c_custkey", "o_custkey", "c_count", "c_count",
+            num_buckets=64, num_partitions=16,
+        )
+        .map_batches(fill_zero, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Count())
+        .map_batches(
+            lambda b: _rename(b, {"count()": "custdist"}), batch_format="pyarrow"
+        )
+    )
+
+
+def q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 shape (small-quantity-order revenue): average yearly
+    revenue lost if orders for Brand#23 small parts (p_size <= 7, the
+    container stand-in) below 20%% of the part's average order quantity
+    were no longer taken.  The correlated AVG subquery becomes two
+    map-side-filtered passes over the fact: pass 1 joins the tiny
+    brand-part flag via lookup_join_auto and aggregates per-part
+    (sum_qty_c, cnt) — brand-part-bounded; pass 2 re-filters and probes
+    the per-part thresholds with the EXACT integer predicate
+    ``5 * qty_c * cnt < sum_qty_c`` (0.2·avg without any float), then
+    sums cents; the single /700.0 division happens on the driver and is
+    mirrored literally in the oracle."""
+    import pandas as pd
+
+    from .joins import lookup_join_auto
+
+    def part_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.equal(b.column("p_brand"), "Brand#23"),
+                pc.less_equal(
+                    pc.cast(b.column("p_size"), pa.int64()),
+                    pa.scalar(7, pa.int64()),
+                ),
+            )
+        )
+        return pa.table(
+            {
+                "p_partkey": b.column("p_partkey"),
+                "__flag": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"],
+    ).map_batches(part_prep, batch_format="pyarrow")
+
+    def li_flagged() -> rd.Dataset:
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "l_partkey": b.column("l_partkey"),
+                    "qty_c": _money_cents(b.column("l_quantity")),
+                    "price_c": _money_cents(b.column("l_extendedprice")),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return lookup_join_auto(
+            li, part, "l_partkey", "p_partkey", "__flag", "__flag",
+            num_buckets=64, num_partitions=16,
+        ).map_batches(
+            lambda b: b.filter(pc.is_valid(b.column("__flag"))).drop_columns(
+                ["__flag"]
+            ),
+            batch_format="pyarrow",
+        )
+
+    thresholds = (
+        li_flagged()
+        .groupby("l_partkey")
+        .aggregate(Sum("qty_c"), Count())
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "p_partkey": b.column("l_partkey"),
+                    # pack (sum, cnt) into one lookup value: cnt is the
+                    # per-part lineitem count (< 2^20 by fact/dim ratio
+                    # at any TPC-H scale), sum_qty_c < 2^43 per part
+                    "packed": pc.add(
+                        pc.multiply(
+                            pc.cast(b.column("sum(qty_c)"), pa.int64()),
+                            pa.scalar(1 << 20, pa.int64()),
+                        ),
+                        pc.cast(b.column("count()"), pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def small_only(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("packed")))
+        packed = b.column("packed")
+        sum_c = pc.divide(packed, pa.scalar(1 << 20, pa.int64()))
+        cnt = pc.subtract(
+            packed, pc.multiply(sum_c, pa.scalar(1 << 20, pa.int64()))
+        )
+        keep = pc.less(
+            pc.multiply(
+                pc.multiply(b.column("qty_c"), pa.scalar(5, pa.int64())), cnt
+            ),
+            sum_c,
+        )
+        return pa.table({"price_c": b.filter(keep).column("price_c")})
+
+    total = (
+        lookup_join_auto(
+            li_flagged(), thresholds, "l_partkey", "p_partkey",
+            "packed", "packed", num_buckets=64, num_partitions=16,
+        )
+        .map_batches(small_only, batch_format="pyarrow")
+        .aggregate(Sum("price_c"))
+    )
+    cents = total.get("sum(price_c)") or 0
+    return pd.DataFrame({"avg_yearly": [cents / 700.0]})
+
+
+def q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 shape (global-sales-opportunity): customers from seven
+    country codes (c_nationkey stands in for the phone prefix) whose
+    account balance beats the positive-balance average of that same
+    cohort AND who placed no recent order (none since 2000-01-01) —
+    scalar aggregate subquery + NOT-EXISTS anti-join + final rollup.
+    The global average is two int64 partials (sum cents, count) folded
+    on the driver and compared EXACTLY as ``acctbal_c * cnt > sum_c``
+    (no float threshold); the anti-join is dedup.anti_join_ids against
+    the distinct recent-custkey set (fact side never shuffles); the
+    rollup is nation-bounded."""
+    from .dedup import anti_join_ids
+
+    codes = pa.array([1, 3, 5, 7, 9, 11, 13], pa.int64())
+
+    def cohort(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.is_in(pc.cast(b.column("c_nationkey"), pa.int64()), codes)
+        )
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "cntrycode": pc.cast(b.column("c_nationkey"), pa.int64()),
+                "bal_c": _money_cents(b.column("c_acctbal")),
+            }
+        )
+
+    def cust_ds() -> rd.Dataset:
+        return rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        ).map_batches(cohort, batch_format="pyarrow")
+
+    def positive(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("bal_c"), pa.scalar(0, pa.int64())))
+        return pa.table({"bal_c": b.column("bal_c")})
+
+    avg_parts = (
+        cust_ds()
+        .map_batches(positive, batch_format="pyarrow")
+        .aggregate(Sum("bal_c"), Count())
+    )
+    sum_c = avg_parts.get("sum(bal_c)") or 0
+    cnt = avg_parts.get("count()") or 0
+
+    lo = pa.scalar(np.datetime64("2000-01-01", "us"))
+    recent_keys = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderdate"],
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "c_custkey": pc.unique(
+                        b.filter(pc.greater_equal(b.column("o_orderdate"), lo))
+                        .column("o_custkey")
+                        .combine_chunks()
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("c_custkey")
+        .aggregate(Count())
+        .map_batches(lambda b: b.select(["c_custkey"]), batch_format="pyarrow")
+    )
+
+    def rich(b: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            pc.multiply(b.column("bal_c"), pa.scalar(cnt, pa.int64())),
+            pa.scalar(sum_c, pa.int64()),
+        )
+        return b.filter(keep)
+
+    out = (
+        anti_join_ids(
+            cust_ds().map_batches(rich, batch_format="pyarrow"),
+            recent_keys,
+            "c_custkey",
+        )
+        .groupby("cntrycode")
+        .aggregate(Count(), Sum("bal_c"))
+        .to_pandas()
+    )
+    out["numcust"] = out["count()"].astype(np.int64)
+    out["totacctbal"] = out["sum(bal_c)"].astype(np.int64) / 100.0
+    return out[["cntrycode", "numcust", "totacctbal"]]
+
+
 def q_running_revenue(sf_dir: str):
     """Per-customer running revenue (the window cumulative-sum shape:
     ``sum(...) OVER (PARTITION BY o_custkey ORDER BY o_orderdate,
@@ -4362,6 +4622,9 @@ QUERIES = {
     "tpch_q19": q_tpch_q19,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q22": q_tpch_q22,
     "running_revenue": q_running_revenue,
     "event_transitions": q_event_transitions,
     "event_props_stats": q_event_props_stats,
@@ -5319,6 +5582,54 @@ ORACLE_SQL = {
                 AND p_type = 'PROMO')
         GROUP BY o_year
         ORDER BY o_year
+    """,
+    # TPC-H Q13 shape: LEFT OUTER join + distribution of per-customer
+    # order counts (zero-order customers appear with c_count = 0)
+    "tpch_q13": """
+        SELECT c_count, count(*)::BIGINT AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey
+               AND o_orderpriority = '1-URGENT'
+              GROUP BY c_custkey) t
+        GROUP BY c_count
+    """,
+    # TPC-H Q17 shape: correlated per-part AVG subquery, exact integer
+    # predicate 5*qty*cnt < sum_qty (== qty < 0.2*avg, no float)
+    "tpch_q17": """
+        SELECT coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0)
+                   / 700.0 AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN (SELECT l_partkey AS pk,
+                     sum(CAST(round(l_quantity * 100) AS BIGINT)) AS s,
+                     count(*)::BIGINT AS c
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_brand = 'Brand#23' AND p_size <= 7
+              GROUP BY l_partkey) t ON t.pk = l_partkey
+        WHERE p_brand = 'Brand#23' AND p_size <= 7
+          AND 5 * CAST(round(l_quantity * 100) AS BIGINT) * t.c < t.s
+    """,
+    # TPC-H Q22 shape: scalar-subquery threshold (exact integer compare
+    # bal*cnt > sum) + NOT EXISTS anti-join + nation-bounded rollup
+    "tpch_q22": """
+        SELECT c_nationkey::BIGINT AS cntrycode, count(*)::BIGINT AS numcust,
+               sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0
+                   AS totacctbal
+        FROM customer c
+        WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+          AND CAST(round(c_acctbal * 100) AS BIGINT)
+              * (SELECT count(*) FROM customer
+                 WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+                   AND CAST(round(c_acctbal * 100) AS BIGINT) > 0)
+              > (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                 FROM customer
+                 WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+                   AND CAST(round(c_acctbal * 100) AS BIGINT) > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_nationkey
     """,
     # per-customer running revenue: window cumsum over exact cents
     "running_revenue": """

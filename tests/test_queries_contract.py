@@ -34,6 +34,9 @@ def test_entry_runs(ray_session):
         ("boilerplate_strip", {"doc_id", "offset", "text"}),
         ("tpch_q18", {"c_name", "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"}),
         ("running_revenue", {"o_custkey", "o_orderkey", "running_total"}),
+        ("tpch_q13", {"c_count", "custdist"}),
+        ("tpch_q17", {"avg_yearly"}),
+        ("tpch_q22", {"cntrycode", "numcust", "totacctbal"}),
     ],
 )
 def test_query_schema(ray_session, name, cols):

@@ -117,6 +117,9 @@ BENCH_QUERIES = [
     "tpch_q13",
     "tpch_q17",
     "tpch_q22",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q15",
 ]
 
 

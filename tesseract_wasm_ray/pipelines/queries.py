@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Mean, Min, Sum
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..fixtures import generate_corpus
 from ..functions.arrow_util import single_chunk as _single_chunk_q
@@ -3652,6 +3652,312 @@ def q_tpch_q8(sf_dir: str):
     )
 
 
+def q_tpch_q2(sf_dir: str):
+    """TPC-H Q2 shape (minimum-cost supplier): for every size-15 part,
+    the EUROPE supplier quoting the lowest price (l_extendedprice
+    stands in for ps_supplycost — the synthetic schema has no
+    partsupp).  The correlated MIN subquery becomes one argmin-per-key
+    groupby: price and supplier pack into a single int64
+    (price_c * 2^21 + suppkey, price_c < 2^24, suppkey < 2^21) so
+    ``Min(packed)`` IS the lexicographic (price, suppkey) argmin with a
+    deterministic tie-break — no join-back against the min value.  The
+    nation→region hop is a driver numpy lookup (nations are O(100)
+    always); part flag and supplier membership ride lookup_join_auto;
+    s_name attaches to the part-bounded result via one more lookup."""
+    import pyarrow.parquet as pq
+
+    from .joins import lookup_join_auto
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_regionkey"],
+    )
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    )
+    euro = region.filter(pc.equal(region.column("r_name"), "EUROPE")).column(
+        "r_regionkey"
+    )
+    euro_nations = pa.array(
+        nation.filter(pc.is_in(nation.column("n_regionkey"), euro))
+        .column("n_nationkey")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+    def part_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.equal(
+                pc.cast(b.column("p_size"), pa.int64()), pa.scalar(15, pa.int64())
+            )
+        )
+        return pa.table(
+            {
+                "p_partkey": b.column("p_partkey"),
+                "__flag": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_size"]
+    ).map_batches(part_prep, batch_format="pyarrow")
+    sup = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "s_suppkey": b.column("s_suppkey"),
+                "__euro": pc.cast(
+                    pc.is_in(
+                        pc.cast(b.column("s_nationkey"), pa.int64()), euro_nations
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    SHIFT = pa.scalar(1 << 21, pa.int64())
+
+    def pack(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(b.column("__flag")),
+            pc.equal(
+                pc.coalesce(b.column("__euro"), pa.scalar(0, pa.int64())),
+                pa.scalar(1, pa.int64()),
+            ),
+        )
+        b = b.filter(keep)
+        price_c = _money_cents(b.column("l_extendedprice"))
+        packed = pc.add(
+            pc.multiply(price_c, SHIFT),
+            pc.cast(b.column("l_suppkey"), pa.int64()),
+        )
+        return pa.table({"p_partkey": b.column("l_partkey"), "packed": packed})
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+    li = lookup_join_auto(
+        li, part, "l_partkey", "p_partkey", "__flag", "__flag",
+        num_buckets=64, num_partitions=16,
+    )
+    li = lookup_join_auto(
+        li, sup, "l_suppkey", "s_suppkey", "__euro", "__euro",
+        num_buckets=64, num_partitions=16,
+    )
+
+    def unpack(b: pa.Table) -> pa.Table:
+        packed = pc.cast(b.column("min(packed)"), pa.int64())
+        price_c = pc.divide(packed, SHIFT)
+        suppkey = pc.subtract(packed, pc.multiply(price_c, SHIFT))
+        return pa.table(
+            {
+                "p_partkey": b.column("p_partkey"),
+                "s_suppkey": suppkey,
+                "min_price": pc.divide(
+                    pc.cast(price_c, pa.float64()), pa.scalar(100.0)
+                ),
+            }
+        )
+
+    best = (
+        li.map_batches(pack, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Min("packed"))
+        .map_batches(unpack, batch_format="pyarrow")
+    )
+    names = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    )
+    return lookup_join_auto(
+        best, names, "s_suppkey", "s_suppkey", "s_name", "s_name",
+        num_buckets=64, num_partitions=16,
+    )
+
+
+def q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 shape (top supplier): per-supplier revenue for
+    1996-Q1 shipments, keeping every supplier tied at the maximum —
+    the view + ``= (SELECT max(...))`` selection.  Per-supplier sums
+    are exact int64 10^-4 units (supplier-bounded groupby), the global
+    max folds to ONE driver scalar via a second tiny aggregate, and
+    the equality filter + name lookup stay map-side — the fact table
+    shuffles exactly once, ties survive bit-exactly (no float max)."""
+    from .joins import lookup_join_auto
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-04-01", "us"))
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate")
+        b = b.filter(pc.and_(pc.greater_equal(ship, lo), pc.less(ship, hi)))
+        vol = pc.multiply(
+            _money_cents(b.column("l_extendedprice")),
+            pc.subtract(
+                pa.scalar(100, pa.int64()), _money_cents(b.column("l_discount"))
+            ),
+        )
+        return pa.table({"s_suppkey": b.column("l_suppkey"), "vol": vol})
+
+    revs = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(li_prep, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("vol"))
+        .map_batches(
+            lambda b: _rename(b, {"sum(vol)": "total_c"}), batch_format="pyarrow"
+        )
+        .materialize()  # supplier-bounded; consumed twice (max + filter)
+    )
+    mx = revs.aggregate(Max("total_c"))["max(total_c)"]
+
+    top = revs.map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("total_c"), pa.scalar(mx, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+    names = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    )
+    return lookup_join_auto(
+        top, names, "s_suppkey", "s_suppkey", "s_name", "s_name",
+        num_buckets=64, num_partitions=16,
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "s_suppkey": b.column("s_suppkey"),
+                "s_name": b.column("s_name"),
+                "total_revenue": pc.divide(
+                    pc.cast(b.column("total_c"), pa.float64()),
+                    pa.scalar(10000.0),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_tpch_q9(sf_dir: str):
+    """TPC-H Q9 shape (product-type profit): profit on 'red' parts by
+    supplier nation and order year, where profit = discounted revenue
+    minus p_retailprice*quantity (retailprice stands in for the absent
+    ps_supplycost).  The part hop ships retail cents as the lookup
+    value (match == flag, so one join does filter + payload); the
+    supplier→nation hop is the q7 numpy broadcast; the order-year hop
+    rides lookup_join_auto.  Both profit terms are exact int64 10^-4
+    dollars, so the (nation, year)-bounded rollup is block-order
+    invariant; nation names attach driver-side to the tiny result."""
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    from .joins import lookup_join_auto
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nkeys = nation.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nnames = nation.column("n_name").to_pylist()
+    name_of = dict(zip(nkeys.tolist(), nnames))
+
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    skeys = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    snat = sup.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    sorder = np.argsort(skeys)
+    skeys, snat = skeys[sorder], snat[sorder]
+
+    def part_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.match_substring(b.column("p_name"), "red"))
+        return pa.table(
+            {
+                "p_partkey": b.column("p_partkey"),
+                "retail_c": _money_cents(b.column("p_retailprice")),
+            }
+        )
+
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name", "p_retailprice"],
+    ).map_batches(part_prep, batch_format="pyarrow")
+
+    def profit(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("retail_c")))
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(skeys, sk), len(skeys) - 1)
+        keep = skeys[pos] == sk
+        b = b.filter(pa.array(keep))
+        s_nat = snat[pos][keep]
+        rev = pc.multiply(
+            _money_cents(b.column("l_extendedprice")),
+            pc.subtract(
+                pa.scalar(100, pa.int64()), _money_cents(b.column("l_discount"))
+            ),
+        )
+        cost = pc.multiply(
+            b.column("retail_c"), _money_cents(b.column("l_quantity"))
+        )
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "s_nat": pa.array(s_nat, pa.int64()),
+                "profit_u": pc.subtract(rev, cost),
+            }
+        )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_quantity", "l_extendedprice", "l_discount",
+        ],
+    )
+    li = lookup_join_auto(
+        li, part, "l_partkey", "p_partkey", "retail_c", "retail_c",
+        num_buckets=64, num_partitions=16,
+    ).map_batches(profit, batch_format="pyarrow")
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_year": pc.cast(pc.year(b.column("o_orderdate")), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = (
+        lookup_join_auto(
+            li, orders, "l_orderkey", "o_orderkey", "o_year", "o_year",
+            num_buckets=64, num_partitions=16,
+        )
+        .map_batches(
+            lambda b: b.filter(pc.is_valid(b.column("o_year"))).select(
+                ["s_nat", "o_year", "profit_u"]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["s_nat", "o_year"])
+        .aggregate(Sum("profit_u"))
+        .to_pandas()
+    )
+    out["nation"] = out["s_nat"].map(name_of)
+    out["sum_profit"] = out["sum(profit_u)"].astype(np.int64) / 10000.0
+    return out[["nation", "o_year", "sum_profit"]]
+
+
 def q_tpch_q13(sf_dir: str):
     """TPC-H Q13 shape (customer order-count distribution): how many
     customers placed 0, 1, 2, ... URGENT orders.  The LEFT OUTER join
@@ -4625,6 +4931,9 @@ QUERIES = {
     "tpch_q13": q_tpch_q13,
     "tpch_q17": q_tpch_q17,
     "tpch_q22": q_tpch_q22,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q15": q_tpch_q15,
     "running_revenue": q_running_revenue,
     "event_transitions": q_event_transitions,
     "event_props_stats": q_event_props_stats,
@@ -5582,6 +5891,57 @@ ORACLE_SQL = {
                 AND p_type = 'PROMO')
         GROUP BY o_year
         ORDER BY o_year
+    """,
+    # TPC-H Q2 shape: argmin-per-part min-cost EUROPE supplier with a
+    # deterministic (price, suppkey) tie-break, mirrored as row_number()
+    "tpch_q2": """
+        SELECT t.p_partkey, t.s_suppkey, t.price_c / 100.0 AS min_price,
+               sup.s_name
+        FROM (SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                     row_number() OVER (
+                         PARTITION BY l_partkey
+                         ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+                                  l_suppkey) AS rn
+              FROM lineitem, part, supplier, nation, region
+              WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+                AND p_size = 15
+                AND s_nationkey = n_nationkey
+                AND n_regionkey = r_regionkey AND r_name = 'EUROPE') t
+        JOIN supplier sup ON sup.s_suppkey = t.s_suppkey
+        WHERE t.rn = 1
+    """,
+    # TPC-H Q9 shape: product-type profit by supplier nation and order
+    # year; profit = discounted revenue - retailprice*qty, exact 10^-4
+    "tpch_q9": """
+        SELECT n_name AS nation,
+               year(o_orderdate)::BIGINT AS o_year,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   - CAST(round(p_retailprice * 100) AS BIGINT)
+                     * CAST(round(l_quantity * 100) AS BIGINT)) / 10000.0
+                   AS sum_profit
+        FROM part, supplier, lineitem, orders, nation
+        WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+          AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+          AND p_name LIKE '%red%'
+        GROUP BY n_name, year(o_orderdate)
+    """,
+    # TPC-H Q15 shape: top supplier(s) by 1996-Q1 revenue, ties kept
+    # via an exact integer = (SELECT max(...)) selection
+    "tpch_q15": """
+        WITH revenue AS (
+            SELECT l_suppkey AS s_suppkey,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS total_c
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+        SELECT r.s_suppkey, s.s_name, r.total_c / 10000.0 AS total_revenue
+        FROM revenue r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+        WHERE r.total_c = (SELECT max(total_c) FROM revenue)
     """,
     # TPC-H Q13 shape: LEFT OUTER join + distribution of per-customer
     # order counts (zero-order customers appear with c_count = 0)

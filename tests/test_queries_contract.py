@@ -37,6 +37,9 @@ def test_entry_runs(ray_session):
         ("tpch_q13", {"c_count", "custdist"}),
         ("tpch_q17", {"avg_yearly"}),
         ("tpch_q22", {"cntrycode", "numcust", "totacctbal"}),
+        ("tpch_q2", {"p_partkey", "s_suppkey", "min_price", "s_name"}),
+        ("tpch_q9", {"nation", "o_year", "sum_profit"}),
+        ("tpch_q15", {"s_suppkey", "s_name", "total_revenue"}),
     ],
 )
 def test_query_schema(ray_session, name, cols):

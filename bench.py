@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "tpch_q2",
     "tpch_q9",
     "tpch_q15",
+    "tpch_q11",
+    "tpch_q16",
 ]
 
 

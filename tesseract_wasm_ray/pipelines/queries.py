@@ -3958,6 +3958,188 @@ def q_tpch_q9(sf_dir: str):
     return out[["nation", "o_year", "sum_profit"]]
 
 
+def q_tpch_q11(sf_dir: str):
+    """TPC-H Q11 shape (important stock): per-part inventory value from
+    NATION_3 suppliers, keeping parts whose value exceeds 0.1%% of the
+    nation's total (l_extendedprice*l_quantity stands in for
+    ps_supplycost*ps_availqty — no partsupp in the synthetic schema).
+    The HAVING-vs-global-scalar-subquery becomes: one part-bounded
+    groupby of exact int64 10^-4 values, one scalar Sum fold, and a
+    map-side EXACT integer fraction filter ``value_u * 1000 >
+    total_u`` — no float threshold, so ties at the boundary are
+    deterministic.  Supplier→nation membership is a driver numpy
+    lookup applied before the shuffle (q7 pattern)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nat1 = nation.filter(
+        pc.equal(nation.column("n_name"), "NATION_3")
+    ).column("n_nationkey")
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    keep_sup = np.sort(
+        sup.filter(pc.is_in(sup.column("s_nationkey"), nat1))
+        .column("s_suppkey")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+    def value(b: pa.Table) -> pa.Table:
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keep_sup):
+            pos = np.minimum(np.searchsorted(keep_sup, sk), len(keep_sup) - 1)
+            keep = keep_sup[pos] == sk
+        else:
+            keep = np.zeros(len(sk), bool)
+        b = b.filter(pa.array(keep))
+        return pa.table(
+            {
+                "p_partkey": b.column("l_partkey"),
+                "value_u": pc.multiply(
+                    _money_cents(b.column("l_extendedprice")),
+                    _money_cents(b.column("l_quantity")),
+                ),
+            }
+        )
+
+    vals = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+        )
+        .map_batches(value, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Sum("value_u"))
+        .map_batches(
+            lambda b: _rename(b, {"sum(value_u)": "value_u"}),
+            batch_format="pyarrow",
+        )
+        .materialize()  # part-bounded; consumed twice (total + filter)
+    )
+    total = vals.aggregate(Sum("value_u"))["sum(value_u)"] or 0
+
+    def important(b: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            pc.multiply(b.column("value_u"), pa.scalar(1000, pa.int64())),
+            pa.scalar(total, pa.int64()),
+        )
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "p_partkey": b.column("p_partkey"),
+                "part_value": pc.divide(
+                    pc.cast(b.column("value_u"), pa.float64()),
+                    pa.scalar(10000.0),
+                ),
+            }
+        )
+
+    return vals.map_batches(important, batch_format="pyarrow")
+
+
+def q_tpch_q16(sf_dir: str):
+    """TPC-H Q16 shape (part/supplier relationship): distinct supplier
+    count per (p_brand, p_size) over non-Brand#12 parts, excluding
+    blacklisted suppliers (s_acctbal < 0 stands in for the complaints
+    LIKE subquery).  COUNT(DISTINCT) is the two-level scale-safe
+    groupby (dedupe (brand, size, suppkey) triples with map-side
+    combine, then a bounded count rollup); the NOT-IN set is tiny by
+    construction and applies as a vectorized is_in BEFORE the first
+    shuffle; part attrs ship as one packed int64 lookup value
+    (brand index * 2^8 + size)."""
+    import pyarrow.parquet as pq
+
+    from .joins import lookup_join_auto
+
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_acctbal"],
+    )
+    bad = pa.array(
+        sup.filter(pc.less(sup.column("s_acctbal"), pa.scalar(0.0)))
+        .column("s_suppkey")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+    # brand vocabulary must be deterministic and engine/oracle-shared:
+    # derive indexes from the numeric suffix (Brand#N -> N), size rides
+    # the low 8 bits
+    def part_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.not_equal(b.column("p_brand"), "Brand#12"))
+        brand_no = pc.cast(
+            pc.utf8_slice_codeunits(b.column("p_brand"), 6, 99), pa.int64()
+        )
+        packed = pc.add(
+            pc.multiply(brand_no, pa.scalar(1 << 8, pa.int64())),
+            pc.cast(b.column("p_size"), pa.int64()),
+        )
+        return pa.table({"p_partkey": b.column("p_partkey"), "packed": packed})
+
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"],
+    ).map_batches(part_prep, batch_format="pyarrow")
+
+    def pair_prep(b: pa.Table) -> pa.Table:
+        keep = pc.invert(
+            pc.is_in(pc.cast(b.column("l_suppkey"), pa.int64()), bad)
+        )
+        return pa.table(
+            {
+                "l_partkey": b.filter(keep).column("l_partkey"),
+                "l_suppkey": pc.cast(
+                    b.filter(keep).column("l_suppkey"), pa.int64()
+                ),
+            }
+        )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey"],
+    ).map_batches(pair_prep, batch_format="pyarrow")
+
+    def unpack(b: pa.Table) -> pa.Table:
+        packed = pc.cast(b.column("packed"), pa.int64())
+        brand_no = pc.divide(packed, pa.scalar(1 << 8, pa.int64()))
+        size = pc.subtract(
+            packed, pc.multiply(brand_no, pa.scalar(1 << 8, pa.int64()))
+        )
+        return pa.table(
+            {
+                "p_brand": pc.binary_join_element_wise(
+                    pa.array(["Brand#"] * b.num_rows),
+                    pc.cast(brand_no, pa.string()),
+                    "",
+                ),
+                "p_size": size,
+                "supplier_cnt": b.column("count()"),
+            }
+        )
+
+    return (
+        lookup_join_auto(
+            li, part, "l_partkey", "p_partkey", "packed", "packed",
+            num_buckets=64, num_partitions=16,
+        )
+        .map_batches(
+            lambda b: b.filter(pc.is_valid(b.column("packed"))).select(
+                ["packed", "l_suppkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["packed", "l_suppkey"])
+        .aggregate(Count())
+        .groupby("packed")
+        .aggregate(Count())
+        .map_batches(unpack, batch_format="pyarrow")
+    )
+
+
 def q_tpch_q13(sf_dir: str):
     """TPC-H Q13 shape (customer order-count distribution): how many
     customers placed 0, 1, 2, ... URGENT orders.  The LEFT OUTER join
@@ -4934,6 +5116,8 @@ QUERIES = {
     "tpch_q2": q_tpch_q2,
     "tpch_q9": q_tpch_q9,
     "tpch_q15": q_tpch_q15,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q16": q_tpch_q16,
     "running_revenue": q_running_revenue,
     "event_transitions": q_event_transitions,
     "event_props_stats": q_event_props_stats,
@@ -5942,6 +6126,33 @@ ORACLE_SQL = {
         SELECT r.s_suppkey, s.s_name, r.total_c / 10000.0 AS total_revenue
         FROM revenue r JOIN supplier s ON s.s_suppkey = r.s_suppkey
         WHERE r.total_c = (SELECT max(total_c) FROM revenue)
+    """,
+    # TPC-H Q11 shape: per-part value with an exact integer
+    # fraction-of-global-total filter (value*1000 > total)
+    "tpch_q11": """
+        WITH v AS (
+            SELECT l_partkey AS p_partkey,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_quantity * 100) AS BIGINT)) AS value_u
+            FROM lineitem, supplier, nation
+            WHERE s_suppkey = l_suppkey AND s_nationkey = n_nationkey
+              AND n_name = 'NATION_3'
+            GROUP BY l_partkey)
+        SELECT p_partkey, value_u / 10000.0 AS part_value
+        FROM v
+        WHERE value_u * 1000 > (SELECT sum(value_u) FROM v)
+    """,
+    # TPC-H Q16 shape: COUNT(DISTINCT supplier) per (brand, size) with
+    # a NOT-IN supplier exclusion (negative balance stands in for the
+    # complaints subquery)
+    "tpch_q16": """
+        SELECT p_brand, p_size::BIGINT AS p_size,
+               count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey AND p_brand <> 'Brand#12'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size
     """,
     # TPC-H Q13 shape: LEFT OUTER join + distribution of per-customer
     # order counts (zero-order customers appear with c_count = 0)

@@ -40,6 +40,8 @@ def test_entry_runs(ray_session):
         ("tpch_q2", {"p_partkey", "s_suppkey", "min_price", "s_name"}),
         ("tpch_q9", {"nation", "o_year", "sum_profit"}),
         ("tpch_q15", {"s_suppkey", "s_name", "total_revenue"}),
+        ("tpch_q11", {"p_partkey", "part_value"}),
+        ("tpch_q16", {"p_brand", "p_size", "supplier_cnt"}),
     ],
 )
 def test_query_schema(ray_session, name, cols):

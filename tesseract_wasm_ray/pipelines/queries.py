@@ -5038,6 +5038,149 @@ def q_quality_zscore(sf_dir: str):
     )
 
 
+def q_pagerank(sf_dir: str):
+    """Distributed PageRank (4 power-iteration rounds, damping 0.85)
+    over a deterministic link graph: document ``src`` links to
+    ``1 + src % 3`` targets derived by a Knuth-style multiplicative
+    hash mod n (doc_ids are contiguous 0..n-1 in the testdata, so
+    every target is a real node).  The VARYING out-degree matters: a
+    fixed out-degree would make every k-layer of the multiplicative
+    map a bijection mod n (gcd(2654435761, n) = 1), giving uniform
+    in-degree 3 and the trivial all-ranks-1.0 fixed point; restricting
+    layer k to the srcs with outdeg >= k skews in-degrees to 0..3 and
+    produces a real rank distribution.  The canonical ITERATIVE-shuffle
+    workload: each round is one streaming pass — map tasks compute
+    every node's per-edge contribution arithmetically (the edge list
+    never materializes as a table; dst = f(src) is recomputed per
+    batch), one map-side-combined groupby(dst).sum gathers in-flows,
+    and a union with a zero row per node keeps rank mass on nodes with
+    no in-links.  Per round the shuffle moves ≤4 int64 rows per node
+    (≤3 contributions + 1 zero) — no float, no text, no driver state
+    beyond the loop counter — and the rank vector re-materializes once
+    per round (the honest cost of power iteration; at 10^12 nodes this
+    would be a partitioned parquet checkpoint per round instead of the
+    object store, and the arithmetic toy generator a real edge table
+    bucket-joined on src).
+
+    ALL arithmetic is int64 fixed-point (rank scaled by 10^9, shares by
+    truncating integer division, damping as *85 // 100), so every sum
+    is associative and the result is bit-identical regardless of block
+    layout; the oracle replays the identical integer recurrence as
+    chained CTEs and both sides divide once by 1e9 at the very end."""
+    SCALE = 1_000_000_000
+    MULT, STEP = 2654435761, 40503
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    docs = _docs(sf_dir, columns=["doc_id"])
+
+    def init_ranks(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "r": pa.array(np.full(b.num_rows, SCALE, np.int64)),
+            }
+        )
+
+    def zero_inflow(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "inc": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def contributions(b: pa.Table) -> pa.Table:
+        src = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        outdeg = 1 + src % 3
+        share = b.column("r").to_numpy(zero_copy_only=False) // outdeg
+        dst_parts, inc_parts = [], []
+        for k in (1, 2, 3):
+            m = outdeg >= k
+            dst_parts.append((src[m] * MULT + k * STEP) % n)
+            inc_parts.append(share[m])
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(dst_parts), pa.int64()),
+                "inc": pa.array(np.concatenate(inc_parts), pa.int64()),
+            }
+        )
+
+    def damp(b: pa.Table) -> pa.Table:
+        inflow = b.column("sum(inc)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "r": pa.array(SCALE * 15 // 100 + 85 * inflow // 100, pa.int64()),
+            }
+        )
+
+    ranks = docs.map_batches(init_ranks, batch_format="pyarrow")
+    for _ in range(4):
+        ranks = (
+            ranks.map_batches(contributions, batch_format="pyarrow")
+            .union(docs.map_batches(zero_inflow, batch_format="pyarrow"))
+            .groupby("doc_id")
+            .aggregate(Sum("inc"))
+            .map_batches(damp, batch_format="pyarrow")
+            .materialize()  # one rank row per node; per-round checkpoint
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                # one IEEE division from the exact integer — no round()
+                "rank": pc.divide(
+                    pc.cast(b.column("r"), pa.float64()), pa.scalar(float(SCALE))
+                ),
+            }
+        )
+
+    return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def q_customer_ntile(sf_dir: str):
+    """Window-function ntile: quartile bucketing of customers by
+    account balance within each nation.  Per-group work is one Arrow
+    sort + a closed-form numpy tile assignment (DuckDB's ntile rule:
+    the first n % k tiles get one extra row) — no pandas round-trip,
+    no per-row loop; the only shuffle is the groupby hash exchange,
+    and each group emits exactly its input rows."""
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+    K = 4
+
+    def ntile(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("c_acctbal", "descending"), ("c_custkey", "ascending")])
+        m = t.num_rows
+        idx = np.arange(m, dtype=np.int64)
+        big = m % K
+        size = m // K
+        big_span = big * (size + 1)
+        if size == 0:
+            tile = idx + 1  # fewer rows than tiles: one row per tile
+        else:
+            tile = np.where(
+                idx < big_span,
+                idx // (size + 1) + 1,
+                big + (idx - big_span) // size + 1,
+            )
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+                "tile": pa.array(tile, pa.int64()),
+            }
+        )
+
+    return cust.groupby("c_nationkey", num_partitions=4).map_groups(
+        ntile, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # catalogue + oracles
 # ---------------------------------------------------------------------------
@@ -5131,6 +5274,8 @@ QUERIES = {
     "video_frames": q_video_frames,
     "incremental_dedup": q_incremental_dedup,
     "exact_substring_dedup": q_exact_substring_dedup,
+    "pagerank": q_pagerank,
+    "customer_ntile": q_customer_ntile,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -6265,6 +6410,48 @@ ORACLE_SQL = {
                                / sqrt(s2/c - (s1/c)*(s1/c)), 6)
                END AS zscore
         FROM documents d JOIN s USING (lang)
+    """,
+    # 4 PageRank power-iteration rounds replayed as chained CTEs over
+    # the same arithmetic link graph (outdeg = 1 + src % 3, dst =
+    # (src*2654435761 + k*40503) % n for k <= outdeg); ALL integer
+    # fixed-point — `//` truncation and 85*//100 damping match the Ray
+    # side's numpy int64 ops exactly, so the single final /1e9
+    # division is bit-identical
+    "pagerank": (
+        """
+        WITH nn AS (SELECT count(*) AS c FROM documents),
+        e AS (
+            SELECT doc_id AS src, 1 + doc_id % 3 AS outdeg,
+                   (doc_id * 2654435761 + k * 40503) % (SELECT c FROM nn) AS dst
+            FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)
+            WHERE k <= 1 + doc_id % 3
+        ),
+        r0 AS (SELECT doc_id, 1000000000::BIGINT AS r FROM documents),"""
+        + ",".join(
+            f"""
+        r{i} AS (
+            SELECT d.doc_id,
+                   CAST(150000000 + 85 * coalesce(s.inc, 0) // 100 AS BIGINT) AS r
+            FROM documents d LEFT JOIN (
+                SELECT e.dst AS doc_id, sum(r{i - 1}.r // e.outdeg) AS inc
+                FROM e JOIN r{i - 1} ON e.src = r{i - 1}.doc_id GROUP BY e.dst
+            ) s USING (doc_id)
+        )"""
+            for i in range(1, 5)
+        )
+        + """
+        SELECT doc_id, r / 1000000000.0 AS rank FROM r4
+    """
+    ),
+    # DuckDB's ntile: first n%k tiles get one extra row; ties broken
+    # by c_custkey so the assignment is total-order deterministic
+    "customer_ntile": """
+        SELECT c_custkey, c_nationkey::BIGINT AS c_nationkey,
+               ntile(4) OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey ASC
+               ) AS tile
+        FROM customer
     """,
 }
 

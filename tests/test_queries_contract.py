@@ -42,6 +42,8 @@ def test_entry_runs(ray_session):
         ("tpch_q15", {"s_suppkey", "s_name", "total_revenue"}),
         ("tpch_q11", {"p_partkey", "part_value"}),
         ("tpch_q16", {"p_brand", "p_size", "supplier_cnt"}),
+        ("pagerank", {"doc_id", "rank"}),
+        ("customer_ntile", {"c_custkey", "c_nationkey", "tile"}),
     ],
 )
 def test_query_schema(ray_session, name, cols):

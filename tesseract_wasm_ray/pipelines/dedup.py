@@ -1097,6 +1097,56 @@ def simhash_dedup(
     return anti_join_ids(ds, dup_ids, id_col, strategy=anti_strategy)
 
 
+def ahash_image_dedup(
+    ds: rd.Dataset,
+    id_col: str = "media_ref",
+    max_hamming: int = 3,
+    num_buckets: int = 64,
+    anti_strategy: str = "auto",
+) -> rd.Dataset:
+    """Perceptual-hash image near-dup removal (the multimodal sibling of
+    simhash_dedup): each raster row (pixels/width/height/channels)
+    sketches to a 64-bit average-hash (stages.multimodal.ahash64 —
+    integer-exact, so re-encoded or low-amplitude-perturbed copies land
+    within a few bits), candidates come from the same 4-block
+    pigeonhole keys (complete for hamming <= 3), and verified dups
+    (EXISTS a smaller-id image within ``max_hamming`` bits) are
+    anti-joined away.  Only (id, block_key, sig) int rows shuffle — the
+    pixel payloads never leave their map task."""
+    from ..functions.sketch import hamming_distance, simhash_blocks
+    from ..stages.multimodal import ahash64
+
+    n_blocks = 4
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        sig = ahash64(batch)
+        n = len(sig)
+        blocks = simhash_blocks(sig, n_blocks)
+        keyed = blocks + (np.arange(n_blocks, dtype=np.int64) << 48)[None, :]
+        ids = pc.take(
+            batch.column(id_col), pa.array(np.repeat(np.arange(n), n_blocks), pa.int64())
+        )
+        return pa.table(
+            {
+                id_col: _single_chunk(ids),
+                "block_key": pa.array(keyed.ravel(), pa.int64()),
+                "sim": pa.array(np.repeat(sig.view(np.int64), n_blocks), pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(sketch, batch_format="pyarrow")
+
+    def verify(t: pa.Table, rep_idx: np.ndarray, member_idx: np.ndarray) -> np.ndarray:
+        sim = t.column("sim").to_numpy(zero_copy_only=False).view(np.uint64)
+        return hamming_distance(sim[member_idx], sim[rep_idx]) <= max_hamming
+
+    id_type = ds.schema().base_schema.field(id_col).type
+    dup_ids = _dup_ids_from_buckets(
+        rows, "block_key", id_col, verify, num_buckets, id_type=id_type
+    )
+    return anti_join_ids(ds, dup_ids, id_col, strategy=anti_strategy)
+
+
 def _pair_jaccard(text_a: pa.Array, text_b: pa.Array, shingle_n: int) -> np.ndarray:
     """Exact word-shingle-set Jaccard per aligned (text_a[i], text_b[i])
     pair — fully vectorized: distinct shingles per row via np.unique over

@@ -2197,6 +2197,73 @@ def q_media_features(sf_dir: str):
     return media.map_batches(media_features, batch_format="pyarrow")
 
 
+def _plant_image_variants(b: pa.Table) -> pa.Table:
+    """Deterministic image-copy planting for phash_dedup (mirrored
+    byte-for-byte by the SQL oracle): images whose md5(media_ref) hex
+    starts with 0-3 gain a LOW-AMPLITUDE copy (every pixel byte XOR 1 —
+    a ±1 intensity wiggle, the arithmetic stand-in for a re-encoded
+    thumbnail) that must land within a few ahash bits and be REMOVED;
+    images starting with 4-5 gain an INVERTED copy (255 - byte) whose
+    block-vs-global-mean bits all flip — the negative control that must
+    SURVIVE.  Variant ids sort after their originals, so the original
+    is always the cluster survivor."""
+    refs = _single_chunk_q(b.column("media_ref")).to_pylist()
+    pix = _single_chunk_q(b.column("pixels"))
+    keep = [b]
+    v_ref, v_pix, v_rows = [], [], []
+    for i, r in enumerate(refs):
+        h0 = hashlib.md5(r.encode()).hexdigest()[0]
+        if h0 in "0123":
+            arr = np.frombuffer(pix[i].as_py(), np.uint8) ^ 1
+            v_ref.append(r + "~v2")
+        elif h0 in "45":
+            arr = 255 - np.frombuffer(pix[i].as_py(), np.uint8)
+            v_ref.append(r + "~neg")
+        else:
+            continue
+        v_pix.append(arr.tobytes())
+        v_rows.append(i)
+    if v_rows:
+        idx = pa.array(v_rows, pa.int64())
+        keep.append(
+            pa.table(
+                {
+                    "media_ref": pa.array(v_ref, pa.string()),
+                    "width": pc.take(b.column("width"), idx),
+                    "height": pc.take(b.column("height"), idx),
+                    "channels": pc.take(b.column("channels"), idx),
+                    "pixels": pa.array(v_pix, pa.binary()),
+                }
+            )
+        )
+    return pa.concat_tables(
+        [t.select(["media_ref", "width", "height", "channels", "pixels"]) for t in keep]
+    )
+
+
+def q_phash_dedup(sf_dir: str):
+    """Perceptual-hash image near-dup dedup (the LAION-style multimodal
+    dedup pass): plant low-amplitude and inverted copies of a md5-routed
+    slice of the media corpus, sketch every raster to a 64-bit integer
+    average-hash, and remove any image within hamming <= 3 of a
+    smaller-id image (4-block pigeonhole candidates — complete at that
+    radius — then exact hamming verify; only int rows shuffle, pixels
+    never leave their map task).  The DuckDB oracle re-derives the SAME
+    hash from hex-exploded pixel bytes and replays the EXISTS rule, so
+    this is value-gated end to end."""
+    from .dedup import ahash_image_dedup
+
+    paths = corpus_for(sf_dir)
+    media = rd.read_parquet(
+        paths["media"], columns=["media_ref", "width", "height", "channels", "pixels"]
+    )
+    planted = media.map_batches(_plant_image_variants, batch_format="pyarrow")
+    survivors = ahash_image_dedup(planted, id_col="media_ref", max_hamming=3)
+    return survivors.map_batches(
+        lambda b: b.select(["media_ref", "width", "height"]), batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data ops on testdata tables (rows-only checks)
 # ---------------------------------------------------------------------------
@@ -5288,6 +5355,7 @@ QUERIES = {
     "boilerplate_strip": q_boilerplate_strip,
     "media_features": q_media_features,
     "media_decode": q_media_decode,
+    "phash_dedup": q_phash_dedup,
     # training-data ops (rows-only)
     "minhash_dedup": q_minhash_dedup,
     "minhash_components_dedup": q_minhash_components_dedup,
@@ -6561,6 +6629,82 @@ ORACLE_SQL.update(
                    n_dark::DOUBLE / n_pix AS ink_density,
                    width::DOUBLE / height AS aspect_ratio
             FROM read_parquet('{_G01}/golden_pages/*.parquet')
+        """,
+        # Full independent-engine recompute of the 64-bit average-hash
+        # from hex-exploded pixel bytes.  The two-level chunked explode
+        # (raster row -> 32-pixel segment -> byte) exists because
+        # DuckDB's unnest flattening COPIES the carried string per
+        # emitted row: exploding straight to pixels drags the whole
+        # ~40 KB hex blob through 2.6M rows (~100 GB of memcpy, 80+ s);
+        # cutting to a ~1.4 KB row string, then a ~256 B segment, makes
+        # the same query ~2 s.  Planting (byte XOR 1 / 255-byte,
+        # md5-routed), luma (299/587/114 // 1000), the (coord*8)//extent
+        # block grid, the integer cross-multiplied bit rule and the
+        # EXISTS-smaller-id-within-hamming-3 keep rule all mirror
+        # stages.multimodal.ahash64 + dedup.ahash_image_dedup exactly.
+        "phash_dedup": f"""
+            WITH base AS (
+                SELECT media_ref AS id, width, height, channels::BIGINT AS c,
+                       width::BIGINT * height::BIGINT AS npx, hex(pixels) AS hx, 0 AS mode
+                FROM read_parquet('{_G01}/media/*.parquet')
+            ),
+            aug AS (
+                SELECT * FROM base
+                UNION ALL
+                SELECT id || '~v2', width, height, c, npx, hx, 1 FROM base
+                WHERE substr(md5(id), 1, 1) IN ('0','1','2','3')
+                UNION ALL
+                SELECT id || '~neg', width, height, c, npx, hx, 2 FROM base
+                WHERE substr(md5(id), 1, 1) IN ('4','5')
+            ),
+            lvl1 AS (
+                SELECT id, npx, width, height, c, mode, r,
+                       substr(hx, CAST(r*width*c*2 + 1 AS BIGINT), CAST(width*c*2 AS BIGINT)) AS rowhex
+                FROM (SELECT id, npx, width::BIGINT AS width, height::BIGINT AS height, c, mode, hx,
+                             unnest(range(height)) AS r FROM aug)
+            ),
+            lvl2 AS (
+                SELECT id, npx, width, height, c, mode, r, k,
+                       substr(rowhex, CAST(k*64*c + 1 AS BIGINT), CAST(64*c AS BIGINT)) AS seg
+                FROM (SELECT *, unnest(range((width + 31) // 32)) AS k FROM lvl1)
+            ),
+            px AS (
+                SELECT id, npx, width, height, c, mode, r, k*32 + j AS col,
+                       CAST('0x' || substr(seg, CAST(j*c*2 + 1 AS BIGINT), 2) AS BIGINT) AS r0,
+                       CASE WHEN c >= 3 THEN CAST('0x' || substr(seg, CAST((j*c+1)*2 + 1 AS BIGINT), 2) AS BIGINT) ELSE 0 END AS r1,
+                       CASE WHEN c >= 3 THEN CAST('0x' || substr(seg, CAST((j*c+2)*2 + 1 AS BIGINT), 2) AS BIGINT) ELSE 0 END AS r2
+                FROM (SELECT *, unnest(range(least(32, width - k*32))) AS j FROM lvl2)
+            ),
+            lum AS (
+                SELECT id, npx, width, height,
+                   ((r * 8) // height) * 8 + ((col * 8) // width) AS bidx,
+                   CASE WHEN c = 1 THEN b0 ELSE (299*b0 + 587*b1 + 114*b2) // 1000 END AS v
+                FROM (
+                  SELECT id, npx, width, height, c, r, col,
+                    CASE mode WHEN 1 THEN r0 + 1 - 2*(r0 % 2) WHEN 2 THEN 255 - r0 ELSE r0 END AS b0,
+                    CASE mode WHEN 1 THEN r1 + 1 - 2*(r1 % 2) WHEN 2 THEN 255 - r1 ELSE r1 END AS b1,
+                    CASE mode WHEN 1 THEN r2 + 1 - 2*(r2 % 2) WHEN 2 THEN 255 - r2 ELSE r2 END AS b2
+                  FROM px
+                )
+            ),
+            blocks AS (
+                SELECT id, bidx, sum(v) AS bsum, count(*) AS bcnt, max(npx) AS npx
+                FROM lum GROUP BY 1, 2
+            ),
+            tot AS (SELECT id, sum(v) AS tsum FROM lum GROUP BY id),
+            bit AS (
+                SELECT b.id, b.bidx,
+                       CASE WHEN b.bsum * b.npx > t.tsum * b.bcnt THEN 1 ELSE 0 END AS bit
+                FROM blocks b JOIN tot t USING (id)
+            ),
+            ham AS (
+                SELECT x.id AS hi, sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS d
+                FROM bit x JOIN bit y ON x.bidx = y.bidx AND x.id > y.id
+                GROUP BY x.id, y.id
+            )
+            SELECT a.id AS media_ref, a.width, a.height
+            FROM aug a
+            WHERE a.id NOT IN (SELECT DISTINCT hi FROM ham WHERE d <= 3)
         """,
     }
 )

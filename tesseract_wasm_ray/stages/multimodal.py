@@ -477,6 +477,43 @@ def media_features(batch: pa.Table) -> pa.Table:
     )
 
 
+def ahash64(batch: pa.Table) -> np.ndarray:
+    """64-bit perceptual average-hash per raster row (the LAION-style
+    image-dedup sketch): luma via exact integer weights
+    ``(299*r + 587*g + 114*b) // 1000`` (alpha ignored), an 8x8 grid of
+    block sums with pixel->block mapping ``(coord * 8) // extent``, and
+    bit j set iff ``block_sum * n_pixels > total_sum * block_count``
+    (integer cross-multiplication — NO float means, so an independent
+    engine replaying the same integers produces bit-identical hashes;
+    the phash_dedup DuckDB oracle does exactly that from the hex bytes).
+    The per-image loop is over a batch's few rows; everything inside is
+    vectorized numpy.  Returns one uint64 signature per row."""
+    pixels = _single_chunk(batch.column("pixels"))
+    widths = batch.column("width").to_pylist()
+    heights = batch.column("height").to_pylist()
+    channels = batch.column("channels").to_pylist()
+    shifts = np.arange(64, dtype=np.uint64)
+    out = np.empty(batch.num_rows, np.uint64)
+    for i in range(batch.num_rows):
+        w, h, c = widths[i], heights[i], channels[i]
+        img = np.frombuffer(pixels[i].as_py(), dtype=np.uint8).reshape(h, w, c)
+        a = img.astype(np.int64)
+        if c >= 3:
+            v = (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+        else:
+            v = a[..., 0]
+        bidx = (
+            ((np.arange(h, dtype=np.int64) * 8) // h)[:, None] * 8
+            + ((np.arange(w, dtype=np.int64) * 8) // w)[None, :]
+        )
+        bsum = np.zeros(64, np.int64)
+        np.add.at(bsum, bidx.ravel(), v.ravel())
+        bcnt = np.bincount(bidx.ravel(), minlength=64)
+        bits = bsum * (h * w) > int(v.sum()) * bcnt
+        out[i] = (bits.astype(np.uint64) << shifts).sum(dtype=np.uint64)
+    return out
+
+
 def sample_frames(batch: pa.Table, every_nth: int = 10) -> pa.Table:
     """Frame sampling for raw concatenated-frame video payloads
     (codec="raw": payload = n_frames × h × w × c bytes) — REAL slicing.

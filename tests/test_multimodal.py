@@ -564,3 +564,57 @@ def test_gif_local_color_table_frame():
     dec = g.decode_gif(bytes(out))
     assert dec.shape == (2, 2, 3)
     assert tuple(dec[0, 0]) == (255, 0, 0) and tuple(dec[0, 1]) == (0, 0, 255)
+
+
+def _img_table(entries):
+    """entries: list of (ref, np.ndarray HxWxC uint8)."""
+    return pa.table(
+        {
+            "media_ref": pa.array([r for r, _ in entries], pa.string()),
+            "width": pa.array([a.shape[1] for _, a in entries], pa.int32()),
+            "height": pa.array([a.shape[0] for _, a in entries], pa.int32()),
+            "channels": pa.array([a.shape[2] for _, a in entries], pa.int32()),
+            "pixels": pa.array([a.tobytes() for _, a in entries], pa.binary()),
+        }
+    )
+
+
+def test_ahash64_perceptual_properties():
+    from tesseract_wasm_ray.stages.multimodal import ahash64
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(40, 56, 1), dtype=np.uint8)
+    wiggle = base ^ 1  # +-1 intensity: near-identical perceptually
+    inverted = 255 - base  # complement: every mean comparison flips
+    rgba = rng.integers(0, 256, size=(40, 56, 4), dtype=np.uint8)
+    t = _img_table(
+        [("a", base), ("b", wiggle), ("c", inverted), ("d", rgba)]
+    )
+    sigs = ahash64(t)
+    ham = lambda x, y: bin(int(x) ^ int(y)).count("1")
+    assert ham(sigs[0], sigs[1]) <= 3  # wiggle stays within the radius
+    assert ham(sigs[0], sigs[2]) >= 50  # inversion flips (almost) all bits
+    # alpha must be ignored: zeroing it cannot change the hash
+    rgba2 = rgba.copy()
+    rgba2[..., 3] = 0
+    sigs2 = ahash64(_img_table([("d", rgba2)]))
+    assert sigs2[0] == sigs[3]
+
+
+def test_ahash_image_dedup_removes_wiggled_copy(ray_session):
+    import ray.data as rd
+
+    from tesseract_wasm_ray.pipelines.dedup import ahash_image_dedup
+
+    rng = np.random.default_rng(11)
+    imgs = []
+    for i in range(6):
+        imgs.append((f"img{i}", rng.integers(0, 256, size=(32, 48, 1), dtype=np.uint8)))
+    # plant: img0's wiggle (must be removed), img1's inversion (must stay)
+    imgs.append(("img0~v2", imgs[0][1] ^ 1))
+    imgs.append(("img1~neg", 255 - imgs[1][1]))
+    ds = rd.from_arrow(_img_table(imgs))
+    kept = sorted(ahash_image_dedup(ds).to_pandas()["media_ref"])
+    assert "img0~v2" not in kept
+    assert "img1~neg" in kept
+    assert {f"img{i}" for i in range(6)} <= set(kept)

@@ -5248,6 +5248,166 @@ def q_customer_ntile(sf_dir: str):
     )
 
 
+def q_graph_triangles(sf_dir: str):
+    """Per-node triangle counting over the same deterministic link
+    graph as pagerank — the canonical JOIN-HEAVY graph-analytics shape
+    (compact-forward / edge-wedge-edge intersection).  Four int-only
+    shuffles, no driver state:
+
+    1. canonical edge dedup: map tasks emit (lo, hi) with self-loops
+       dropped and map-side np.unique; one groupby makes edges
+       distinct.
+    2. wedge generation: groupby(lo) — for a canonical triangle
+       a<b<c, BOTH a-edges (a,b),(a,c) carry lo=a, so each group emits
+       its triu pairs (a, b, c).  Group size = the min-vertex's
+       forward degree, so wedge count is sum(deg_lo^2)/2 — the known
+       cost of triangle enumeration; skewed hubs would need the salt /
+       degree-cap treatment documented in SURVEY.
+    3. wedge↔edge intersection WITHOUT a per-key map_groups storm:
+       wedges and edges union into one dataset tagged by is_edge,
+       bucketed by a crc of the packed (b, c) key (the
+       _dup_ids_from_buckets discipline), and each bucket group
+       resolves all its runs vectorized — sort by key, a run with an
+       edge row converts every wedge row into a triangle, emitting
+       per-corner (node, partial-count) rows via one bincount.
+    4. final groupby(doc_id).sum — nodes in at least one triangle.
+
+    The DuckDB oracle replays the same 3-way self-join declaratively."""
+    import pyarrow.parquet as pq
+
+    MULT, STEP = 2654435761, 40503
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    docs = _docs(sf_dir, columns=["doc_id"])
+
+    def gen_edges(b: pa.Table) -> pa.Table:
+        src = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        outdeg = 1 + src % 3
+        parts = []
+        for k in (1, 2, 3):
+            m = outdeg >= k
+            parts.append(np.stack([src[m], (src[m] * MULT + k * STEP) % n], axis=1))
+        e = np.concatenate(parts)
+        e = e[e[:, 0] != e[:, 1]]  # drop self-loops
+        lo = np.minimum(e[:, 0], e[:, 1])
+        hi = np.maximum(e[:, 0], e[:, 1])
+        canon = np.unique(np.stack([lo, hi], axis=1), axis=0)  # map-side dedup
+        return pa.table(
+            {"lo": pa.array(canon[:, 0]), "hi": pa.array(canon[:, 1])}
+        )
+
+    edges = (
+        docs.map_batches(gen_edges, batch_format="pyarrow")
+        .groupby(["lo", "hi"])
+        .aggregate(Count())
+        .drop_columns(["count()"])
+    )
+
+    NB = 32
+
+    def wedges(group: pa.Table) -> pa.Table:
+        # group = all canonical edges with the same lo (possibly several
+        # lo runs per call under num_partitions); emit triu pairs per run
+        t = group.sort_by([("lo", "ascending"), ("hi", "ascending")])
+        lo = t.column("lo").to_numpy(zero_copy_only=False)
+        hi = t.column("hi").to_numpy(zero_copy_only=False)
+        a_out, b_out, c_out = [], [], []
+        starts = np.flatnonzero(np.r_[True, lo[1:] != lo[:-1]])
+        ends = np.r_[starts[1:], len(lo)]
+        for s, e in zip(starts, ends):
+            L = e - s
+            if L < 2:
+                continue
+            i, j = np.triu_indices(L, k=1)
+            a_out.append(np.full(len(i), lo[s]))
+            b_out.append(hi[s + i])
+            c_out.append(hi[s + j])
+        if not a_out:
+            return pa.table(
+                {
+                    "b": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                    "a": pa.array([], pa.int64()),
+                    "is_edge": pa.array([], pa.int8()),
+                }
+            )
+        return pa.table(
+            {
+                "b": pa.array(np.concatenate(b_out), pa.int64()),
+                "c": pa.array(np.concatenate(c_out), pa.int64()),
+                "a": pa.array(np.concatenate(a_out), pa.int64()),
+                "is_edge": pa.array(
+                    np.zeros(sum(len(x) for x in a_out), np.int8)
+                ),
+            }
+        )
+
+    wedge_rows = edges.groupby("lo", num_partitions=8).map_groups(
+        wedges, batch_format="pyarrow"
+    )
+
+    def tag_edges(b: pa.Table) -> pa.Table:
+        m = b.num_rows
+        return pa.table(
+            {
+                "b": b.column("lo"),
+                "c": b.column("hi"),
+                "a": pa.array(np.full(m, -1, np.int64)),
+                "is_edge": pa.array(np.ones(m, np.int8)),
+            }
+        )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        key = (
+            b.column("b").to_numpy(zero_copy_only=False) * np.int64(n)
+            + b.column("c").to_numpy(zero_copy_only=False)
+        )
+        return b.append_column(
+            "__bucket", pa.array((key % NB).astype(np.int32), pa.int32())
+        )
+
+    def intersect(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("b", "ascending"), ("c", "ascending")])
+        bb = t.column("b").to_numpy(zero_copy_only=False)
+        cc = t.column("c").to_numpy(zero_copy_only=False)
+        aa = t.column("a").to_numpy(zero_copy_only=False)
+        ie = t.column("is_edge").to_numpy(zero_copy_only=False).astype(bool)
+        if len(bb) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "part": pa.array([], pa.int64())}
+            )
+        new = np.r_[True, (bb[1:] != bb[:-1]) | (cc[1:] != cc[:-1])]
+        run = np.cumsum(new) - 1
+        nruns = run[-1] + 1
+        has_edge = np.zeros(nruns, bool)
+        np.logical_or.at(has_edge, run[ie], True)
+        tri = ~ie & has_edge[run]  # wedge rows whose (b,c) is an edge
+        if not tri.any():
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "part": pa.array([], pa.int64())}
+            )
+        corners = np.concatenate([aa[tri], bb[tri], cc[tri]])
+        nodes, cnts = np.unique(corners, return_counts=True)
+        return pa.table(
+            {"doc_id": pa.array(nodes), "part": pa.array(cnts.astype(np.int64))}
+        )
+
+    tagged = wedge_rows.union(edges.map_batches(tag_edges, batch_format="pyarrow"))
+    partials = (
+        tagged.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket", num_partitions=8)
+        .map_groups(
+            lambda g: intersect(g.drop_columns(["__bucket"])), batch_format="pyarrow"
+        )
+    )
+    return (
+        partials.groupby("doc_id")
+        .aggregate(Sum("part"))
+        .map_batches(
+            lambda b: _rename(b, {"sum(part)": "n_triangles"}), batch_format="pyarrow"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # catalogue + oracles
 # ---------------------------------------------------------------------------
@@ -5343,6 +5503,7 @@ QUERIES = {
     "exact_substring_dedup": q_exact_substring_dedup,
     "pagerank": q_pagerank,
     "customer_ntile": q_customer_ntile,
+    "graph_triangles": q_graph_triangles,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -6511,6 +6672,34 @@ ORACLE_SQL = {
         SELECT doc_id, r / 1000000000.0 AS rank FROM r4
     """
     ),
+    # triangle counting as the declarative 3-way self-join over the
+    # same canonical (lo < hi) distinct edge set the pipeline derives;
+    # corner fan-out + groupby mirrors the per-corner partial counts
+    "graph_triangles": """
+        WITH nn AS (SELECT count(*) AS c FROM documents),
+        e0 AS (
+            SELECT doc_id AS src,
+                   (doc_id * 2654435761 + k * 40503) % (SELECT c FROM nn) AS dst
+            FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)
+            WHERE k <= 1 + doc_id % 3
+        ),
+        e AS (
+            SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+            FROM e0 WHERE src <> dst
+        ),
+        tri AS (
+            SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+            FROM e e1 JOIN e e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+            JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+        ),
+        corners AS (
+            SELECT a AS v FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        SELECT v AS doc_id, count(*)::BIGINT AS n_triangles
+        FROM corners GROUP BY v
+    """,
     # DuckDB's ntile: first n%k tiles get one extra row; ties broken
     # by c_custkey so the assignment is total-order deterministic
     "customer_ntile": """

@@ -69,3 +69,50 @@ def test_ntile_sizes_follow_duckdb_rule(ray_session):
         small = n // 4
         expect = [small + 1] * big + [small] * (4 - big) if small else [1] * n
         assert list(sizes.values) == [s for s in expect if s][: len(sizes)]
+
+
+def test_graph_triangles_matches_numpy_replay(ray_session):
+    from tesseract_wasm_ray.pipelines.queries import q_graph_triangles
+
+    got = (
+        q_graph_triangles(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ids = (
+        pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_numpy()
+        .astype(np.int64)
+    )
+    n = len(ids)
+    MULT, STEP = 2654435761, 40503
+    parts = []
+    for k in (1, 2, 3):
+        m = (1 + ids % 3) >= k
+        parts.append(np.stack([ids[m], (ids[m] * MULT + k * STEP) % n], 1))
+    e = np.concatenate(parts)
+    e = e[e[:, 0] != e[:, 1]]
+    E = set(
+        map(
+            tuple,
+            np.unique(
+                np.stack([np.minimum(e[:, 0], e[:, 1]), np.maximum(e[:, 0], e[:, 1])], 1),
+                axis=0,
+            ),
+        )
+    )
+    adj: dict[int, list[int]] = {}
+    for a, b in E:
+        adj.setdefault(int(a), []).append(int(b))
+    counts: dict[int, int] = {}
+    for a, nbrs in adj.items():
+        nb = sorted(nbrs)
+        for i in range(len(nb)):
+            for j in range(i + 1, len(nb)):
+                if (nb[i], nb[j]) in E:
+                    for v in (a, nb[i], nb[j]):
+                        counts[v] = counts.get(v, 0) + 1
+    want = sorted(counts.items())
+    assert list(zip(got["doc_id"], got["n_triangles"])) == want

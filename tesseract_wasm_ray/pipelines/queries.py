@@ -5408,6 +5408,220 @@ def q_graph_triangles(sf_dir: str):
     )
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Cross-snapshot reconciliation (the FULL OUTER JOIN shape, done
+    without a join): classify every doc_id across two crawl snapshots
+    as added / removed / changed.  The new snapshot is derived
+    deterministically from the old (doc_id % 11 == 0 rows removed,
+    % 5 == 0 rows get n_chars + 7, % 13 == 0 rows re-appear shifted by
+    +1,000,000 as adds).  Both sides union into (doc_id, side,
+    n_chars) rows and ONE map-side-combined groupby computes count,
+    side-sum and the signed n_chars delta per id — presence and change
+    detection fall out of three int aggregates, so the full-outer
+    semantics costs exactly one shuffle of 3-int rows and no driver
+    state.  At 10^12 ids this is the scalable way to diff snapshots —
+    a real outer join would move both payloads; this moves one int."""
+    docs = _docs(sf_dir, columns=["doc_id", "n_chars"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = b.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        # old side
+        out_id = [did]
+        out_side = [np.zeros(len(did), np.int64)]
+        out_nch = [-nch]  # signed: new minus old
+        # new side: survivors (with % 5 change), then the adds
+        keep = did % 11 != 0
+        nid, nnch = did[keep], nch[keep].copy()
+        chg = nid % 5 == 0
+        nnch[chg] += 7
+        out_id.append(nid)
+        out_side.append(np.ones(len(nid), np.int64))
+        out_nch.append(nnch)
+        add = did % 13 == 0
+        out_id.append(did[add] + 1_000_000)
+        out_side.append(np.ones(int(add.sum()), np.int64))
+        out_nch.append(nch[add])
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id)),
+                "side": pa.array(np.concatenate(out_side)),
+                "d": pa.array(np.concatenate(out_nch)),
+            }
+        )
+
+    def classify(b: pa.Table) -> pa.Table:
+        cnt = b.column("count()").to_numpy(zero_copy_only=False)
+        s = b.column("sum(side)").to_numpy(zero_copy_only=False)
+        d = b.column("sum(d)").to_numpy(zero_copy_only=False)
+        keep = (cnt == 1) | (d != 0)
+        status = np.where(
+            cnt == 1, np.where(s == 1, "added", "removed"), "changed"
+        )
+        idx = pa.array(np.flatnonzero(keep), pa.int64())
+        return pa.table(
+            {
+                "doc_id": pc.take(b.column("doc_id"), idx),
+                "status": pa.array(status[keep], pa.string()),
+            }
+        )
+
+    return (
+        docs.map_batches(tag, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(), Sum("side"), Sum("d"))
+        .map_batches(classify, batch_format="pyarrow")
+    )
+
+
+def q_ocr_spell_candidates(sf_dir: str):
+    """Post-OCR spell-correction candidate mining via SymSpell
+    deletion-neighborhood hashing — find (misread, correction) term
+    pairs at edit distance 1 WITHOUT an all-pairs vocabulary join.
+    Docs whose md5(doc_id) routes into a 1/8 slice get OCR-style
+    corruption planted (first char of every token of length >= 4
+    becomes 'x' — SQL-replicable, unlike a real misread).  Map tasks
+    count terms (vocabulary-sized partials), every distinct term emits
+    itself + its single-char-deletion variants as bucket keys (two
+    terms within edit distance 1 ALWAYS share a key — substitution:
+    both delete the differing position; indel: the longer's deletion
+    IS the shorter), and each bucket verifies its candidate runs with
+    an exact distance-1 check plus the frequency rule (suggestion
+    count >= 4x the misread's).  Only (key-hash, term, cnt) rows
+    shuffle; the vocabulary never concentrates on the driver.  The
+    oracle replays corruption + levenshtein(a,b)=1 declaratively."""
+    tok_re = r"\s+"
+
+    def term_counts(b: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(b.column("text"))
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        corrupt = np.array(
+            [hashlib.md5(str(int(i)).encode()).hexdigest()[0] in "01" for i in did]
+        )
+        toks = pc.split_pattern_regex(texts, tok_re)
+        flat = pc.list_flatten(toks)
+        par = np.repeat(
+            np.arange(b.num_rows), pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        )
+        mask = pc.not_equal(flat, "")
+        flat = flat.filter(mask)
+        par = par[mask.to_numpy(zero_copy_only=False)]
+        # plant the OCR misread on the corrupted slice's long tokens
+        is_long = pc.greater_equal(pc.utf8_length(flat), 4).to_numpy(zero_copy_only=False)
+        do = corrupt[par] & is_long
+        if do.any():
+            xed = pc.binary_join_element_wise(
+                "x", pc.utf8_slice_codeunits(flat, 1), ""
+            )
+            flat = pc.if_else(pa.array(do), xed, flat)
+        t = pa.table({"term": flat})
+        enc = _single_chunk_q(pc.dictionary_encode(t.column("term")))
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        k = len(enc.dictionary)
+        return pa.table(
+            {
+                "term": enc.dictionary,
+                "cnt": pa.array(np.bincount(codes, minlength=k).astype(np.int64)),
+            }
+        )
+
+    vocab = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(term_counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt"))
+    )
+
+    NB = 16
+
+    def emit_keys(b: pa.Table) -> pa.Table:
+        terms = _single_chunk_q(b.column("term")).to_pylist()
+        cnts = b.column("sum(cnt)").to_numpy(zero_copy_only=False)
+        keys, t_out, c_out = [], [], []
+        for t, c in zip(terms, cnts):
+            variants = {t}
+            for i in range(len(t)):
+                variants.add(t[:i] + t[i + 1 :])
+            for v in variants:
+                keys.append(zlib.crc32(v.encode()))
+                t_out.append(t)
+                c_out.append(int(c))
+        return pa.table(
+            {
+                "key": pa.array(np.asarray(keys, np.int64)),
+                "term": pa.array(t_out, pa.string()),
+                "cnt": pa.array(c_out, pa.int64()),
+                "__bucket": pa.array(
+                    (np.asarray(keys, np.int64) % NB).astype(np.int32)
+                ),
+            }
+        )
+
+    def _dist1(a: str, b: str) -> bool:
+        if a == b:
+            return False
+        la, lb = len(a), len(b)
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if abs(la - lb) != 1:
+            return False
+        s, l = (a, b) if la < lb else (b, a)
+        for i in range(len(l)):
+            if l[:i] + l[i + 1 :] == s:
+                return True
+        return False
+
+    def verify(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("key", "ascending"), ("term", "ascending")])
+        keys = t.column("key").to_numpy(zero_copy_only=False)
+        terms = _single_chunk_q(t.column("term")).to_pylist()
+        cnts = t.column("cnt").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], len(keys)]
+        rows = set()
+        for s, e in zip(starts, ends):
+            for i in range(s, e):
+                for j in range(s, e):
+                    if (
+                        i != j
+                        and cnts[j] >= 4 * cnts[i]
+                        and _dist1(terms[i], terms[j])
+                    ):
+                        rows.add((terms[i], terms[j], int(cnts[i]), int(cnts[j])))
+        rows = sorted(rows)
+        return pa.table(
+            {
+                "term": pa.array([r[0] for r in rows], pa.string()),
+                "suggestion": pa.array([r[1] for r in rows], pa.string()),
+                "term_cnt": pa.array([r[2] for r in rows], pa.int64()),
+                "suggestion_cnt": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+
+    pairs = (
+        vocab.map_batches(emit_keys, batch_format="pyarrow")
+        .groupby("__bucket", num_partitions=8)
+        .map_groups(
+            lambda g: verify(g.drop_columns(["__bucket"])), batch_format="pyarrow"
+        )
+    )
+    # the same pair can surface from several deletion keys/buckets
+    return keep_min_by(
+        pairs.map_batches(
+            lambda b: b.append_column(
+                "__k",
+                pc.binary_join_element_wise(
+                    b.column("term"), b.column("suggestion"), "\x1f"
+                ),
+            ),
+            batch_format="pyarrow",
+        ),
+        "__k",
+        "term_cnt",
+        num_buckets=8,
+    ).drop_columns(["__k"])
+
+
 # ---------------------------------------------------------------------------
 # catalogue + oracles
 # ---------------------------------------------------------------------------
@@ -5504,6 +5718,8 @@ QUERIES = {
     "pagerank": q_pagerank,
     "customer_ntile": q_customer_ntile,
     "graph_triangles": q_graph_triangles,
+    "snapshot_diff": q_snapshot_diff,
+    "ocr_spell_candidates": q_ocr_spell_candidates,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -6699,6 +6915,52 @@ ORACLE_SQL = {
         )
         SELECT v AS doc_id, count(*)::BIGINT AS n_triangles
         FROM corners GROUP BY v
+    """,
+    # full-outer snapshot reconciliation, declaratively: derive the new
+    # snapshot with the same % rules, group the tagged union, classify
+    "snapshot_diff": """
+        WITH newsnap AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN n_chars + 7 ELSE n_chars END AS n_chars
+            FROM documents WHERE doc_id % 11 <> 0
+            UNION ALL
+            SELECT doc_id + 1000000, n_chars FROM documents WHERE doc_id % 13 = 0
+        ),
+        u AS (
+            SELECT doc_id, 0 AS side, -n_chars AS d FROM documents
+            UNION ALL
+            SELECT doc_id, 1, n_chars FROM newsnap
+        ),
+        g AS (
+            SELECT doc_id, count(*) AS cnt, sum(side) AS s, sum(d) AS d
+            FROM u GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CASE WHEN cnt = 1 AND s = 0 THEN 'removed'
+                    WHEN cnt = 1 AND s = 1 THEN 'added'
+                    ELSE 'changed' END AS status
+        FROM g WHERE cnt = 1 OR d <> 0
+    """,
+    # SymSpell result replayed declaratively: same tokenizer contract
+    # (lowercase whitespace split, empties dropped), same md5-routed
+    # first-char corruption, then an exact levenshtein(a,b)=1 self-join
+    # over the (tiny) vocabulary with the 4x frequency rule
+    "ocr_spell_candidates": r"""
+        WITH toks0 AS (
+            SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+            FROM documents
+        ),
+        toks AS (
+            SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
+                             AND length(t) >= 4
+                        THEN 'x' || substr(t, 2) ELSE t END AS t
+            FROM toks0 WHERE t <> ''
+        ),
+        vocab AS (SELECT t, count(*)::BIGINT AS cnt FROM toks GROUP BY t)
+        SELECT a.t AS term, b.t AS suggestion,
+               a.cnt AS term_cnt, b.cnt AS suggestion_cnt
+        FROM vocab a JOIN vocab b
+          ON levenshtein(a.t, b.t) = 1 AND b.cnt >= 4 * a.cnt
     """,
     # DuckDB's ntile: first n%k tiles get one extra row; ties broken
     # by c_custkey so the assignment is total-order deterministic

@@ -44,6 +44,10 @@ def test_entry_runs(ray_session):
         ("tpch_q16", {"p_brand", "p_size", "supplier_cnt"}),
         ("pagerank", {"doc_id", "rank"}),
         ("customer_ntile", {"c_custkey", "c_nationkey", "tile"}),
+        ("graph_triangles", {"doc_id", "n_triangles"}),
+        ("snapshot_diff", {"doc_id", "status"}),
+        ("ocr_spell_candidates", {"term", "suggestion", "term_cnt", "suggestion_cnt"}),
+        ("phash_dedup", {"media_ref", "width", "height"}),
     ],
 )
 def test_query_schema(ray_session, name, cols):

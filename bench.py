@@ -122,6 +122,13 @@ BENCH_QUERIES = [
     "tpch_q15",
     "tpch_q11",
     "tpch_q16",
+    # round-4 session-7 additions
+    "pagerank",
+    "graph_triangles",
+    "customer_ntile",
+    "snapshot_diff",
+    "ocr_spell_candidates",
+    "phash_dedup",
 ]
 
 

@@ -68,12 +68,25 @@ def corpus_for(sf_dir: str, n_docs: int | None = None) -> dict[str, str]:
     return generate_corpus(os.path.join(FIXTURE_ROOT, f"n{n_docs}"), n_docs)
 
 
-def _docs(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+def _docs(
+    sf_dir: str,
+    columns: list[str] | None = None,
+    num_blocks: int | None = None,
+) -> rd.Dataset:
     """Documents read with column pruning at the parquet scan — pass
     only the columns the query touches (the text column is ~80% of the
-    table's bytes, so a stats-only query should never read it)."""
+    table's bytes, so a stats-only query should never read it).
+
+    ``num_blocks`` caps the read's block split: Ray defaults to ~2x
+    num_cpus blocks regardless of table size, and for the narrow
+    int-only reads feeding shuffle-chained queries (pagerank, graph
+    triangles, snapshot diff) 64 blocks of 80 rows each turn every
+    downstream stage into a task-overhead benchmark.  Shapes whose
+    per-row work is CPU-heavy should leave it None."""
     return rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=columns
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=columns,
+        override_num_blocks=num_blocks,
     )
 
 
@@ -2257,7 +2270,12 @@ def q_phash_dedup(sf_dir: str):
     media = rd.read_parquet(
         paths["media"], columns=["media_ref", "width", "height", "channels", "pixels"]
     )
-    planted = media.map_batches(_plant_image_variants, batch_format="pyarrow")
+    # ahash_image_dedup consumes its input twice (sketch pass +
+    # anti-join pass); materialize the planted table once so the
+    # read+plant lineage doesn't re-execute per consumer.  At real
+    # scale the planted/ingested corpus is already a parquet table on
+    # disk, so this cache is a bench-scale stand-in for "read twice".
+    planted = media.map_batches(_plant_image_variants, batch_format="pyarrow").materialize()
     survivors = ahash_image_dedup(planted, id_col="media_ref", max_hamming=3)
     return survivors.map_batches(
         lambda b: b.select(["media_ref", "width", "height"]), batch_format="pyarrow"
@@ -5139,7 +5157,7 @@ def q_pagerank(sf_dir: str):
     import pyarrow.parquet as pq
 
     n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
-    docs = _docs(sf_dir, columns=["doc_id"])
+    docs = _docs(sf_dir, columns=["doc_id"], num_blocks=8)
 
     def init_ranks(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -5187,11 +5205,16 @@ def q_pagerank(sf_dir: str):
         ranks = (
             ranks.map_batches(contributions, batch_format="pyarrow")
             .union(docs.map_batches(zero_inflow, batch_format="pyarrow"))
-            .groupby("doc_id")
+            .groupby("doc_id", num_partitions=8)
             .aggregate(Sum("inc"))
             .map_batches(damp, batch_format="pyarrow")
-            .materialize()  # one rank row per node; per-round checkpoint
         )
+    # each round feeds exactly ONE consumer (the next round's map), so
+    # the four-round chain stays LAZY — one streaming execution with 4
+    # chained shuffles and no per-round barrier.  A real long-running
+    # job would checkpoint ranks to partitioned parquet every few
+    # rounds for resumability; at bench scale the barrier costs more
+    # than it saves (measured: 4 materialize()s ≈ 5 s/round overhead).
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -5277,7 +5300,7 @@ def q_graph_triangles(sf_dir: str):
 
     MULT, STEP = 2654435761, 40503
     n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
-    docs = _docs(sf_dir, columns=["doc_id"])
+    docs = _docs(sf_dir, columns=["doc_id"], num_blocks=8)
 
     def gen_edges(b: pa.Table) -> pa.Table:
         src = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -5295,11 +5318,16 @@ def q_graph_triangles(sf_dir: str):
             {"lo": pa.array(canon[:, 0]), "hi": pa.array(canon[:, 1])}
         )
 
+    # edges feed TWO consumers (wedge generation + the tagged probe
+    # side), so materialize the distinct edge set once instead of
+    # re-running the dedup shuffle per consumer.  At 10^12 nodes the
+    # edge set would persist as bucket-partitioned parquet instead.
     edges = (
         docs.map_batches(gen_edges, batch_format="pyarrow")
-        .groupby(["lo", "hi"])
+        .groupby(["lo", "hi"], num_partitions=8)
         .aggregate(Count())
         .drop_columns(["count()"])
+        .materialize()
     )
 
     NB = 32
@@ -5400,7 +5428,7 @@ def q_graph_triangles(sf_dir: str):
         )
     )
     return (
-        partials.groupby("doc_id")
+        partials.groupby("doc_id", num_partitions=4)
         .aggregate(Sum("part"))
         .map_batches(
             lambda b: _rename(b, {"sum(part)": "n_triangles"}), batch_format="pyarrow"
@@ -5421,7 +5449,7 @@ def q_snapshot_diff(sf_dir: str):
     semantics costs exactly one shuffle of 3-int rows and no driver
     state.  At 10^12 ids this is the scalable way to diff snapshots —
     a real outer join would move both payloads; this moves one int."""
-    docs = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    docs = _docs(sf_dir, columns=["doc_id", "n_chars"], num_blocks=8)
 
     def tag(b: pa.Table) -> pa.Table:
         did = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -5468,7 +5496,7 @@ def q_snapshot_diff(sf_dir: str):
 
     return (
         docs.map_batches(tag, batch_format="pyarrow")
-        .groupby("doc_id")
+        .groupby("doc_id", num_partitions=8)
         .aggregate(Count(), Sum("side"), Sum("d"))
         .map_batches(classify, batch_format="pyarrow")
     )
@@ -5528,7 +5556,7 @@ def q_ocr_spell_candidates(sf_dir: str):
     vocab = (
         _docs(sf_dir, columns=["doc_id", "text"])
         .map_batches(term_counts, batch_format="pyarrow")
-        .groupby("term")
+        .groupby("term", num_partitions=4)
         .aggregate(Sum("cnt"))
     )
 

@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     # round-4 session-7 additions
     "pagerank",
     "graph_triangles",
+    "graph_components",
     "customer_ntile",
     "snapshot_diff",
     "ocr_spell_candidates",

@@ -5436,6 +5436,136 @@ def q_graph_triangles(sf_dir: str):
     )
 
 
+def q_graph_components(sf_dir: str):
+    """Connected components by min-label propagation, iterated UNTIL
+    FIXPOINT with a distributed convergence test — the
+    iterate-to-convergence pattern (label propagation / semi-clustering)
+    that fixed-round queries like pagerank don't exercise.  Graph:
+    every doc links to its 7-group hub, and md5-routed bridges join
+    consecutive hubs into chains (435 components, diameter <= ~14 at
+    sf0.1 — sparse on purpose; the arithmetic link graph is one giant
+    component, which would make the output a constant).
+
+    Per round: ONE bucket groupby resolves every node's current label
+    against the edge rows keyed by the same node (the tagged-union
+    discipline — no join operator), emitting (neighbor, label)
+    messages plus the node's own label, and a second groupby takes the
+    min per node.  Labels only ever DECREASE, so the convergence test
+    is one scalar: sum(labels) is strictly monotone until fixpoint —
+    one Sum aggregate per round, no pairwise old-vs-new comparison, no
+    driver-side label vector.  The per-round materialize is the
+    checkpoint a real long-running job would write to parquet.  The
+    oracle computes the same fixpoint declaratively (recursive-CTE
+    reachability -> min reachable id)."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    docs = _docs(sf_dir, columns=["doc_id"], num_blocks=8)
+
+    def gen_edges(b: pa.Table) -> pa.Table:
+        i = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hub = i - (i % 7)
+        e1 = np.stack([i, hub], axis=1)
+        e1 = e1[e1[:, 0] != e1[:, 1]]
+        # bridges owned by the batch holding the left hub
+        hubs = i[i % 7 == 0]
+        gg = hubs // 7
+        br = np.array(
+            [hashlib.md5(str(int(g)).encode()).hexdigest()[0] in "012345" for g in gg]
+        ) if len(gg) else np.zeros(0, bool)
+        h2 = hubs[br] + 7
+        e2 = np.stack([hubs[br][h2 < n], h2[h2 < n]], axis=1)
+        e = np.concatenate([e1, e2])
+        und = np.concatenate([e, e[:, ::-1]])
+        return pa.table(
+            {"src": pa.array(und[:, 0]), "dst": pa.array(und[:, 1])}
+        )
+
+    edges = docs.map_batches(gen_edges, batch_format="pyarrow").materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("doc_id"), "lbl": b.column("doc_id")})
+
+    labels = docs.map_batches(init_labels, batch_format="pyarrow").materialize()
+
+    NB = 16
+
+    def tag_edge(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": b.column("src"),
+                "other": b.column("dst"),
+                "lbl": pa.array(np.full(b.num_rows, -1, np.int64)),
+            }
+        )
+
+    def tag_label(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": b.column("node"),
+                "other": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "lbl": b.column("lbl"),
+            }
+        )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        key = b.column("node").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "__bucket", pa.array((key % NB).astype(np.int32), pa.int32())
+        )
+
+    def send(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("node", "ascending"), ("lbl", "descending")])
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        other = t.column("other").to_numpy(zero_copy_only=False)
+        lbl = t.column("lbl").to_numpy(zero_copy_only=False)
+        if len(node) == 0:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "lbl": pa.array([], pa.int64())}
+            )
+        # each run starts with its (single) label row (lbl desc > -1)
+        new = np.r_[True, node[1:] != node[:-1]]
+        run_start = np.flatnonzero(new)
+        run_of = np.cumsum(new) - 1
+        run_lbl = lbl[run_start]  # the label row leads its run
+        is_edge = other >= 0
+        out_node = np.concatenate([other[is_edge], node[run_start]])
+        out_lbl = np.concatenate([run_lbl[run_of[is_edge]], run_lbl])
+        return pa.table({"node": pa.array(out_node), "lbl": pa.array(out_lbl)})
+
+    tagged_edges = edges.map_batches(tag_edge, batch_format="pyarrow")
+    prev_sum = None
+    while True:
+        msgs = (
+            labels.map_batches(tag_label, batch_format="pyarrow")
+            .union(tagged_edges)
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket", num_partitions=8)
+            .map_groups(
+                lambda g: send(g.drop_columns(["__bucket"])), batch_format="pyarrow"
+            )
+        )
+        labels = (
+            msgs.groupby("node", num_partitions=8)
+            .aggregate(Min("lbl"))
+            .map_batches(
+                lambda b: _rename(b, {"min(lbl)": "lbl"}), batch_format="pyarrow"
+            )
+            .materialize()  # consumed twice: fixpoint test + next round
+        )
+        s = labels.aggregate(Sum("lbl"))["sum(lbl)"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    return labels.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("node"), "component": b.column("lbl")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_snapshot_diff(sf_dir: str):
     """Cross-snapshot reconciliation (the FULL OUTER JOIN shape, done
     without a join): classify every doc_id across two crawl snapshots
@@ -5746,6 +5876,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "customer_ntile": q_customer_ntile,
     "graph_triangles": q_graph_triangles,
+    "graph_components": q_graph_components,
     "snapshot_diff": q_snapshot_diff,
     "ocr_spell_candidates": q_ocr_spell_candidates,
     # extraction (rows-only)
@@ -6943,6 +7074,31 @@ ORACLE_SQL = {
         )
         SELECT v AS doc_id, count(*)::BIGINT AS n_triangles
         FROM corners GROUP BY v
+    """,
+    # the label-propagation fixpoint computed declaratively: recursive
+    # reachability over the same hub+bridge edge set, then min
+    # reachable id per node — DuckDB's UNION-dedup recursion IS the
+    # fixpoint the engine's monotone-sum loop detects
+    "graph_components": """
+        WITH RECURSIVE nn AS (SELECT count(*) AS c FROM documents),
+        e0 AS (
+            SELECT doc_id AS src, doc_id - doc_id % 7 AS dst
+            FROM documents WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT doc_id, doc_id + 7 FROM documents
+            WHERE doc_id % 7 = 0
+              AND substr(md5(CAST(doc_id // 7 AS VARCHAR)), 1, 1)
+                  IN ('0','1','2','3','4','5')
+              AND doc_id + 7 < (SELECT c FROM nn)
+        ),
+        e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        reach AS (
+            SELECT doc_id AS v, doc_id AS u FROM documents
+            UNION
+            SELECT r.v, e.dst FROM reach r JOIN e ON r.u = e.src
+        )
+        SELECT v AS doc_id, min(u)::BIGINT AS component
+        FROM reach GROUP BY v
     """,
     # full-outer snapshot reconciliation, declaratively: derive the new
     # snapshot with the same % rules, group the tagged union, classify

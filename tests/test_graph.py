@@ -116,3 +116,45 @@ def test_graph_triangles_matches_numpy_replay(ray_session):
                         counts[v] = counts.get(v, 0) + 1
     want = sorted(counts.items())
     assert list(zip(got["doc_id"], got["n_triangles"])) == want
+
+
+def test_graph_components_matches_union_find(ray_session):
+    from tesseract_wasm_ray.pipelines.queries import q_graph_components
+
+    got = (
+        q_graph_components(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import hashlib
+
+    ids = (
+        pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_numpy()
+        .astype(np.int64)
+    )
+    n = len(ids)
+    hub = ids - (ids % 7)
+    e = [(int(a), int(b)) for a, b in zip(ids, hub) if a != b]
+    for h in ids[ids % 7 == 0]:
+        g = int(h) // 7
+        if hashlib.md5(str(g).encode()).hexdigest()[0] in "012345" and h + 7 < n:
+            e.append((int(h), int(h) + 7))
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in e:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = [(i, find(i)) for i in range(n)]
+    # union-find roots ARE the min id per component here because unions
+    # always point the larger root at the smaller
+    assert list(zip(got["doc_id"], got["component"])) == want

@@ -45,6 +45,7 @@ def test_entry_runs(ray_session):
         ("pagerank", {"doc_id", "rank"}),
         ("customer_ntile", {"c_custkey", "c_nationkey", "tile"}),
         ("graph_triangles", {"doc_id", "n_triangles"}),
+        ("graph_components", {"doc_id", "component"}),
         ("snapshot_diff", {"doc_id", "status"}),
         ("ocr_spell_candidates", {"term", "suggestion", "term_cnt", "suggestion_cnt"}),
         ("phash_dedup", {"media_ref", "width", "height"}),

@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "ocr_spell_candidates",
     "phash_dedup",
+    "lang_regression",
 ]
 
 

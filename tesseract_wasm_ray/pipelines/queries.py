@@ -5436,6 +5436,73 @@ def q_graph_triangles(sf_dir: str):
     )
 
 
+def q_lang_regression(sf_dir: str):
+    """Per-group least-squares regression (n_tokens ~ n_chars per
+    language) from EXACT integer moments — the closed-form ML-stats
+    shape: map tasks bincount five int64 moment partials (c, Sx, Sy,
+    Sxx, Sxy) per dictionary-encoded lang, one vocabulary-sized
+    groupby folds them, and the driver evaluates slope = (c*Sxy -
+    Sx*Sy) / (c*Sxx - Sx^2) from exact integers with ONE
+    int->float conversion per operand and one IEEE division —
+    bit-identical to the oracle evaluating the same expression.  No
+    per-row floats anywhere, so the result is block-order invariant
+    at any scale (the float-sum regression trap this repo's money
+    queries document)."""
+    from ..functions.textstats import token_count
+
+    def partials(b: pa.Table) -> pa.Table:
+        y = (
+            token_count(b)
+            .column("n_tokens")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        x = b.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = _single_chunk_q(pc.dictionary_encode(b.column("lang")))
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        k = len(enc.dictionary)
+        bc = lambda w: pa.array(
+            np.bincount(codes, weights=w, minlength=k).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "lang": enc.dictionary,
+                "c": pa.array(np.bincount(codes, minlength=k).astype(np.int64)),
+                "sx": bc(x),
+                "sy": bc(y),
+                "sxx": bc(x * x),
+                "sxy": bc(x * y),
+            }
+        )
+
+    import pandas as pd
+
+    m = (
+        _docs(sf_dir, columns=["doc_id", "lang", "n_chars", "text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("c"), Sum("sx"), Sum("sy"), Sum("sxx"), Sum("sxy"))
+        .to_pandas()  # one row per language
+    )
+    rows = []
+    for _, r in m.iterrows():
+        c, sx, sy, sxx, sxy = (
+            int(r["sum(c)"]),
+            int(r["sum(sx)"]),
+            int(r["sum(sy)"]),
+            int(r["sum(sxx)"]),
+            int(r["sum(sxy)"]),
+        )
+        slope = float(c * sxy - sx * sy) / float(c * sxx - sx * sx)
+        intercept = (float(sy) - slope * float(sx)) / float(c)
+        rows.append(
+            {"lang": r["lang"], "n_docs": c, "slope": slope, "intercept": intercept}
+        )
+    out = pd.DataFrame(rows)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out
+
+
 def q_graph_components(sf_dir: str):
     """Connected components by min-label propagation, iterated UNTIL
     FIXPOINT with a distributed convergence test — the
@@ -5877,6 +5944,7 @@ QUERIES = {
     "customer_ntile": q_customer_ntile,
     "graph_triangles": q_graph_triangles,
     "graph_components": q_graph_components,
+    "lang_regression": q_lang_regression,
     "snapshot_diff": q_snapshot_diff,
     "ocr_spell_candidates": q_ocr_spell_candidates,
     # extraction (rows-only)
@@ -7099,6 +7167,29 @@ ORACLE_SQL = {
         )
         SELECT v AS doc_id, min(u)::BIGINT AS component
         FROM reach GROUP BY v
+    """,
+    # the same exact-integer moments, the same float expression shape
+    # (one int->double conversion per operand, one division) — both
+    # engines feed identical doubles into identical IEEE ops
+    "lang_regression": f"""
+        WITH m AS (
+            SELECT lang,
+                   count(*)::BIGINT AS c,
+                   sum(n_chars)::BIGINT AS sx,
+                   sum(y)::BIGINT AS sy,
+                   sum(n_chars * n_chars)::BIGINT AS sxx,
+                   sum(n_chars * y)::BIGINT AS sxy
+            FROM (
+                SELECT lang, n_chars,
+                       len(regexp_extract_all(text, '{_TOK}'))::BIGINT AS y
+                FROM documents
+            ) GROUP BY lang
+        )
+        SELECT lang, c AS n_docs,
+               (c*sxy - sx*sy)::DOUBLE / (c*sxx - sx*sx)::DOUBLE AS slope,
+               (sy::DOUBLE - ((c*sxy - sx*sy)::DOUBLE / (c*sxx - sx*sx)::DOUBLE)
+                             * sx::DOUBLE) / c::DOUBLE AS intercept
+        FROM m
     """,
     # full-outer snapshot reconciliation, declaratively: derive the new
     # snapshot with the same % rules, group the tagged union, classify

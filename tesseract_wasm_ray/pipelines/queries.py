@@ -4186,6 +4186,9 @@ def q_tpch_q16(sf_dir: str):
     li = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_partkey", "l_suppkey"],
+        # two-int-column read: 64 default blocks of ~10k rows make the
+        # two chained aggregates a task-overhead wall (RAY_NOTES)
+        override_num_blocks=16,
     ).map_batches(pair_prep, batch_format="pyarrow")
 
     def unpack(b: pa.Table) -> pa.Table:
@@ -4212,14 +4215,40 @@ def q_tpch_q16(sf_dir: str):
             num_buckets=64, num_partitions=16,
         )
         .map_batches(
-            lambda b: b.filter(pc.is_valid(b.column("packed"))).select(
-                ["packed", "l_suppkey"]
+            # map-side DISTINCT before the shuffle: the fact table has
+            # ~600k (packed, suppkey) rows at sf0.1 but only a bounded
+            # brand x size x supplier triple space — np.unique per block
+            # cuts the dedup shuffle to the distinct pairs each block saw
+            lambda b: pa.table(
+                dict(
+                    zip(
+                        ("packed", "l_suppkey"),
+                        [
+                            pa.array(col)
+                            for col in np.unique(
+                                np.stack(
+                                    [
+                                        b.filter(pc.is_valid(b.column("packed")))
+                                        .column("packed")
+                                        .to_numpy(zero_copy_only=False)
+                                        .astype(np.int64),
+                                        b.filter(pc.is_valid(b.column("packed")))
+                                        .column("l_suppkey")
+                                        .to_numpy(zero_copy_only=False),
+                                    ],
+                                    axis=1,
+                                ),
+                                axis=0,
+                            ).T
+                        ],
+                    )
+                )
             ),
             batch_format="pyarrow",
         )
-        .groupby(["packed", "l_suppkey"])
+        .groupby(["packed", "l_suppkey"], num_partitions=8)
         .aggregate(Count())
-        .groupby("packed")
+        .groupby("packed", num_partitions=4)
         .aggregate(Count())
         .map_batches(unpack, batch_format="pyarrow")
     )

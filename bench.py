@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "ocr_spell_candidates",
     "phash_dedup",
     "lang_regression",
+    "event_interarrival",
 ]
 
 

@@ -536,6 +536,66 @@ def q_user_sessions(sf_dir: str):
     )
 
 
+def q_event_interarrival(sf_dir: str):
+    """Per-user inter-arrival gaps — the lag()/lead() window family
+    (user_sessions thresholds gaps; this emits the raw per-event delta
+    a latency/behavior model trains on).  Same scale shape as
+    sessionization: hash-bucket users so each group holds whole users,
+    one vectorized sorted-diff pass per bucket; gaps are exact int64
+    microseconds (timestamp arithmetic, no floats).  Tie-break
+    (ts, event_id) makes the lag total-order deterministic on both
+    engines."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            bk = (
+                (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+            ) % np.uint64(16)
+        return b.append_column("__bucket", pa.array(bk.astype(np.int32), pa.int32()))
+
+    def gaps(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["__bucket"]).sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "gap_us": pa.array([], pa.int64()),
+                }
+            )
+        has_prev = np.r_[False, u[1:] == u[:-1]]
+        gap = np.r_[0, ts[1:] - ts[:-1]]
+        idx = pa.array(np.flatnonzero(has_prev), pa.int64())
+        return pa.table(
+            {
+                "event_id": pc.take(t.column("event_id"), idx),
+                "user_id": pa.array(u[has_prev]),
+                "gap_us": pa.array(gap[has_prev]),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket", num_partitions=8)
+        .map_groups(gaps, batch_format="pyarrow")
+    )
+
+
 def q_sample_docs(sf_dir: str):
     """Deterministic ~10% Bernoulli sample keyed on md5(text) — the
     hash-based sampling a resumable pipeline needs (rerun-stable, unlike
@@ -5974,6 +6034,7 @@ QUERIES = {
     "graph_triangles": q_graph_triangles,
     "graph_components": q_graph_components,
     "lang_regression": q_lang_regression,
+    "event_interarrival": q_event_interarrival,
     "snapshot_diff": q_snapshot_diff,
     "ocr_spell_candidates": q_ocr_spell_candidates,
     # extraction (rows-only)
@@ -7196,6 +7257,19 @@ ORACLE_SQL = {
         )
         SELECT v AS doc_id, min(u)::BIGINT AS component
         FROM reach GROUP BY v
+    """,
+    # lag() window replayed with the identical (ts, event_id) total
+    # order; gaps as exact integer microseconds
+    "event_interarrival": """
+        WITH w AS (
+            SELECT event_id, user_id, epoch_us(ts) AS t,
+                   lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_t
+            FROM events
+        )
+        SELECT event_id, user_id, (t - prev_t)::BIGINT AS gap_us
+        FROM w WHERE prev_t IS NOT NULL
     """,
     # the same exact-integer moments, the same float expression shape
     # (one int->double conversion per operand, one division) — both

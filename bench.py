@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "phash_dedup",
     "lang_regression",
     "event_interarrival",
+    "source_lang_pivot",
 ]
 
 

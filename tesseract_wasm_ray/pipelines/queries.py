@@ -536,6 +536,42 @@ def q_user_sessions(sf_dir: str):
     )
 
 
+def q_source_lang_pivot(sf_dir: str):
+    """PIVOT / wide-reshape: per source, one count column per language
+    (the fixed 5-lang vocabulary makes the wide schema static, which is
+    what makes pivot scale-safe — a dynamic column set would need a
+    driver-side vocabulary pass first).  Map tasks bincount a dense
+    (source x lang) partial per batch — the pivot happens MAP-SIDE, so
+    the shuffle moves one 6-int row per distinct source per block, and
+    the groupby just sums columns."""
+    LANGS = ["de", "en", "es", "fr", "zh"]
+
+    def partials(b: pa.Table) -> pa.Table:
+        src = _single_chunk_q(pc.dictionary_encode(b.column("source")))
+        s_codes = src.indices.to_numpy(zero_copy_only=False)
+        k = len(src.dictionary)
+        lang = b.column("lang").to_numpy(zero_copy_only=False)
+        cols = {"source": src.dictionary}
+        for lg in LANGS:
+            m = lang == lg
+            cols[f"n_{lg}"] = pa.array(
+                np.bincount(s_codes[m], minlength=k).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    aggs = [Sum(f"n_{lg}") for lg in LANGS]
+    return (
+        _docs(sf_dir, columns=["source", "lang"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("source", num_partitions=4)
+        .aggregate(*aggs)
+        .map_batches(
+            lambda b: _rename(b, {f"sum(n_{lg})": f"n_{lg}" for lg in LANGS}),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def q_event_interarrival(sf_dir: str):
     """Per-user inter-arrival gaps — the lag()/lead() window family
     (user_sessions thresholds gaps; this emits the raw per-event delta
@@ -6035,6 +6071,7 @@ QUERIES = {
     "graph_components": q_graph_components,
     "lang_regression": q_lang_regression,
     "event_interarrival": q_event_interarrival,
+    "source_lang_pivot": q_source_lang_pivot,
     "snapshot_diff": q_snapshot_diff,
     "ocr_spell_candidates": q_ocr_spell_candidates,
     # extraction (rows-only)
@@ -7257,6 +7294,16 @@ ORACLE_SQL = {
         )
         SELECT v AS doc_id, min(u)::BIGINT AS component
         FROM reach GROUP BY v
+    """,
+    # declarative pivot over the same fixed lang vocabulary
+    "source_lang_pivot": """
+        SELECT source,
+               sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS n_de,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+               sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT AS n_es,
+               sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS n_fr,
+               sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS n_zh
+        FROM documents GROUP BY source
     """,
     # lag() window replayed with the identical (ts, event_id) total
     # order; gaps as exact integer microseconds

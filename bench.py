@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "lang_regression",
     "event_interarrival",
     "source_lang_pivot",
+    "token_stream_pack",
 ]
 
 

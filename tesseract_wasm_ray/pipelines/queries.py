@@ -1319,6 +1319,106 @@ def q_sequence_pack(sf_dir: str):
     )
 
 
+def q_token_stream_pack(sf_dir: str):
+    """GPT-style token-stream packing: concatenate every document's
+    tokens in doc_id order into ONE global stream and emit fixed
+    32-token windows that CROSS document boundaries (doc_chunks is the
+    per-doc variant; sequence_pack never splits a doc).  The global
+    position problem is a distributed prefix sum, solved with the
+    two-pass discipline global_rank uses: pass 1 map-counts tokens per
+    doc and the driver cumsums ONE int per doc into a broadcast
+    start-offset table (ray.put once; at 10^12 docs this becomes
+    per-partition subtotal offsets, same math); pass 2 re-tokenizes
+    map-side and emits one PRE-JOINED segment row per (doc, window)
+    overlap — the shuffle moves ~n_windows + n_docs short string rows,
+    never per-token rows — and a window groupby stitches segments in
+    offset order.  The oracle rebuilds the stream declaratively with
+    row_number() over (doc_id, position)."""
+    import ray
+
+    from ..functions.textstats import token_count
+
+    W = 32
+    cnt = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(
+            lambda b: token_count(b).select(["doc_id", "n_tokens"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    ids = cnt["doc_id"].to_numpy().astype(np.int64)
+    n_toks = cnt["n_tokens"].to_numpy().astype(np.int64)
+    starts = np.r_[np.int64(0), n_toks.cumsum()][:-1]
+    off_ref = ray.put((ids, starts))
+
+    tok_re = re.compile(r"\S+")
+
+    def segments(b: pa.Table) -> pa.Table:
+        ids_, starts_ = ray.get(off_ref)
+        did = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        w_out, p_out, s_out, c_out = [], [], [], []
+        for i, t in enumerate(b.column("text").to_pylist()):
+            toks = tok_re.findall(t or "")
+            if not toks:
+                continue
+            s0 = int(starts_[np.searchsorted(ids_, did[i])])
+            j = 0
+            while j < len(toks):
+                w = (s0 + j) // W
+                k = min(len(toks), (w + 1) * W - s0)
+                w_out.append(w)
+                p_out.append(s0 + j)
+                s_out.append(" ".join(toks[j:k]))
+                c_out.append(k - j)
+                j = k
+        return pa.table(
+            {
+                "window_id": pa.array(np.asarray(w_out, np.int64)),
+                "pos": pa.array(np.asarray(p_out, np.int64)),
+                "seg": pa.array(s_out, pa.string()),
+                "n": pa.array(np.asarray(c_out, np.int64)),
+            }
+        )
+
+    def assemble(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("window_id", "ascending"), ("pos", "ascending")])
+        w = t.column("window_id").to_numpy(zero_copy_only=False)
+        segs = _single_chunk_q(t.column("seg")).to_pylist()
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        if len(w) == 0:
+            return pa.table(
+                {
+                    "window_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        new = np.r_[True, w[1:] != w[:-1]]
+        starts_r = np.flatnonzero(new)
+        ends_r = np.r_[starts_r[1:], len(w)]
+        return pa.table(
+            {
+                "window_id": pa.array(w[starts_r]),
+                "text": pa.array(
+                    [" ".join(segs[s:e]) for s, e in zip(starts_r, ends_r)],
+                    pa.string(),
+                ),
+                "n_tokens": pa.array(
+                    np.add.reduceat(n, starts_r).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        _docs(sf_dir, columns=["doc_id", "text"], num_blocks=8)
+        .map_batches(segments, batch_format="pyarrow")
+        .groupby("window_id", num_partitions=8)
+        .map_groups(assemble, batch_format="pyarrow")
+    )
+
+
 def q_global_rank(sf_dir: str):
     """Global window rank — ``row_number() OVER (ORDER BY n_chars DESC,
     doc_id)`` — an operator Ray Data lacks natively, composed with the
@@ -6072,6 +6172,7 @@ QUERIES = {
     "lang_regression": q_lang_regression,
     "event_interarrival": q_event_interarrival,
     "source_lang_pivot": q_source_lang_pivot,
+    "token_stream_pack": q_token_stream_pack,
     "snapshot_diff": q_snapshot_diff,
     "ocr_spell_candidates": q_ocr_spell_candidates,
     # extraction (rows-only)
@@ -7294,6 +7395,30 @@ ORACLE_SQL = {
         )
         SELECT v AS doc_id, min(u)::BIGINT AS component
         FROM reach GROUP BY v
+    """,
+    # the global token stream rebuilt declaratively: per-doc ordinality
+    # via the struct-comprehension unnest (chunk_dedup's pattern), one
+    # row_number() over (doc_id, position), fixed 32-token windows
+    "token_stream_pack": r"""
+        WITH toks AS (
+            SELECT doc_id, u['p'] AS p, u['t'] AS t
+            FROM (
+                SELECT doc_id,
+                       unnest([{'p': i, 't': ts[i+1]}
+                               FOR i IN generate_series(0, len(ts)-1)]) AS u
+                FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS ts
+                      FROM documents)
+                WHERE len(ts) > 0
+            )
+        ),
+        g AS (
+            SELECT t, (row_number() OVER (ORDER BY doc_id, p)) - 1 AS gp
+            FROM toks
+        )
+        SELECT gp // 32 AS window_id,
+               string_agg(t, ' ' ORDER BY gp) AS text,
+               count(*)::BIGINT AS n_tokens
+        FROM g GROUP BY 1
     """,
     # declarative pivot over the same fixed lang vocabulary
     "source_lang_pivot": """

@@ -49,6 +49,7 @@ def test_entry_runs(ray_session):
         ("lang_regression", {"lang", "n_docs", "slope", "intercept"}),
         ("event_interarrival", {"event_id", "user_id", "gap_us"}),
         ("source_lang_pivot", {"source", "n_de", "n_en", "n_es", "n_fr", "n_zh"}),
+        ("token_stream_pack", {"window_id", "text", "n_tokens"}),
         ("snapshot_diff", {"doc_id", "status"}),
         ("ocr_spell_candidates", {"term", "suggestion", "term_cnt", "suggestion_cnt"}),
         ("phash_dedup", {"media_ref", "width", "height"}),

@@ -399,3 +399,27 @@ def test_incremental_minhash_dedup_null_and_empty_kept(ray_session):
     )
     # zero-shingle docs never become candidates
     assert kept == [1, 2]
+
+
+def test_token_stream_pack_reconstructs_corpus(ray_session):
+    """Joining all windows in window_id order must reproduce the
+    concatenation of every document's tokens in doc_id order — no
+    token lost, duplicated, or reordered at any doc/window boundary."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from tesseract_wasm_ray.pipelines.queries import q_token_stream_pack
+
+    SF = "/root/testdata/sf0.001"
+    got = q_token_stream_pack(SF).to_pandas().sort_values("window_id")
+    assert (got["n_tokens"][:-1] == 32).all()  # only the tail is short
+    stream = " ".join(got["text"])
+    docs = (
+        pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    tok = re.compile(r"\S+")
+    want = " ".join(t for txt in docs["text"] for t in tok.findall(txt or ""))
+    assert stream == want

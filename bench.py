@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "event_interarrival",
     "source_lang_pivot",
     "token_stream_pack",
+    "gopher_filter",
 ]
 
 

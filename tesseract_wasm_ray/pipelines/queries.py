@@ -1319,6 +1319,71 @@ def q_sequence_pack(sf_dir: str):
     )
 
 
+def q_gopher_filter(sf_dir: str):
+    """Gopher-style quality-rule filter (public-rule reimplementation,
+    Rae et al. 2021 §A1.1 adapted to this corpus) with EVERY rule
+    evaluated as an exact integer comparison — no float ratios, so the
+    keep decision is bit-identical on any engine:
+
+      token count in [5, 1000];
+      mean token length in [2, 10]   as  2*n <= sum_len <= 10*n;
+      punctuation fraction < 10%     as  10*n_punct < n_tokens;
+      >= 2 stopword hits ('the'/'a' — the corpus's function words).
+
+    Map-only (zero shuffle); emits every doc with its keep flag so the
+    oracle value-gates the decision itself, not just the survivor
+    count."""
+    from ..functions.textstats import _tokens
+
+    def fn(b: pa.Table) -> pa.Table:
+        texts = _single_chunk_q(b.column("text"))
+        n_rows = len(texts)
+        n_punct = (
+            pc.count_substring_regex(texts, r"[^A-Za-z0-9_\s]")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat, parents, _ = _tokens(texts)
+        n_tokens = (
+            np.bincount(parents, minlength=n_rows).astype(np.int64)
+            if len(parents)
+            else np.zeros(n_rows, np.int64)
+        )
+        tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        sum_len = (
+            np.bincount(parents, weights=tok_lens, minlength=n_rows).astype(np.int64)
+            if len(parents)
+            else np.zeros(n_rows, np.int64)
+        )
+        stop_mask = pc.is_in(
+            flat, value_set=pa.array(["the", "a"], pa.string())
+        ).to_numpy(zero_copy_only=False)
+        n_stop = (
+            np.bincount(parents[stop_mask], minlength=n_rows).astype(np.int64)
+            if stop_mask.any()
+            else np.zeros(n_rows, np.int64)
+        )
+        keep = (
+            (n_tokens >= 5)
+            & (n_tokens <= 1000)
+            & (2 * n_tokens <= sum_len)
+            & (sum_len <= 10 * n_tokens)
+            & (10 * n_punct < n_tokens)
+            & (n_stop >= 2)
+        )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_tokens": pa.array(n_tokens),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
 def q_token_stream_pack(sf_dir: str):
     """GPT-style token-stream packing: concatenate every document's
     tokens in doc_id order into ONE global stream and emit fixed
@@ -6173,6 +6238,7 @@ QUERIES = {
     "event_interarrival": q_event_interarrival,
     "source_lang_pivot": q_source_lang_pivot,
     "token_stream_pack": q_token_stream_pack,
+    "gopher_filter": q_gopher_filter,
     "snapshot_diff": q_snapshot_diff,
     "ocr_spell_candidates": q_ocr_spell_candidates,
     # extraction (rows-only)
@@ -7395,6 +7461,26 @@ ORACLE_SQL = {
         )
         SELECT v AS doc_id, min(u)::BIGINT AS component
         FROM reach GROUP BY v
+    """,
+    # same tokenizer contract as doc_quality (lowercase \S+ split,
+    # empties dropped; punct on RAW text), every rule as the identical
+    # integer comparison; sum of token lengths = length of the
+    # separator-free concat
+    "gopher_filter": r"""
+        WITH s AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '\S+') AS ts,
+                   len(regexp_extract_all(text, '[^A-Za-z0-9_\s]'))::BIGINT AS n_punct
+            FROM documents
+        )
+        SELECT doc_id,
+               len(ts)::BIGINT AS n_tokens,
+               (len(ts) BETWEEN 5 AND 1000
+                AND 2*len(ts) <= length(array_to_string(ts, ''))
+                AND length(array_to_string(ts, '')) <= 10*len(ts)
+                AND 10*n_punct < len(ts)
+                AND len(list_filter(ts, x -> x IN ('the', 'a'))) >= 2) AS keep
+        FROM s
     """,
     # the global token stream rebuilt declaratively: per-doc ordinality
     # via the struct-comprehension unnest (chunk_dedup's pattern), one

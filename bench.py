@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "source_lang_pivot",
     "token_stream_pack",
     "gopher_filter",
+    "monthly_revenue_delta",
 ]
 
 

@@ -1319,6 +1319,54 @@ def q_sequence_pack(sf_dir: str):
     )
 
 
+def q_monthly_revenue_delta(sf_dir: str):
+    """Window-over-aggregate: monthly order revenue with month-over-month
+    delta (the reporting shape where a lag() window runs on an ALREADY
+    aggregated table).  The heavy part is the one map-side-combined
+    groupby over exact int64 cents; the month table is bounded
+    (one row per month, ~25 rows at any corpus size), so the lag pass
+    is a driver-side numpy diff on the collected aggregate — the same
+    bounded-result discipline as global_rank's histogram.  Delta is
+    cents-exact; both engines divide by 100.0 once."""
+    import pandas as pd
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        month = ts.astype("datetime64[M]")
+        return pa.table(
+            {
+                "month": pa.array(
+                    np.datetime_as_string(month, unit="M"), pa.string()
+                ),
+                "cents": _money_cents(b.column("o_totalprice")),
+            }
+        )
+
+    m = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderdate", "o_totalprice"],
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Sum("cents"))
+        .to_pandas()  # bounded: one row per month
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    cents = m["sum(cents)"].to_numpy().astype(np.int64)
+    delta = np.diff(cents, prepend=np.int64(0))
+    out = pd.DataFrame(
+        {
+            "month": m["month"],
+            "revenue": cents / 100.0,
+            "delta": delta / 100.0,
+        }
+    )
+    out.loc[0, "delta"] = np.nan  # first month has no predecessor
+    return out
+
+
 def q_gopher_filter(sf_dir: str):
     """Gopher-style quality-rule filter (public-rule reimplementation,
     Rae et al. 2021 §A1.1 adapted to this corpus) with EVERY rule
@@ -6239,6 +6287,7 @@ QUERIES = {
     "source_lang_pivot": q_source_lang_pivot,
     "token_stream_pack": q_token_stream_pack,
     "gopher_filter": q_gopher_filter,
+    "monthly_revenue_delta": q_monthly_revenue_delta,
     "snapshot_diff": q_snapshot_diff,
     "ocr_spell_candidates": q_ocr_spell_candidates,
     # extraction (rows-only)
@@ -7461,6 +7510,19 @@ ORACLE_SQL = {
         )
         SELECT v AS doc_id, min(u)::BIGINT AS component
         FROM reach GROUP BY v
+    """,
+    # lag over the aggregate, cents-exact, one /100.0 at the end;
+    # month key as the same YYYY-MM string
+    "monthly_revenue_delta": """
+        WITH m AS (
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders GROUP BY 1
+        )
+        SELECT month,
+               cents / 100.0 AS revenue,
+               (cents - lag(cents) OVER (ORDER BY month)) / 100.0 AS delta
+        FROM m
     """,
     # same tokenizer contract as doc_quality (lowercase \S+ split,
     # empties dropped; punct on RAW text), every rule as the identical

@@ -51,6 +51,7 @@ def test_entry_runs(ray_session):
         ("source_lang_pivot", {"source", "n_de", "n_en", "n_es", "n_fr", "n_zh"}),
         ("token_stream_pack", {"window_id", "text", "n_tokens"}),
         ("gopher_filter", {"doc_id", "n_tokens", "keep"}),
+        ("monthly_revenue_delta", {"month", "revenue", "delta"}),
         ("snapshot_diff", {"doc_id", "status"}),
         ("ocr_spell_candidates", {"term", "suggestion", "term_cnt", "suggestion_cnt"}),
         ("phash_dedup", {"media_ref", "width", "height"}),

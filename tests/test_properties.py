@@ -192,3 +192,48 @@ def test_tiff_roundtrip_property(w, h, c, comp, pred, seed):
     assert np.array_equal(
         decode_tiff(encode_tiff(img, compression=comp, predictor=pred)), img
     )
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(8, 48),
+    st.integers(8, 48),
+    st.sampled_from([1, 3, 4]),
+    st.integers(0, 2**32 - 1),
+)
+def test_ahash64_properties(w, h, c, seed):
+    """Perceptual-hash invariants: deterministic; alpha-blind; a
+    constant image has no block above the global mean (signature 0);
+    an inverted NON-constant image flips every strict comparison, so
+    set bits of the original and the inverse are disjoint."""
+    from tesseract_wasm_ray.stages.multimodal import ahash64
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+
+    def tbl(entries):
+        return pa.table(
+            {
+                "media_ref": pa.array([r for r, _ in entries], pa.string()),
+                "width": pa.array([a.shape[1] for _, a in entries], pa.int32()),
+                "height": pa.array([a.shape[0] for _, a in entries], pa.int32()),
+                "channels": pa.array([a.shape[2] for _, a in entries], pa.int32()),
+                "pixels": pa.array([a.tobytes() for _, a in entries], pa.binary()),
+            }
+        )
+
+    s1 = ahash64(tbl([("x", img)]))[0]
+    s2 = ahash64(tbl([("x", img)]))[0]
+    assert s1 == s2
+    if c == 4:
+        img2 = img.copy()
+        img2[..., 3] = 255 - img2[..., 3]
+        assert ahash64(tbl([("x", img2)]))[0] == s1
+    const = np.full((h, w, c), 77, np.uint8)
+    assert ahash64(tbl([("c", const)]))[0] == 0
+    inv = (255 - img).astype(np.uint8)
+    si = ahash64(tbl([("i", inv)]))[0]
+    # luma(inv) = 255 - luma up to the //1000 truncation for c >= 3;
+    # for c == 1 it is exact, so original and inverse bits are disjoint
+    if c == 1:
+        assert int(s1) & int(si) == 0

@@ -649,13 +649,21 @@ def q_sample_docs(sf_dir: str):
 
 
 def q_filter_project(sf_dir: str):
-    """Vectorized filter + projection: long English docs."""
+    """Filter + projection PUSHED INTO THE SCAN: the predicate goes to
+    read_parquet's `filter=` (a pyarrow dataset expression), so row
+    groups whose min/max statistics exclude the predicate never leave
+    storage and surviving row groups are filtered before Ray sees a
+    block — at 100 TB this is the difference between reading the
+    selected ~2% and reading everything to throw 98% away.  The
+    map_batches re-filter would be redundant; only the projection
+    remains Ray-side."""
+    import pyarrow.dataset as pds
 
-    def fn(b: pa.Table) -> pa.Table:
-        m = pc.and_(pc.greater(b.column("n_chars"), 300), pc.equal(b.column("lang"), "en"))
-        return b.filter(m).select(["doc_id", "lang", "n_chars"])
-
-    return _docs(sf_dir, columns=["doc_id", "lang", "n_chars"]).map_batches(fn, batch_format="pyarrow")
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+        filter=(pds.field("n_chars") > 300) & (pds.field("lang") == "en"),
+    )
 
 
 def q_distinct_sources(sf_dir: str):

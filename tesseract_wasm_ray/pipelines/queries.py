@@ -90,6 +90,14 @@ def _docs(
     )
 
 
+def _pc_mod(arr, n: int):
+    """Integer ``arr % n`` via Arrow kernels (truncated division — exact
+    for the non-negative int64 operands used here; pyarrow ships no
+    modulo kernel)."""
+    nn = pa.scalar(n, pa.int64())
+    return pc.subtract(arr, pc.multiply(pc.divide(arr, nn), nn))
+
+
 def _run_rank(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """0-based rank within each run of equal values in an
     ALREADY-SORTED column (the vectorized per-group top-k trick from
@@ -4741,6 +4749,244 @@ def q_tpch_q17(sf_dir: str):
     return pd.DataFrame({"avg_yearly": [cents / 700.0]})
 
 
+def q_tpch_q20(sf_dir: str):
+    """TPC-H Q20 shape (potential part promotion): suppliers in one
+    region holding "excess availability" of red parts — the nested
+    IN-subquery chain ``supplier IN (partsupp WHERE partkey IN (parts)
+    AND availqty > 1/2 · qty shipped in the year)``.  The testdata has
+    no partsupp table, so availqty is a deterministic stand-in derived
+    from the pair key (``((partkey·7 + suppkey·11) mod 991) + 10``) —
+    both engines recompute it arithmetically, keeping the correlated
+    compare exact.  Plan: the red-part key set broadcasts (``ray.put``
+    once, sorted-array membership per batch — part is a dim), the fact
+    scan prunes map-side to in-window red-part rows BEFORE the one
+    (partkey, suppkey) groupby-sum shuffle, the availability compare is
+    an integer rule (``2·avail > qty``) on the grouped rows, and the
+    surviving supplier set (bounded by the supplier dim) resolves names
+    and the region filter driver-side."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    red = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+    )
+    red = red.filter(pc.starts_with(red.column("p_name"), "red"))
+    red_keys = np.sort(
+        red.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    red_ref = ray.put(red_keys)
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    def li_prune(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate")
+        b = b.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        keys = ray.get(red_ref)
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, pk)
+        hit = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == pk)
+        b = b.filter(pa.array(hit))
+        return pa.table(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                # quantities are integral — exact int64 sums
+                "qty": _money_cents(b.column("l_quantity"), factor=1.0),
+            }
+        )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    ).map_batches(li_prune, batch_format="pyarrow")
+
+    def excess(b: pa.Table) -> pa.Table:
+        pk = pc.cast(b.column("l_partkey"), pa.int64())
+        sk = pc.cast(b.column("l_suppkey"), pa.int64())
+        avail = pc.add(
+            _pc_mod(
+                pc.add(
+                    pc.multiply(pk, pa.scalar(7, pa.int64())),
+                    pc.multiply(sk, pa.scalar(11, pa.int64())),
+                ),
+                991,
+            ),
+            pa.scalar(10, pa.int64()),
+        )
+        keep = pc.greater(
+            pc.multiply(avail, pa.scalar(2, pa.int64())), b.column("sum(qty)")
+        )
+        return pa.table({"l_suppkey": b.filter(keep).column("l_suppkey")})
+
+    supp_hits = (
+        li.groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Sum("qty"))
+        .map_batches(excess, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Count())  # distinct suppliers — bounded by the dim
+        .to_pandas()
+    )
+
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    ).to_pandas()
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    reg = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    europe = set(
+        nat.merge(reg[reg["r_name"] == "EUROPE"], left_on="n_regionkey",
+                  right_on="r_regionkey")["n_nationkey"]
+    )
+    out = sup[
+        sup["s_suppkey"].isin(set(supp_hits["l_suppkey"].astype(np.int64)))
+        & sup["s_nationkey"].isin(europe)
+    ][["s_suppkey", "s_name"]].sort_values("s_name")
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def q_tpch_q21(sf_dir: str):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for
+    finished ('F') multi-supplier orders where EXACTLY ONE supplier
+    shipped late, blame that supplier — the EXISTS(other supplier) +
+    NOT-EXISTS(other LATE supplier) double-correlated pattern.  The
+    testdata has no commit/receipt dates, so "late" adapts to
+    ``l_shipdate > o_orderdate + 60 days`` (ship lag).  Plan: both
+    correlated subqueries collapse into ONE per-order aggregate pass —
+    lineitems pick up the finished-order date through lookup_join_auto
+    (broadcast under the byte cap, bucketed shuffle beyond), dedup to
+    (order, supplier, was-late) via a two-key groupby-max, then a
+    per-order aggregate computes n_suppliers / n_late / blamed
+    (min late suppkey) in one shuffle over the deduped rows; the
+    numwait rollup is supplier-bounded, and the region filter applies
+    to the BLAMED supplier only (as in the original), driver-side."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from .joins import lookup_join_auto
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.filter(
+                    pc.equal(b.column("o_orderstatus"), "F")
+                ).column("o_orderkey"),
+                "date_us": pc.cast(
+                    b.filter(pc.equal(b.column("o_orderstatus"), "F")).column(
+                        "o_orderdate"
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "ship_us": pc.cast(b.column("l_shipdate"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    LAG_US = 60 * 86_400 * 1_000_000  # 60 days in microseconds
+
+    def lateness(b: pa.Table) -> pa.Table:
+        # inner semantics: drop lineitems of non-'F' orders (null date)
+        b = b.filter(pc.is_valid(b.column("date_us")))
+        late = pc.cast(
+            pc.greater(
+                b.column("ship_us"),
+                pc.add(b.column("date_us"), pa.scalar(LAG_US, pa.int64())),
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "late": late,
+            }
+        )
+
+    pair_late = (
+        lookup_join_auto(
+            li, orders, "l_orderkey", "o_orderkey", "date_us", "date_us",
+            num_buckets=64, num_partitions=16,
+        )
+        .map_batches(lateness, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_suppkey"])
+        .aggregate(Max("late"))
+    )
+
+    BIG = np.iinfo(np.int64).max
+
+    def blame_cols(b: pa.Table) -> pa.Table:
+        late = b.column("max(late)")
+        sk = pc.cast(b.column("l_suppkey"), pa.int64())
+        late_supp = pc.if_else(pc.equal(late, 1), sk, pa.scalar(BIG, pa.int64()))
+        return pa.table(
+            {"l_orderkey": b.column("l_orderkey"), "late": late,
+             "late_supp": late_supp}
+        )
+
+    def verdicts(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(b.column("count()"), pa.scalar(2, pa.int64())),
+            pc.equal(b.column("sum(late)"), pa.scalar(1, pa.int64())),
+        )
+        return pa.table({"blamed": b.filter(keep).column("min(late_supp)")})
+
+    numwait = (
+        pair_late.map_batches(blame_cols, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Count(), Sum("late"), Min("late_supp"))
+        .map_batches(verdicts, batch_format="pyarrow")
+        .groupby("blamed")
+        .aggregate(Count())  # supplier-bounded rollup
+        .to_pandas()
+    )
+
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    ).to_pandas()
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    reg = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    asia = set(
+        nat.merge(reg[reg["r_name"] == "ASIA"], left_on="n_regionkey",
+                  right_on="r_regionkey")["n_nationkey"]
+    )
+    out = numwait.rename(columns={"count()": "numwait"}).merge(
+        sup[sup["s_nationkey"].isin(asia)], left_on="blamed", right_on="s_suppkey"
+    )
+    out["numwait"] = out["numwait"].astype(np.int64)
+    return (
+        out.sort_values(["numwait", "s_name"], ascending=[False, True])
+        .head(10)[["s_name", "numwait"]]
+        .reset_index(drop=True)
+    )
+
+
 def q_tpch_q22(sf_dir: str):
     """TPC-H Q22 shape (global-sales-opportunity): customers from seven
     country codes (c_nationkey stands in for the phone prefix) whose
@@ -6267,6 +6513,8 @@ QUERIES = {
     "tpch_q8": q_tpch_q8,
     "tpch_q13": q_tpch_q13,
     "tpch_q17": q_tpch_q17,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
     "tpch_q22": q_tpch_q22,
     "tpch_q2": q_tpch_q2,
     "tpch_q9": q_tpch_q9,
@@ -7351,6 +7599,58 @@ ORACLE_SQL = {
     """,
     # TPC-H Q22 shape: scalar-subquery threshold (exact integer compare
     # bal*cnt > sum) + NOT EXISTS anti-join + nation-bounded rollup
+    # q20 adapted: availqty is a deterministic pair-key function (no
+    # partsupp table in the testdata); the correlated compare is exact
+    # integer arithmetic on both sides
+    "tpch_q20": """
+        WITH qty AS (
+            SELECT l_partkey, l_suppkey,
+                   sum(CAST(round(l_quantity) AS BIGINT)) AS q
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE 'red%')
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2
+        ), qual AS (
+            SELECT DISTINCT l_suppkey FROM qty
+            WHERE 2 * (((l_partkey * 7 + l_suppkey * 11) % 991) + 10) > q
+        )
+        SELECT s_suppkey::BIGINT AS s_suppkey, s_name
+        FROM qual
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+        ORDER BY s_name
+    """,
+    # q21 adapted: "late" = shipped more than 60 days after the order
+    # date (no commit/receipt dates in the testdata); the double
+    # correlated EXISTS/NOT-EXISTS collapses to per-order aggregates
+    "tpch_q21": """
+        WITH f AS (SELECT o_orderkey, o_orderdate FROM orders
+                   WHERE o_orderstatus = 'F'),
+        li AS (
+            SELECT l_orderkey, l_suppkey,
+                   max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END) AS late
+            FROM lineitem JOIN f ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        ), agg AS (
+            SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late,
+                   min(CASE WHEN late = 1 THEN l_suppkey END) AS blamed
+            FROM li GROUP BY 1
+        )
+        SELECT s_name, count(*)::BIGINT AS numwait
+        FROM agg
+        JOIN supplier ON blamed = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE n_supp >= 2 AND n_late = 1 AND r_name = 'ASIA'
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+    """,
     "tpch_q22": """
         SELECT c_nationkey::BIGINT AS cntrycode, count(*)::BIGINT AS numcust,
                sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0

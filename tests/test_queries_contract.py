@@ -38,6 +38,8 @@ def test_entry_runs(ray_session):
         ("tpch_q17", {"avg_yearly"}),
         ("tpch_q22", {"cntrycode", "numcust", "totacctbal"}),
         ("tpch_q2", {"p_partkey", "s_suppkey", "min_price", "s_name"}),
+        ("tpch_q20", {"s_suppkey", "s_name"}),
+        ("tpch_q21", {"s_name", "numwait"}),
         ("tpch_q9", {"nation", "o_year", "sum_profit"}),
         ("tpch_q15", {"s_suppkey", "s_name", "total_revenue"}),
         ("tpch_q11", {"p_partkey", "part_value"}),

@@ -6439,6 +6439,197 @@ def q_ocr_spell_candidates(sf_dir: str):
     ).drop_columns(["__k"])
 
 
+class _QualityClassifier:
+    """Broadcast-weight logistic quality classifier — the distributed
+    model-INFERENCE shape (CCNet / LLaMA-style fastText quality
+    scoring): weights ship once via ``ray.put`` and are fetched in
+    ``__init__`` (once per actor, not per batch); ``__call__`` computes
+    per-doc integer features vectorized and one exact int64 dot
+    product.  Integer weights + integer features mean the logit (and
+    the keep decision ``logit > 0``) is bit-identical on any engine;
+    the reported score is one IEEE division of the exact logit."""
+
+    def __init__(self, weights_ref):
+        self.w = ray.get(weights_ref)  # dict[str, int] — once per actor
+        from ..functions.textstats import LANG_PROFILES
+
+        self.stopwords = pa.array(sorted(LANG_PROFILES["en"]), pa.string())
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        from ..functions.textstats import _tokens
+
+        texts = _single_chunk_q(b.column("text"))
+        n_rows = len(texts)
+        n_punct = (
+            pc.count_substring_regex(texts, r"[^A-Za-z0-9_\s]")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat, parents, _ = _tokens(texts)
+        n_tokens = (
+            np.bincount(parents, minlength=n_rows).astype(np.int64)
+            if len(parents)
+            else np.zeros(n_rows, np.int64)
+        )
+        tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        sum_len = (
+            np.bincount(parents, weights=tok_lens, minlength=n_rows).astype(np.int64)
+            if len(parents)
+            else np.zeros(n_rows, np.int64)
+        )
+        stop_mask = pc.is_in(flat, value_set=self.stopwords).to_numpy(
+            zero_copy_only=False
+        )
+        n_stop = (
+            np.bincount(parents[stop_mask], minlength=n_rows).astype(np.int64)
+            if stop_mask.any()
+            else np.zeros(n_rows, np.int64)
+        )
+        w = self.w
+        logit = (
+            w["bias"]
+            + w["tok"] * n_tokens
+            + w["len"] * sum_len
+            + w["punct"] * n_punct
+            + w["stop"] * n_stop
+        )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "score": pa.array(logit / 100.0, pa.float64()),
+                "keep": pa.array(logit > 0),
+            }
+        )
+
+
+def q_classifier_score(sf_dir: str):
+    """Distributed quality-classifier inference over the corpus (the
+    model-scoring stage every curation pipeline runs at 100 TB).  The
+    "model" is a fixed logistic layer over 4 integer text features
+    (token count, non-whitespace chars, punctuation chars, stopword
+    hits); weights broadcast once and load per ACTOR in ``__init__``
+    (map_batches with a callable class + concurrency), the hot path is
+    all Arrow/numpy.  Exact int64 logit => deterministic score + keep
+    flag; the oracle recomputes the same dot product in SQL."""
+    weights_ref = ray.put(
+        {"bias": -200, "tok": 3, "len": -1, "punct": -8, "stop": 25}
+    )
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        _QualityClassifier,
+        fn_constructor_args=(weights_ref,),
+        concurrency=(1, 4),
+        batch_format="pyarrow",
+    )
+
+
+def q_corr_matrix(sf_dir: str):
+    """Pairwise Pearson correlation matrix over lineitem's three small
+    integer measures (quantity, discount pct, tax pct) — the
+    distributed-moments shape: each map task folds its batch to ONE
+    partial row of exact int64 sums (n, Sx, Sxx, Sxy per pair), a
+    scalar Sum aggregate folds partials, and the driver applies the
+    closed-form r = (n·Sxy − Sx·Sy) / (σx·σy) once per pair from exact
+    integers — no float accumulation anywhere, so the rounded r is
+    bit-stable under any block layout.  Small-int columns keep every
+    moment < 2^63 even at 10^12 rows (quantity ≤ 50, pcts ≤ 10)."""
+    import pandas as pd
+
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    names = ["quantity", "discount", "tax"]
+
+    def partials(b: pa.Table) -> pa.Table:
+        q = _money_cents(b.column("l_quantity"), factor=1.0).to_numpy(
+            zero_copy_only=False
+        )
+        d = _money_cents(b.column("l_discount")).to_numpy(zero_copy_only=False)
+        t = _money_cents(b.column("l_tax")).to_numpy(zero_copy_only=False)
+        v = {"q": q, "d": d, "t": t}
+        row: dict[str, list[int]] = {"n": [len(q)]}
+        for a in "qdt":
+            row[f"s_{a}"] = [int(v[a].sum())]
+            row[f"s_{a}{a}"] = [int((v[a] * v[a]).sum())]
+        for a, bb in (("q", "d"), ("q", "t"), ("d", "t")):
+            row[f"s_{a}{bb}"] = [int((v[a] * v[bb]).sum())]
+        return pa.table({k: pa.array(vv, pa.int64()) for k, vv in row.items()})
+
+    agg_cols = [
+        "n", "s_q", "s_d", "s_t", "s_qq", "s_dd", "s_tt", "s_qd", "s_qt", "s_dt",
+    ]
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=cols
+    ).map_batches(partials, batch_format="pyarrow")
+    tot = ds.aggregate(*[Sum(c) for c in agg_cols])
+    g = {c: int(tot[f"sum({c})"]) for c in agg_cols}
+
+    def corr(a: str, bb: str) -> float:
+        n = g["n"]
+        num = n * g[f"s_{a}{bb}"] - g[f"s_{a}"] * g[f"s_{bb}"]
+        vx = n * g[f"s_{a}{a}"] - g[f"s_{a}"] ** 2
+        vy = n * g[f"s_{bb}{bb}"] - g[f"s_{bb}"] ** 2
+        if vx == 0 or vy == 0:
+            return 0.0
+        return round(float(num) / (np.sqrt(float(vx)) * np.sqrt(float(vy))), 6)
+
+    pairs = [("q", "d"), ("q", "t"), ("d", "t")]
+    label = dict(zip("qdt", names))
+    return pd.DataFrame(
+        {
+            "col_x": [label[a] for a, _ in pairs],
+            "col_y": [label[bb] for _, bb in pairs],
+            "corr": [corr(a, bb) for a, bb in pairs],
+        }
+    )
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust outlier detection by median absolute deviation — the
+    two-pass distributed shape: pass 1 folds the corpus to a bounded
+    (lang, n_chars) histogram for exact per-lang medians (the
+    exact_group_quantiles machinery — shuffle and driver hold one row
+    per distinct pair, never per doc), the 5-entry median table
+    broadcasts into pass 2's deviation histogram for the exact MAD,
+    and the final map flags ``|n_chars − median| > 3·MAD`` as a pure
+    integer comparison per doc.  Same rank rule as DuckDB
+    quantile_disc on both passes => bit-identical flags."""
+    from .relational import exact_group_quantiles
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    med = exact_group_quantiles(ds, "lang", "n_chars", {"m": 0.5})
+    med_map = {r["lang"]: int(r["m"]) for _, r in med.iterrows()}
+
+    def dev(b: pa.Table) -> pa.Table:
+        lang = b.column("lang").to_pylist()
+        m = np.array([med_map[lg] for lg in lang], np.int64)
+        nc = b.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang": b.column("lang"),
+                "n_chars": pa.array(nc, pa.int64()),
+                "dv": pa.array(np.abs(nc - m), pa.int64()),
+            }
+        )
+
+    devs = ds.map_batches(dev, batch_format="pyarrow")
+    mad = exact_group_quantiles(devs, "lang", "dv", {"mad": 0.5})
+    mad_map = {r["lang"]: int(r["mad"]) for _, r in mad.iterrows()}
+
+    def flag(b: pa.Table) -> pa.Table:
+        lang = b.column("lang").to_pylist()
+        thr = np.array([3 * mad_map[lg] for lg in lang], np.int64)
+        dv = b.column("dv").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang": b.column("lang"),
+                "n_chars": b.column("n_chars"),
+                "is_outlier": pa.array(dv > thr),
+            }
+        )
+
+    return devs.map_batches(flag, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # catalogue + oracles
 # ---------------------------------------------------------------------------
@@ -6546,6 +6737,9 @@ QUERIES = {
     "monthly_revenue_delta": q_monthly_revenue_delta,
     "snapshot_diff": q_snapshot_diff,
     "ocr_spell_candidates": q_ocr_spell_candidates,
+    "classifier_score": q_classifier_score,
+    "corr_matrix": q_corr_matrix,
+    "mad_outliers": q_mad_outliers,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -8190,5 +8384,94 @@ ORACLE_SQL.update(
         "semdedup": _orc.sql_semdedup(k=8, iters=4, threshold=0.98),
         "dup_ngram_frac": _orc.sql_dup_ngram_frac(n=5),
         "exact_substring_dedup": _orc.sql_exact_substring_dedup(n=5),
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        # logistic classifier: same integer dot product recomputed in
+        # SQL (weights inline); DuckDB's BIGINT/DOUBLE division mirrors
+        # the engine's single IEEE division of the exact logit
+        "classifier_score": r"""
+            WITH feats AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\S+')) AS n_tok,
+                       length(regexp_replace(text, '\s', '', 'g')) AS sum_len,
+                       length(text)
+                         - length(regexp_replace(text, '[^A-Za-z0-9_\s]', '', 'g'))
+                           AS n_punct,
+                       len(list_filter(
+                           regexp_extract_all(lower(text), '\S+'),
+                           t -> t IN ('the','of','and','to','in','a','is','that',
+                                      'for','it','with','as','on','be','at','by',
+                                      'this','have','from','or'))) AS n_stop
+                FROM documents
+            )
+            SELECT doc_id,
+                   (-200 + 3*n_tok - 1*sum_len - 8*n_punct + 25*n_stop) / 100.0
+                       AS score,
+                   (-200 + 3*n_tok - 1*sum_len - 8*n_punct + 25*n_stop) > 0
+                       AS keep
+            FROM feats
+        """,
+        # Pearson r from the SAME exact integer moments (never corr():
+        # its float accumulation is block-order-dependent)
+        "corr_matrix": """
+            WITH m AS (
+                SELECT count(*)::BIGINT AS n,
+                       sum(CAST(round(l_quantity) AS BIGINT)) AS s_q,
+                       sum(CAST(round(l_discount*100) AS BIGINT)) AS s_d,
+                       sum(CAST(round(l_tax*100) AS BIGINT)) AS s_t,
+                       sum(CAST(round(l_quantity) AS BIGINT)
+                           * CAST(round(l_quantity) AS BIGINT)) AS s_qq,
+                       sum(CAST(round(l_discount*100) AS BIGINT)
+                           * CAST(round(l_discount*100) AS BIGINT)) AS s_dd,
+                       sum(CAST(round(l_tax*100) AS BIGINT)
+                           * CAST(round(l_tax*100) AS BIGINT)) AS s_tt,
+                       sum(CAST(round(l_quantity) AS BIGINT)
+                           * CAST(round(l_discount*100) AS BIGINT)) AS s_qd,
+                       sum(CAST(round(l_quantity) AS BIGINT)
+                           * CAST(round(l_tax*100) AS BIGINT)) AS s_qt,
+                       sum(CAST(round(l_discount*100) AS BIGINT)
+                           * CAST(round(l_tax*100) AS BIGINT)) AS s_dt
+                FROM lineitem
+            )
+            SELECT col_x, col_y, corr FROM (
+                SELECT 'quantity' AS col_x, 'discount' AS col_y,
+                       round((n*s_qd - s_q*s_d)
+                             / (sqrt((n*s_qq - s_q*s_q)::DOUBLE)
+                                * sqrt((n*s_dd - s_d*s_d)::DOUBLE)), 6) AS corr
+                FROM m
+                UNION ALL
+                SELECT 'quantity', 'tax',
+                       round((n*s_qt - s_q*s_t)
+                             / (sqrt((n*s_qq - s_q*s_q)::DOUBLE)
+                                * sqrt((n*s_tt - s_t*s_t)::DOUBLE)), 6)
+                FROM m
+                UNION ALL
+                SELECT 'discount', 'tax',
+                       round((n*s_dt - s_d*s_t)
+                             / (sqrt((n*s_dd - s_d*s_d)::DOUBLE)
+                                * sqrt((n*s_tt - s_t*s_t)::DOUBLE)), 6)
+                FROM m
+            )
+        """,
+        # exact medians via quantile_disc (same ceil(q*n) rank rule as
+        # relational.exact_group_quantiles), integer flag rule
+        "mad_outliers": """
+            WITH med AS (
+                SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS m
+                FROM documents GROUP BY lang
+            ), dev AS (
+                SELECT doc_id, d.lang AS lang, n_chars::BIGINT AS n_chars,
+                       abs(n_chars - m)::BIGINT AS dv
+                FROM documents d JOIN med ON d.lang = med.lang
+            ), mad AS (
+                SELECT lang, CAST(quantile_disc(dv, 0.5) AS BIGINT) AS mad
+                FROM dev GROUP BY lang
+            )
+            SELECT doc_id, dev.lang AS lang, n_chars, dv > 3 * mad AS is_outlier
+            FROM dev JOIN mad ON dev.lang = mad.lang
+        """,
     }
 )

@@ -57,6 +57,9 @@ def test_entry_runs(ray_session):
         ("snapshot_diff", {"doc_id", "status"}),
         ("ocr_spell_candidates", {"term", "suggestion", "term_cnt", "suggestion_cnt"}),
         ("phash_dedup", {"media_ref", "width", "height"}),
+        ("classifier_score", {"doc_id", "score", "keep"}),
+        ("corr_matrix", {"col_x", "col_y", "corr"}),
+        ("mad_outliers", {"doc_id", "lang", "n_chars", "is_outlier"}),
     ],
 )
 def test_query_schema(ray_session, name, cols):

@@ -30,7 +30,7 @@ import ray.data as rd
 
 from ..functions.arrow_util import single_chunk as _single_chunk
 
-__all__ = ["mixture_sample", "rate_threshold_hex"]
+__all__ = ["mixture_sample", "rate_threshold_hex", "temperature_rates"]
 
 _HEX_DIGITS = 13  # 16**13 < 2**53: exact in a python float and a BIGINT
 
@@ -50,6 +50,28 @@ def rate_threshold_hex(rate: float) -> tuple[int, str]:
     return base, thr
 
 
+def temperature_rates(
+    counts: dict[str, int], budget: int,
+) -> dict[str, tuple[int, str]]:
+    """Temperature (alpha = 0.5) resampling rates from exact integer
+    corpus counts — the multilingual rebalancing rule (XLM-R/mT5-style
+    p_s ∝ c_s^alpha) with NO float step anywhere: the domain weight is
+    ``isqrt(c_s)`` (exact; floor(sqrt) in the SQL mirror agrees for
+    any c < 2^40), and the per-domain rate budget·w_s / (S·c_s)
+    resolves straight to (base copies, 13-hex threshold) by integer
+    division — Python big ints here, HUGEINT in the oracle — so the
+    sampling decision is bit-identical on both engines."""
+    w = {s: math.isqrt(int(c)) for s, c in counts.items()}
+    S = sum(w.values())
+    out: dict[str, tuple[int, str]] = {}
+    for s, c in counts.items():
+        num, den = budget * w[s], S * int(c)
+        base = num // den
+        thr_int = ((num % den) * (16**_HEX_DIGITS)) // den
+        out[s] = (base, format(thr_int, f"0{_HEX_DIGITS}x"))
+    return out
+
+
 def mixture_sample(
     ds: rd.Dataset,
     rates: dict[str, float],
@@ -57,6 +79,7 @@ def mixture_sample(
     source_col: str = "source",
     id_col: str = "doc_id",
     keep_cols: tuple[str, ...] = (),
+    resolved_rates: dict[str, tuple[int, str]] | None = None,
 ) -> rd.Dataset:
     """Sample/replicate each row at its domain's target rate.
 
@@ -64,8 +87,17 @@ def mixture_sample(
     numbers a row's copies 1..n — rates > 1 emit multiple rows (exact
     integer part guaranteed, fractional part hash-gated), rates < 1
     keep the row with probability ~rate, always the same rows on
-    rerun.  Entirely map-side: one streaming pass, zero shuffles."""
-    resolved = {s: rate_threshold_hex(r) for s, r in rates.items()}
+    rerun.  Entirely map-side: one streaming pass, zero shuffles.
+
+    ``resolved_rates`` bypasses the float->threshold conversion with
+    caller-computed exact (base copies, hex threshold) pairs — used by
+    temperature mixing, whose thresholds derive from integer corpus
+    counts with no float step at all."""
+    resolved = (
+        resolved_rates
+        if resolved_rates is not None
+        else {s: rate_threshold_hex(r) for s, r in rates.items()}
+    )
     default = rate_threshold_hex(default_rate)
 
     def fn(b: pa.Table) -> pa.Table:

@@ -6630,6 +6630,29 @@ def q_mad_outliers(sf_dir: str):
     return devs.map_batches(flag, batch_format="pyarrow")
 
 
+def q_temperature_mixture(sf_dir: str):
+    """Temperature-based multilingual rebalancing (the XLM-R / mT5
+    p ∝ c^alpha mixing rule, alpha = 0.5): derive per-language
+    resampling rates FROM THE DATA — one bounded groupby-count pass
+    (5 rows leave the cluster), exact-integer rate resolution
+    (mixing.temperature_rates: isqrt weights, big-int division, no
+    float anywhere), then the zero-shuffle map-side replicate/filter
+    pass of mixture_sample.  Rare languages upsample toward
+    sqrt-proportional shares inside a half-corpus budget; the dominant
+    language downsamples.  Deterministic md5-keyed decisions => the
+    SQL oracle re-derives the SAME thresholds with HUGEINT math."""
+    from .mixing import mixture_sample, temperature_rates
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang"])
+    cnt = ds.groupby("lang").aggregate(Count()).to_pandas()  # ≤ |langs| rows
+    counts = {r["lang"]: int(r["count()"]) for _, r in cnt.iterrows()}
+    budget = sum(counts.values()) // 2
+    resolved = temperature_rates(counts, budget)
+    return mixture_sample(
+        ds, {}, default_rate=0.0, source_col="lang", resolved_rates=resolved
+    )
+
+
 # ---------------------------------------------------------------------------
 # catalogue + oracles
 # ---------------------------------------------------------------------------
@@ -6740,6 +6763,7 @@ QUERIES = {
     "classifier_score": q_classifier_score,
     "corr_matrix": q_corr_matrix,
     "mad_outliers": q_mad_outliers,
+    "temperature_mixture": q_temperature_mixture,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -8472,6 +8496,40 @@ ORACLE_SQL.update(
             )
             SELECT doc_id, dev.lang AS lang, n_chars, dv > 3 * mad AS is_outlier
             FROM dev JOIN mad ON dev.lang = mad.lang
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        # temperature mixing: thresholds re-derived in SQL with exact
+        # HUGEINT arithmetic (16^13 = 4503599627370496); floor(sqrt)
+        # equals isqrt for any count < 2^40
+        "temperature_mixture": """
+            WITH cnt AS (
+                SELECT lang, count(*)::BIGINT AS c FROM documents GROUP BY lang
+            ), w AS (
+                SELECT lang, c, CAST(floor(sqrt(c::DOUBLE)) AS BIGINT) AS w
+                FROM cnt
+            ), tot AS (
+                SELECT sum(c)::BIGINT AS total, sum(w)::HUGEINT AS s FROM w
+            ), thr AS (
+                SELECT lang,
+                       CAST((w.w::HUGEINT * (total // 2)) // (s * c) AS BIGINT)
+                           AS base,
+                       lower(lpad(to_hex(CAST(
+                           ((w.w::HUGEINT * (total // 2)) % (s * c))
+                           * 4503599627370496 // (s * c) AS BIGINT)), 13, '0'))
+                           AS thr
+                FROM w, tot
+            ), par AS (
+                SELECT doc_id, d.lang AS lang,
+                       base + CASE WHEN substr(md5(doc_id::VARCHAR), 1, 13) < thr
+                                   THEN 1 ELSE 0 END AS n_copies
+                FROM documents d JOIN thr ON d.lang = thr.lang
+            )
+            SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS rep
+            FROM par WHERE n_copies > 0
         """,
     }
 )

@@ -65,3 +65,32 @@ def test_mixture_sample_rerun_and_partition_stable(ray_session):
     b = mixture_sample(rd.from_arrow(_table()).repartition(9), rates, 0.3).to_pandas()
     key = lambda df: sorted(map(tuple, df.to_numpy()))  # noqa: E731
     assert key(a) == key(b)
+
+
+def test_temperature_rates_exact_properties():
+    from fractions import Fraction
+    import math
+
+    from tesseract_wasm_ray.pipelines.mixing import _HEX_DIGITS, temperature_rates
+
+    counts = {"en": 218, "de": 70, "es": 73, "fr": 64, "zh": 75}
+    budget = sum(counts.values()) // 2
+    resolved = temperature_rates(counts, budget)
+    S = sum(math.isqrt(c) for c in counts.values())
+    for s, c in counts.items():
+        base, thr = resolved[s]
+        exact = Fraction(budget * math.isqrt(c), S * c)
+        # base is the integer part, threshold the 13-hex-digit floor of
+        # the fractional part — both exact
+        assert base == exact.numerator // exact.denominator
+        frac = exact - base
+        assert int(thr, 16) == (frac.numerator * 16**_HEX_DIGITS) // frac.denominator
+    # alpha=0.5 rebalances: the rare lang's rate beats the dominant one
+    rate = lambda s: resolved[s][0] + int(resolved[s][1], 16) / 16.0**_HEX_DIGITS  # noqa: E731
+    assert rate("fr") > rate("en")
+    # expected output size stays within one doc per domain of budget
+    expected = sum(
+        (resolved[s][0] + int(resolved[s][1], 16) / 16.0**_HEX_DIGITS) * c
+        for s, c in counts.items()
+    )
+    assert abs(expected - budget) < len(counts)

@@ -60,6 +60,7 @@ def test_entry_runs(ray_session):
         ("classifier_score", {"doc_id", "score", "keep"}),
         ("corr_matrix", {"col_x", "col_y", "corr"}),
         ("mad_outliers", {"doc_id", "lang", "n_chars", "is_outlier"}),
+        ("temperature_mixture", {"doc_id", "lang", "rep"}),
     ],
 )
 def test_query_schema(ray_session, name, cols):

@@ -136,6 +136,13 @@ BENCH_QUERIES = [
     "token_stream_pack",
     "gopher_filter",
     "monthly_revenue_delta",
+    # round-4 session-8 additions
+    "tpch_q20",
+    "tpch_q21",
+    "classifier_score",
+    "corr_matrix",
+    "mad_outliers",
+    "temperature_mixture",
 ]
 
 

@@ -6653,6 +6653,68 @@ def q_temperature_mixture(sf_dir: str):
     )
 
 
+def q_event_log_dedup(sf_dir: str):
+    """Windowed event-log deduplication (the CDC / log-ingest dedup
+    shape): keep the FIRST event per (user, event_type, 1-hour tumbling
+    window), first = min (ts, event_id).  One three-key groupby whose
+    aggregate is a single Min over a PACKED int64 — in-window offset
+    (< 3.6e9 µs) × 2^31 + event_id — so the winner and its timestamp
+    decode exactly from one aggregate value; no per-group sort, no
+    row shuffle beyond the grouped min.  Scales: the shuffle carries
+    one packed int per input row, output is one row per active
+    (user, type, hour)."""
+    HOUR_US = 3_600_000_000
+    SHIFT = 1 << 31
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("ts"), pa.int64())
+        eid = pc.cast(b.column("event_id"), pa.int64())
+        # guard the packing invariant (same discipline as chunk_dedup):
+        # an event_id >= 2^31 would corrupt the in-window order key
+        if b.num_rows and pc.max(eid).as_py() >= SHIFT:
+            raise ValueError("event_id >= 2^31; widen the packed order key")
+        win = pc.divide(ts, pa.scalar(HOUR_US, pa.int64()))
+        off = pc.subtract(ts, pc.multiply(win, pa.scalar(HOUR_US, pa.int64())))
+        packed = pc.add(
+            pc.multiply(off, pa.scalar(SHIFT, pa.int64())), eid
+        )
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "event_type": b.column("event_type"),
+                "win": win,
+                "packed": packed,
+            }
+        )
+
+    def unpack(b: pa.Table) -> pa.Table:
+        packed = b.column("min(packed)")
+        off = pc.divide(packed, pa.scalar(SHIFT, pa.int64()))
+        eid = pc.subtract(packed, pc.multiply(off, pa.scalar(SHIFT, pa.int64())))
+        ts = pc.add(
+            pc.multiply(b.column("win"), pa.scalar(HOUR_US, pa.int64())), off
+        )
+        return pa.table(
+            {
+                "event_id": eid,
+                "user_id": b.column("user_id"),
+                "event_type": b.column("event_type"),
+                "ts": pc.cast(ts, pa.timestamp("us")),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "event_type", "ts"],
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["user_id", "event_type", "win"])
+        .aggregate(Min("packed"))
+        .map_batches(unpack, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # catalogue + oracles
 # ---------------------------------------------------------------------------
@@ -6764,6 +6826,7 @@ QUERIES = {
     "corr_matrix": q_corr_matrix,
     "mad_outliers": q_mad_outliers,
     "temperature_mixture": q_temperature_mixture,
+    "event_log_dedup": q_event_log_dedup,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -8530,6 +8593,26 @@ ORACLE_SQL.update(
             )
             SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS rep
             FROM par WHERE n_copies > 0
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        # windowed log dedup: row_number() over the tumbling hour
+        "event_log_dedup": """
+            WITH w AS (
+                SELECT event_id, user_id, event_type, ts,
+                       epoch_us(ts) // 3600000000 AS win
+                FROM events
+            ), r AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY user_id, event_type, win
+                           ORDER BY ts, event_id) AS rn
+                FROM w
+            )
+            SELECT event_id::BIGINT AS event_id, user_id, event_type, ts
+            FROM r WHERE rn = 1
         """,
     }
 )

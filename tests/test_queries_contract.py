@@ -61,6 +61,7 @@ def test_entry_runs(ray_session):
         ("corr_matrix", {"col_x", "col_y", "corr"}),
         ("mad_outliers", {"doc_id", "lang", "n_chars", "is_outlier"}),
         ("temperature_mixture", {"doc_id", "lang", "rep"}),
+        ("event_log_dedup", {"event_id", "user_id", "event_type", "ts"}),
     ],
 )
 def test_query_schema(ray_session, name, cols):

@@ -6715,6 +6715,46 @@ def q_event_log_dedup(sf_dir: str):
     )
 
 
+def q_normalized_dedup(sf_dir: str):
+    """Fuzzy-exact dedup on CANONICALIZED text (the C4-style
+    normalize-then-dedup pass: case folding, punctuation strip,
+    whitespace collapse — catches near-identical docs that differ only
+    in formatting).  Normalization is three vectorized RE2 kernels per
+    batch (unicode \\p{P} so CJK text survives), the dedup is the same
+    bucketed keep_min_by(md5(norm)) shuffle as exact_dedup — original
+    text rides along, so survivors keep their raw form.  Both engines
+    run the SAME RE2 dialect, making the canonical form bit-identical."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def add_key(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(_single_chunk_q(b.column("text")), "")
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.replace_substring_regex(pc.utf8_lower(t), r"\p{P}", ""),
+                r"\s+",
+                " ",
+            )
+        )
+        # md5 once per DISTINCT canonical form (dup-heavy by design)
+        enc = _single_chunk_q(pc.dictionary_encode(norm))
+        dist = [
+            hashlib.md5((s or "").encode()).hexdigest()
+            for s in enc.dictionary.to_pylist()
+        ]
+        keys = pa.DictionaryArray.from_arrays(enc.indices, pa.array(dist, pa.string()))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "text": b.column("text"),
+                "norm_key": pc.cast(keys, pa.string()),
+            }
+        )
+
+    return keep_min_by(
+        ds.map_batches(add_key, batch_format="pyarrow"), "norm_key", "doc_id", 16
+    ).drop_columns(["norm_key"])
+
+
 # ---------------------------------------------------------------------------
 # catalogue + oracles
 # ---------------------------------------------------------------------------
@@ -6827,6 +6867,7 @@ QUERIES = {
     "mad_outliers": q_mad_outliers,
     "temperature_mixture": q_temperature_mixture,
     "event_log_dedup": q_event_log_dedup,
+    "normalized_dedup": q_normalized_dedup,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -8613,6 +8654,29 @@ ORACLE_SQL.update(
             )
             SELECT event_id::BIGINT AS event_id, user_id, event_type, ts
             FROM r WHERE rn = 1
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        # normalize-then-dedup: same RE2 canonicalization (keep_min_by
+        # on md5(norm) == min doc_id per distinct canonical form)
+        "normalized_dedup": r"""
+            WITH n AS (
+                SELECT doc_id, text,
+                       trim(regexp_replace(
+                           regexp_replace(lower(coalesce(text, '')),
+                                          '\p{P}', '', 'g'),
+                           '\s+', ' ', 'g')) AS norm
+                FROM documents
+            ), r AS (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY norm
+                                          ORDER BY doc_id) AS rn
+                FROM n
+            )
+            SELECT doc_id, text FROM r WHERE rn = 1
         """,
     }
 )

@@ -516,3 +516,40 @@ def test_chunk_dedup_docs_handles_empty_text(ray_session):
     # empty doc emits no chunks and vanishes; the other passes through
     assert out["doc_id"].tolist() == [1]
     assert out["clean_text"].iloc[0] == "real words here"
+
+
+def test_normalized_dedup_collapses_formatting_variants(ray_session):
+    """Case/punctuation/whitespace variants of one doc collapse to the
+    min-id survivor; distinct content survives; CJK text is not
+    destroyed by the punctuation strip."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tesseract_wasm_ray.pipelines import queries as q
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "text": pa.array(
+                [
+                    "Hello,  World!",
+                    "hello world",
+                    "HELLO   WORLD.",
+                    "goodbye world",
+                    "你好， 世界。",
+                    "你好 世界",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    # drive the same add_key + keep_min_by chain on an in-memory table
+    orig = q._docs
+    try:
+        q._docs = lambda sf_dir, columns=None: rd.from_arrow(t).repartition(3)
+        out = q.q_normalized_dedup("unused").to_pandas().sort_values("doc_id")
+    finally:
+        q._docs = orig
+    assert list(out["doc_id"]) == [1, 4, 5]
+    # survivor keeps its RAW text
+    assert out[out["doc_id"] == 1]["text"].iloc[0] == "Hello,  World!"

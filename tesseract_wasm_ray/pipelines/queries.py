@@ -4534,47 +4534,61 @@ def q_tpch_q16(sf_dir: str):
             }
         )
 
+    # COUNT(DISTINCT supplier) WITHOUT Ray's generic sort-aggregate:
+    # the two-key Aggregate chain measured 55 s of CPU over 522k rows
+    # (sf0.1) — the bucketed map_groups idiom (same as keep_min_by)
+    # sorts by a 16-value int32 bucket instead and does the distinct +
+    # count vectorized per bucket.  5.1 s -> see BASELINE session 8.
+    SUPP_BITS = 31  # triple key = packed(brand,size) << 31 | suppkey
+
+    def combine_key(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("packed")))
+        packed = b.column("packed").to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(sk) and sk.max() >= (1 << SUPP_BITS):
+            raise ValueError("suppkey >= 2^31; widen the triple key")
+        # map-side DISTINCT: np.unique cuts shuffle rows to the
+        # distinct triples each block saw
+        comb = np.unique((packed << SUPP_BITS) | sk)
+        with np.errstate(over="ignore"):
+            bk = (
+                (comb.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(40)
+            ) % np.uint64(16)
+        return pa.table(
+            {
+                "comb": pa.array(comb, pa.int64()),
+                "__bucket": pa.array(bk.astype(np.int32), pa.int32()),
+            }
+        )
+
+    def bucket_counts(g: pa.Table) -> pa.Table:
+        comb = np.unique(g.column("comb").to_numpy(zero_copy_only=False))
+        pair, cnt = np.unique(comb >> SUPP_BITS, return_counts=True)
+        return pa.table(
+            {
+                "packed": pa.array(pair, pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
     return (
         lookup_join_auto(
             li, part, "l_partkey", "p_partkey", "packed", "packed",
             num_buckets=64, num_partitions=16,
         )
+        .map_batches(combine_key, batch_format="pyarrow")
+        .repartition(16)
+        .groupby("__bucket", num_partitions=16)
+        .map_groups(bucket_counts, batch_format="pyarrow")
+        .groupby("packed", num_partitions=4)
+        .aggregate(Sum("cnt"))  # bounded: <= pairs x buckets partial rows
         .map_batches(
-            # map-side DISTINCT before the shuffle: the fact table has
-            # ~600k (packed, suppkey) rows at sf0.1 but only a bounded
-            # brand x size x supplier triple space — np.unique per block
-            # cuts the dedup shuffle to the distinct pairs each block saw
             lambda b: pa.table(
-                dict(
-                    zip(
-                        ("packed", "l_suppkey"),
-                        [
-                            pa.array(col)
-                            for col in np.unique(
-                                np.stack(
-                                    [
-                                        b.filter(pc.is_valid(b.column("packed")))
-                                        .column("packed")
-                                        .to_numpy(zero_copy_only=False)
-                                        .astype(np.int64),
-                                        b.filter(pc.is_valid(b.column("packed")))
-                                        .column("l_suppkey")
-                                        .to_numpy(zero_copy_only=False),
-                                    ],
-                                    axis=1,
-                                ),
-                                axis=0,
-                            ).T
-                        ],
-                    )
-                )
+                {"packed": b.column("packed"), "count()": b.column("sum(cnt)")}
             ),
             batch_format="pyarrow",
         )
-        .groupby(["packed", "l_suppkey"], num_partitions=8)
-        .aggregate(Count())
-        .groupby("packed", num_partitions=4)
-        .aggregate(Count())
         .map_batches(unpack, batch_format="pyarrow")
     )
 
@@ -4905,58 +4919,72 @@ def q_tpch_q21(sf_dir: str):
     )
 
     LAG_US = 60 * 86_400 * 1_000_000  # 60 days in microseconds
+    OK_BITS, SK_BITS = 30, 31  # comb = orderkey << 32 | suppkey << 1 | late
 
-    def lateness(b: pa.Table) -> pa.Table:
+    def key_rows(b: pa.Table) -> pa.Table:
         # inner semantics: drop lineitems of non-'F' orders (null date)
         b = b.filter(pc.is_valid(b.column("date_us")))
-        late = pc.cast(
-            pc.greater(
-                b.column("ship_us"),
-                pc.add(b.column("date_us"), pa.scalar(LAG_US, pa.int64())),
-            ),
-            pa.int64(),
-        )
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ok) and (ok.max() >= (1 << OK_BITS) or sk.max() >= (1 << SK_BITS)):
+            raise ValueError("orderkey/suppkey exceed the packed key budget")
+        late = (
+            b.column("ship_us").to_numpy(zero_copy_only=False)
+            > b.column("date_us").to_numpy(zero_copy_only=False) + LAG_US
+        ).astype(np.int64)
+        # map-side DISTINCT on the packed triple cuts shuffle rows; the
+        # bucket hashes the ORDERKEY so one group sees an order whole
+        comb = np.unique((ok << 32) | (sk << 1) | late)
+        with np.errstate(over="ignore"):
+            bk = (
+                ((comb >> 32).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(40)
+            ) % np.uint64(16)
         return pa.table(
             {
-                "l_orderkey": b.column("l_orderkey"),
-                "l_suppkey": b.column("l_suppkey"),
-                "late": late,
+                "comb": pa.array(comb, pa.int64()),
+                "__bucket": pa.array(bk.astype(np.int32), pa.int32()),
             }
         )
 
-    pair_late = (
+    def order_verdicts(g: pa.Table) -> pa.Table:
+        # One vectorized pass replaces the two-key Max dedup, the
+        # per-order Count/Sum/Min aggregate AND the verdict filter (the
+        # generic sort-aggregate chain measured ~10x slower on this
+        # shape — see tpch_q16 / BASELINE session 8).
+        comb = np.unique(g.column("comb").to_numpy(zero_copy_only=False))
+        if not len(comb):  # empty bucket: the segment seams below
+            return pa.table({"blamed": pa.array([], pa.int64())})  # need >=1 row
+        ok, sk, late = comb >> 32, (comb & 0xFFFFFFFF) >> 1, comb & 1
+        # per (order, supplier) max(late): comb sorted => late=1 follows
+        # late=0 within a pair, so the LAST row of each pair run wins
+        pair = (ok << SK_BITS) | sk
+        _, first = np.unique(pair, return_index=True)
+        last = np.r_[first[1:], len(pair)] - 1
+        ok_u, sk_u, late_u = ok[last], sk[last], late[last]
+        # per-order segments (ok_u nondecreasing after unique)
+        new_seg = np.r_[True, ok_u[1:] != ok_u[:-1]]
+        seg = np.cumsum(new_seg) - 1
+        n_supp = np.bincount(seg)
+        n_late = np.bincount(seg, weights=late_u).astype(np.int64)
+        # blamed = MIN late suppkey per order: rows are (ok, sk)-sorted,
+        # so the first late row in a segment carries the min suppkey
+        m = late_u == 1
+        seg_ids, idx = np.unique(seg[m], return_index=True)
+        blamed_of = np.full(len(n_supp), -1, np.int64)
+        blamed_of[seg_ids] = sk_u[m][idx]
+        elig = (n_supp >= 2) & (n_late == 1)
+        return pa.table({"blamed": pa.array(blamed_of[elig], pa.int64())})
+
+    numwait = (
         lookup_join_auto(
             li, orders, "l_orderkey", "o_orderkey", "date_us", "date_us",
             num_buckets=64, num_partitions=16,
         )
-        .map_batches(lateness, batch_format="pyarrow")
-        .groupby(["l_orderkey", "l_suppkey"])
-        .aggregate(Max("late"))
-    )
-
-    BIG = np.iinfo(np.int64).max
-
-    def blame_cols(b: pa.Table) -> pa.Table:
-        late = b.column("max(late)")
-        sk = pc.cast(b.column("l_suppkey"), pa.int64())
-        late_supp = pc.if_else(pc.equal(late, 1), sk, pa.scalar(BIG, pa.int64()))
-        return pa.table(
-            {"l_orderkey": b.column("l_orderkey"), "late": late,
-             "late_supp": late_supp}
-        )
-
-    def verdicts(b: pa.Table) -> pa.Table:
-        keep = pc.and_(
-            pc.greater_equal(b.column("count()"), pa.scalar(2, pa.int64())),
-            pc.equal(b.column("sum(late)"), pa.scalar(1, pa.int64())),
-        )
-        return pa.table({"blamed": b.filter(keep).column("min(late_supp)")})
-
-    numwait = (
-        pair_late.map_batches(blame_cols, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Count(), Sum("late"), Min("late_supp"))
-        .map_batches(verdicts, batch_format="pyarrow")
+        .map_batches(key_rows, batch_format="pyarrow")
+        .repartition(16)
+        .groupby("__bucket", num_partitions=16)
+        .map_groups(order_verdicts, batch_format="pyarrow")
         .groupby("blamed")
         .aggregate(Count())  # supplier-bounded rollup
         .to_pandas()
@@ -5448,75 +5476,79 @@ def q_event_funnel(sf_dir: str):
 def q_cohort_retention(sf_dir: str):
     """Weekly cohort retention matrix: cohort = a user's first active
     epoch-week, n_active = distinct users from that cohort active at
-    each week offset.  Three bounded shuffles: (user → min week) for
-    cohorts, (user, week) distinct for activity — both pre-reduced
-    map-side by the groupby's combiner — then the activity table picks
-    up its cohort via lookup_join_auto (broadcast under the cap,
-    bucketed beyond) and folds to the ≤ weeks² retention grid.  Weeks
-    are exact int64 (ts_us // 604800e6 — epoch weeks, no calendar
-    dependency), so counts are deterministic."""
+    each week offset.  ONE user-hash-bucketed shuffle does everything:
+    map tasks pack (user, epoch-week) into a single int64 and
+    pre-dedup with np.unique, each bucket group then resolves — in one
+    vectorized pass over its sorted keys — the distinct activity set,
+    each user's cohort (first week of the user's run), the per-row
+    offsets, and a partial (cohort, offset) count grid.  Users are
+    disjoint across buckets, so the final rollup just sums ≤ buckets ×
+    weeks² bounded partials.  (Replaces a 3-shuffle plan whose lazy
+    activity branch re-executed per consumer: 4.2 s -> ~1 s at sf0.1.)
+    Weeks are exact int64 epoch-weeks; the packed key budgets 13 bits
+    for the week (valid until 2127) and guards both fields loudly."""
     import pandas as pd
 
-    from .joins import lookup_join_auto
-
     WEEK_US = 7 * 86400 * 1_000_000
+    W_BITS = 13  # epoch-week < 8192 (year 2127); user_id < 2^50
 
-    act = (
-        _events_ts_us(sf_dir)
-        .map_batches(
-            lambda b: pa.table(
+    def key_rows(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = b.column("ts_us").to_numpy(zero_copy_only=False)
+        w = ts // WEEK_US  # numpy floor-divides toward -inf (exact)
+        if len(u) and (
+            u.min() < 0 or u.max() >= (1 << 50) or w.min() < 0 or w.max() >= (1 << W_BITS)
+        ):
+            raise ValueError("user_id/epoch-week exceed the packed key budget")
+        comb = np.unique((u << W_BITS) | w)
+        with np.errstate(over="ignore"):
+            bk = (
+                ((comb >> W_BITS).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(40)
+            ) % np.uint64(16)
+        return pa.table(
+            {
+                "comb": pa.array(comb, pa.int64()),
+                "__bucket": pa.array(bk.astype(np.int32), pa.int32()),
+            }
+        )
+
+    def grid_partials(g: pa.Table) -> pa.Table:
+        comb = np.unique(g.column("comb").to_numpy(zero_copy_only=False))
+        if not len(comb):
+            return pa.table(
                 {
-                    "user_id": b.column("user_id"),
-                    "week": pc.divide(
-                        pc.subtract(
-                            b.column("ts_us"),
-                            pc.if_else(
-                                pc.less(b.column("ts_us"), 0),
-                                pa.scalar(WEEK_US - 1, pa.int64()),
-                                pa.scalar(0, pa.int64()),
-                            ),
-                        ),
-                        pa.scalar(WEEK_US, pa.int64()),
-                    ),
+                    "cohort_week": pa.array([], pa.int64()),
+                    "week_offset": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
                 }
-            ),
-            batch_format="pyarrow",
+            )
+        u, w = comb >> W_BITS, comb & ((1 << W_BITS) - 1)
+        new_seg = np.r_[True, u[1:] != u[:-1]]
+        seg = np.cumsum(new_seg) - 1
+        cohort = w[new_seg][seg]  # first (= min) week of each user run
+        cell = (cohort << W_BITS) | (w - cohort)
+        cells, counts = np.unique(cell, return_counts=True)
+        return pa.table(
+            {
+                "cohort_week": pa.array(cells >> W_BITS, pa.int64()),
+                "week_offset": pa.array(cells & ((1 << W_BITS) - 1), pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
         )
-        .groupby(["user_id", "week"])
-        .aggregate(Count())
-        .map_batches(
-            lambda b: b.select(["user_id", "week"]), batch_format="pyarrow"
-        )
-    )
-    cohort = (
-        act.groupby("user_id")
-        .aggregate(Min("week"))
-        .map_batches(
-            lambda b: _rename(b, {"min(week)": "cohort_week"}),
-            batch_format="pyarrow",
-        )
-    )
+
     out = (
-        lookup_join_auto(
-            act, cohort, "user_id", "user_id", "cohort_week", "cohort_week",
-            num_buckets=32, num_partitions=8,
-        )
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "cohort_week": b.column("cohort_week"),
-                    "week_offset": pc.subtract(
-                        b.column("week"), b.column("cohort_week")
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        _events_ts_us(sf_dir)
+        .map_batches(key_rows, batch_format="pyarrow")
+        .repartition(16)
+        .groupby("__bucket", num_partitions=16)
+        .map_groups(grid_partials, batch_format="pyarrow")
         .groupby(["cohort_week", "week_offset"])
-        .aggregate(Count())
+        .aggregate(Sum("n"))  # bounded: <= buckets x weeks^2 partials
         .to_pandas()
-        .rename(columns={"count()": "n_active"})
+        .rename(columns={"sum(n)": "n_active"})
     )
+    out["n_active"] = out["n_active"].astype(np.int64)
     return out.sort_values(
         ["cohort_week", "week_offset"], ignore_index=True
     )

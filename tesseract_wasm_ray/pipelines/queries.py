@@ -6174,12 +6174,17 @@ def q_graph_components(sf_dir: str):
 
     edges = docs.map_batches(gen_edges, batch_format="pyarrow").materialize()
 
-    def init_labels(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b.column("doc_id"), "lbl": b.column("doc_id")})
-
-    labels = docs.map_batches(init_labels, batch_format="pyarrow").materialize()
-
     NB = 16
+
+    # One FUSED shuffle per round (was two: a resolve groupby + a Min
+    # groupby — halving the all-to-all barriers took the 12-round run
+    # 8.4 s -> see BASELINE session 8).  State rows live in the bucket
+    # of their `node`: edge rows (lbl = -1, constant) and candidate
+    # label rows (other = -1).  Each bucket group resolves every
+    # node's min candidate AND emits the next round's messages in the
+    # same vectorized pass; labels only decrease, so Sum(lbl) over the
+    # whole state (edge rows contribute a constant) is strictly
+    # monotone until fixpoint.
 
     def tag_edge(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -6193,9 +6198,9 @@ def q_graph_components(sf_dir: str):
     def tag_label(b: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "node": b.column("node"),
+                "node": b.column("doc_id"),
                 "other": pa.array(np.full(b.num_rows, -1, np.int64)),
-                "lbl": b.column("lbl"),
+                "lbl": b.column("doc_id"),
             }
         )
 
@@ -6205,55 +6210,78 @@ def q_graph_components(sf_dir: str):
             "__bucket", pa.array((key % NB).astype(np.int32), pa.int32())
         )
 
-    def send(group: pa.Table) -> pa.Table:
-        t = group.sort_by([("node", "ascending"), ("lbl", "descending")])
-        node = t.column("node").to_numpy(zero_copy_only=False)
-        other = t.column("other").to_numpy(zero_copy_only=False)
-        lbl = t.column("lbl").to_numpy(zero_copy_only=False)
-        if len(node) == 0:
-            return pa.table(
-                {"node": pa.array([], pa.int64()), "lbl": pa.array([], pa.int64())}
-            )
-        # each run starts with its (single) label row (lbl desc > -1)
-        new = np.r_[True, node[1:] != node[:-1]]
-        run_start = np.flatnonzero(new)
-        run_of = np.cumsum(new) - 1
-        run_lbl = lbl[run_start]  # the label row leads its run
-        is_edge = other >= 0
-        out_node = np.concatenate([other[is_edge], node[run_start]])
-        out_lbl = np.concatenate([run_lbl[run_of[is_edge]], run_lbl])
-        return pa.table({"node": pa.array(out_node), "lbl": pa.array(out_lbl)})
+    _EMPTY = pa.table(
+        {
+            "node": pa.array([], pa.int64()),
+            "other": pa.array([], pa.int64()),
+            "lbl": pa.array([], pa.int64()),
+            "__bucket": pa.array([], pa.int32()),
+        }
+    )
 
-    tagged_edges = edges.map_batches(tag_edge, batch_format="pyarrow")
+    def step(g: pa.Table) -> pa.Table:
+        node = g.column("node").to_numpy(zero_copy_only=False)
+        if not len(node):
+            return _EMPTY
+        other = g.column("other").to_numpy(zero_copy_only=False)
+        lbl = g.column("lbl").to_numpy(zero_copy_only=False)
+        is_edge = lbl < 0
+        cn, cl = node[~is_edge], lbl[~is_edge]
+        order = np.lexsort((cl, cn))
+        cn, cl = cn[order], cl[order]
+        new = np.r_[True, cn[1:] != cn[:-1]]
+        u_node, u_min = cn[new], cl[new]  # min candidate leads its run
+        en, eo = node[is_edge], other[is_edge]
+        m_src = u_min[np.searchsorted(u_node, en)]  # every src has a row
+        out_node = np.concatenate([eo, u_node, en])
+        out_other = np.concatenate(
+            [np.full(len(eo), -1, np.int64), np.full(len(u_node), -1, np.int64), eo]
+        )
+        out_lbl = np.concatenate([m_src, u_min, np.full(len(en), -1, np.int64)])
+        return pa.table(
+            {
+                "node": pa.array(out_node),
+                "other": pa.array(out_other),
+                "lbl": pa.array(out_lbl),
+                "__bucket": pa.array((out_node % NB).astype(np.int32), pa.int32()),
+            }
+        )
+
+    state = (
+        docs.map_batches(tag_label, batch_format="pyarrow")
+        .union(edges.map_batches(tag_edge, batch_format="pyarrow"))
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .materialize()
+    )
     prev_sum = None
     while True:
-        msgs = (
-            labels.map_batches(tag_label, batch_format="pyarrow")
-            .union(tagged_edges)
-            .map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("__bucket", num_partitions=8)
-            .map_groups(
-                lambda g: send(g.drop_columns(["__bucket"])), batch_format="pyarrow"
-            )
-        )
-        labels = (
-            msgs.groupby("node", num_partitions=8)
-            .aggregate(Min("lbl"))
-            .map_batches(
-                lambda b: _rename(b, {"min(lbl)": "lbl"}), batch_format="pyarrow"
-            )
+        state = (
+            state.groupby("__bucket", num_partitions=8)
+            .map_groups(step, batch_format="pyarrow")
             .materialize()  # consumed twice: fixpoint test + next round
         )
-        s = labels.aggregate(Sum("lbl"))["sum(lbl)"]
+        s = state.aggregate(Sum("lbl"))["sum(lbl)"]
         if s == prev_sum:
             break
         prev_sum = s
 
-    return labels.map_batches(
-        lambda b: pa.table(
-            {"doc_id": b.column("node"), "component": b.column("lbl")}
-        ),
-        batch_format="pyarrow",
+    def resolve(g: pa.Table) -> pa.Table:
+        lbl = g.column("lbl").to_numpy(zero_copy_only=False)
+        node = g.column("node").to_numpy(zero_copy_only=False)
+        keep = lbl >= 0
+        cn, cl = node[keep], lbl[keep]
+        order = np.lexsort((cl, cn))
+        cn, cl = cn[order], cl[order]
+        new = np.r_[True, cn[1:] != cn[:-1]] if len(cn) else np.zeros(0, bool)
+        return pa.table(
+            {
+                "doc_id": pa.array(cn[new], pa.int64()),
+                "component": pa.array(cl[new], pa.int64()),
+            }
+        )
+
+    return state.groupby("__bucket", num_partitions=8).map_groups(
+        resolve, batch_format="pyarrow"
     )
 
 

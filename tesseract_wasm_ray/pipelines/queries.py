@@ -3636,20 +3636,20 @@ def q_tpch_q18(sf_dir: str):
             }
         )
 
-    qsum = (
+    from .relational import grouped_sum_i64
+
+    qsum = grouped_sum_i64(
         rd.read_parquet(
             os.path.join(sf_dir, "lineitem.parquet"),
             columns=["l_orderkey", "l_quantity"],
-        )
-        .map_batches(li_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("qty_c"))
-        .map_batches(
-            lambda b: _rename(b, {"sum(qty_c)": "qty_c"}).filter(
-                pc.greater(b.column("sum(qty_c)"), pa.scalar(30000, pa.int64()))
-            ),
-            batch_format="pyarrow",
-        )
+        ).map_batches(li_partial, batch_format="pyarrow"),
+        "l_orderkey",
+        ["qty_c"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.greater(b.column("qty_c"), pa.scalar(30000, pa.int64()))
+        ),
+        batch_format="pyarrow",
     )
 
     def ord_prep(b: pa.Table) -> pa.Table:
@@ -4712,8 +4712,13 @@ def q_tpch_q17(sf_dir: str):
             batch_format="pyarrow",
         )
 
+    # the flagged subset is brand-bounded (~4% of the fact) and consumed
+    # twice (thresholds + final probe): pin it once instead of running
+    # the 600k-row join probe per consumer (RAY_NOTES double-consumption)
+    flagged = li_flagged().materialize()
+
     thresholds = (
-        li_flagged()
+        flagged
         .groupby("l_partkey")
         .aggregate(Sum("qty_c"), Count())
         .map_batches(
@@ -4753,7 +4758,7 @@ def q_tpch_q17(sf_dir: str):
 
     total = (
         lookup_join_auto(
-            li_flagged(), thresholds, "l_partkey", "p_partkey",
+            flagged, thresholds, "l_partkey", "p_partkey",
             "packed", "packed", num_buckets=64, num_partitions=16,
         )
         .map_batches(small_only, batch_format="pyarrow")

@@ -353,3 +353,57 @@ def band_lookup(
     return t.append_column(
         "band_id", pa.array(ids[slot], pa.int64())
     ).append_column("band_name", pa.array(list(names[slot]), pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# exact grouped int64 sums (the bucket-it-yourself aggregate)
+# ---------------------------------------------------------------------------
+
+
+def grouped_sum_i64(
+    ds: rd.Dataset,
+    key_col: str,
+    val_cols: list[str],
+    num_buckets: int = 16,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Exact int64 SUM per integer key — the bucketed map_groups
+    replacement for ``groupby(key).aggregate(Sum(...))`` on fact-sized
+    inputs (the generic sort-aggregate measured ~100 µs/row;
+    docs/RAY_NOTES.md session 8).
+
+    Map side combines each block to one row per distinct key
+    (np.unique + np.add.at — integer adds, never bincount's float
+    weights, so sums stay EXACT past 2^53) and tags a 16-value int32
+    bucket; each bucket group folds its partials the same way.  Output
+    columns: ``(key_col, *val_cols)`` with the summed values under
+    their input names.  Associative integer addition => the result is
+    block-layout-invariant (hash-deterministic)."""
+
+    def _fold(b: pa.Table, tag_bucket: bool) -> pa.Table:
+        k = b.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, inv = np.unique(k, return_inverse=True)
+        cols: dict[str, pa.Array] = {key_col: pa.array(keys, pa.int64())}
+        for v in val_cols:
+            vals = b.column(v).to_numpy(zero_copy_only=False).astype(np.int64)
+            acc = np.zeros(len(keys), np.int64)
+            np.add.at(acc, inv, vals)
+            cols[v] = pa.array(acc, pa.int64())
+        if tag_bucket:
+            with np.errstate(over="ignore"):
+                bk = (
+                    (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                    >> np.uint64(40)
+                ) % np.uint64(num_buckets)
+            cols["__bucket"] = pa.array(bk.astype(np.int32), pa.int32())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(lambda b: _fold(b, True), batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__bucket", num_partitions=num_partitions)
+        .map_groups(
+            lambda g: _fold(g.drop_columns(["__bucket"]), False),
+            batch_format="pyarrow",
+        )
+    )

@@ -294,3 +294,36 @@ def test_cohort_retention_matches_duckdb(ray_session):
     # offset 0 row exists for every cohort (a user is active in their
     # own first week by definition)
     assert (got[got["week_offset"] == 0]["n_active"] > 0).all()
+
+
+def test_grouped_sum_i64_exact_and_layout_invariant(ray_session):
+    """Sums stay exact past 2^53 (float-weight bincount would round)
+    and results are identical under different block layouts."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tesseract_wasm_ray.pipelines.relational import grouped_sum_i64
+
+    big = (1 << 53) + 1  # not representable as float64
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 2, 2, 3] * 50, pa.int64()),
+            "v": pa.array([big, 1, 5, 7, -2, 0] * 50, pa.int64()),
+            "w": pa.array([1, 2, 3, 4, 5, 6] * 50, pa.int64()),
+        }
+    )
+    outs = []
+    for parts in (1, 7):
+        out = (
+            grouped_sum_i64(rd.from_arrow(t).repartition(parts), "k", ["v", "w"])
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    a, b = outs
+    assert a.equals(b)
+    assert list(a["k"]) == [1, 2, 3]
+    assert list(a["v"]) == [50 * (big + 1), 50 * 10, 0]
+    assert list(a["w"]) == [150, 600, 300]

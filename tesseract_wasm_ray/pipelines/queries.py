@@ -2607,6 +2607,105 @@ def q_phash_dedup(sf_dir: str):
     )
 
 
+def q_image_knn(sf_dir: str):
+    """Image similarity search (the LAION-style multimodal retrieval
+    pass, composing the decode and similarity families): every raster
+    sketches to the 64-bit integer average-hash (pixels never leave
+    their map task), an md5-routed query subset's sketches broadcast
+    (``ray.put`` once — queries must be broadcast-sized; at real scale
+    the query images come from a pruned read, not a corpus scan), each
+    block computes vectorized XOR-popcount hamming distances against
+    the whole query matrix and emits ONLY its local top-3 per query,
+    and the driver folds the bounded (queries × blocks × 3) partials.
+    Deterministic tie-break (distance, neighbor id); self-matches
+    excluded.  The DuckDB oracle re-derives the SAME hash bits from
+    hex-exploded pixel bytes (the phash_dedup chain) and replays the
+    rank."""
+    import pandas as pd
+
+    from ..stages.multimodal import ahash64
+
+    paths = corpus_for(sf_dir)
+    media = rd.read_parquet(
+        paths["media"], columns=["media_ref", "width", "height", "channels", "pixels"]
+    )
+
+    def hash_pass(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_ref": b.column("media_ref"),
+                "h": pa.array(ahash64(b).view(np.int64), pa.int64()),
+            }
+        )
+
+    hashes = media.map_batches(hash_pass, batch_format="pyarrow").materialize()
+
+    # query subset: md5-routed ~1/8 of the corpus — filtered
+    # DISTRIBUTED, only the bounded query rows reach the driver
+    # (broadcastable by construction; the knob a real deployment sets)
+    def q_filter(b: pa.Table) -> pa.Table:
+        ids = b.column("media_ref").to_pylist()
+        m = np.array(
+            [hashlib.md5(str(i).encode()).hexdigest()[0] in "67" for i in ids],
+            bool,
+        )
+        return b.filter(pa.array(m))
+
+    q_rows = hashes.map_batches(q_filter, batch_format="pyarrow").take_all()
+    qids_all = np.asarray([r["media_ref"] for r in q_rows], dtype=object)
+    qh_all = np.asarray([r["h"] for r in q_rows], np.int64)
+    q_order = np.argsort(qids_all)
+    q_ref = ray.put((qids_all[q_order], qh_all[q_order]))
+
+    K = 3
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        qids_b, qh = ray.get(q_ref)
+        n = b.num_rows
+        if n == 0 or len(qids_b) == 0:
+            return pa.table(
+                {
+                    "query_ref": pa.array([], pa.string()),
+                    "neighbor_ref": pa.array([], pa.string()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        ids = np.asarray(b.column("media_ref").to_pylist(), dtype=object)
+        # pre-sort the block by id so a stable distance sort yields the
+        # (distance, neighbor id) tie-break without object lexsort
+        order = np.argsort(ids)
+        ids, h = ids[order], b.column("h").to_numpy(zero_copy_only=False)[order]
+        # one vectorized (n x Q) XOR-popcount for the whole query matrix
+        x = h.view(np.uint64)[:, None] ^ qh.view(np.uint64)[None, :]
+        d = np.unpackbits(
+            x.view(np.uint8).reshape(n, len(qids_b), 8), axis=2
+        ).sum(axis=2, dtype=np.int64)
+        out_q, out_n, out_d = [], [], []
+        for j in range(len(qids_b)):
+            cand = np.flatnonzero(ids != qids_b[j])
+            top = cand[np.argsort(d[cand, j], kind="stable")[:K]]
+            out_q.extend([qids_b[j]] * len(top))
+            out_n.extend(ids[top])
+            out_d.extend(d[top, j])
+        return pa.table(
+            {
+                "query_ref": pa.array(out_q, pa.string()),
+                "neighbor_ref": pa.array(out_n, pa.string()),
+                "hamming": pa.array(np.asarray(out_d, np.int64), pa.int64()),
+            }
+        )
+
+    partials = hashes.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    partials = partials.sort_values(
+        ["query_ref", "hamming", "neighbor_ref"], ignore_index=True
+    )
+    top = partials.groupby("query_ref", sort=True).head(K).reset_index(drop=True)
+    top["rk"] = top.groupby("query_ref").cumcount() + 1
+    top["hamming"] = top["hamming"].astype(np.int64)
+    top["rk"] = top["rk"].astype(np.int64)
+    return top
+
+
 # ---------------------------------------------------------------------------
 # training-data ops on testdata tables (rows-only checks)
 # ---------------------------------------------------------------------------
@@ -6933,6 +7032,7 @@ QUERIES = {
     "temperature_mixture": q_temperature_mixture,
     "event_log_dedup": q_event_log_dedup,
     "normalized_dedup": q_normalized_dedup,
+    "image_knn": q_image_knn,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -8742,6 +8842,74 @@ ORACLE_SQL.update(
                 FROM n
             )
             SELECT doc_id, text FROM r WHERE rn = 1
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        # image similarity search: the phash_dedup hash chain (no
+        # planting) + a hamming rank over the md5-routed query subset
+        "image_knn": f"""
+            WITH base AS (
+                SELECT media_ref AS id, width::BIGINT AS width,
+                       height::BIGINT AS height, channels::BIGINT AS c,
+                       width::BIGINT * height::BIGINT AS npx, hex(pixels) AS hx
+                FROM read_parquet('{_G01}/media/*.parquet')
+            ),
+            lvl1 AS (
+                SELECT id, npx, width, height, c, r,
+                       substr(hx, CAST(r*width*c*2 + 1 AS BIGINT),
+                              CAST(width*c*2 AS BIGINT)) AS rowhex
+                FROM (SELECT *, unnest(range(height)) AS r FROM base)
+            ),
+            lvl2 AS (
+                SELECT id, npx, width, height, c, r, k,
+                       substr(rowhex, CAST(k*64*c + 1 AS BIGINT),
+                              CAST(64*c AS BIGINT)) AS seg
+                FROM (SELECT *, unnest(range((width + 31) // 32)) AS k FROM lvl1)
+            ),
+            px AS (
+                SELECT id, npx, width, height, c, r, k*32 + j AS col,
+                       CAST('0x' || substr(seg, CAST(j*c*2 + 1 AS BIGINT), 2) AS BIGINT) AS b0,
+                       CASE WHEN c >= 3 THEN CAST('0x' || substr(seg, CAST((j*c+1)*2 + 1 AS BIGINT), 2) AS BIGINT) ELSE 0 END AS b1,
+                       CASE WHEN c >= 3 THEN CAST('0x' || substr(seg, CAST((j*c+2)*2 + 1 AS BIGINT), 2) AS BIGINT) ELSE 0 END AS b2
+                FROM (SELECT *, unnest(range(least(32, width - k*32))) AS j FROM lvl2)
+            ),
+            lum AS (
+                SELECT id, npx,
+                       ((r * 8) // height) * 8 + ((col * 8) // width) AS bidx,
+                       CASE WHEN c = 1 THEN b0
+                            ELSE (299*b0 + 587*b1 + 114*b2) // 1000 END AS v
+                FROM px
+            ),
+            blocks AS (
+                SELECT id, bidx, sum(v) AS bsum, count(*) AS bcnt, max(npx) AS npx
+                FROM lum GROUP BY 1, 2
+            ),
+            tot AS (SELECT id, sum(v) AS tsum FROM lum GROUP BY id),
+            bit AS (
+                SELECT b.id, b.bidx,
+                       CASE WHEN b.bsum * b.npx > t.tsum * b.bcnt
+                            THEN 1 ELSE 0 END AS bit
+                FROM blocks b JOIN tot t USING (id)
+            ),
+            ham AS (
+                SELECT a.id AS query_ref, b.id AS neighbor_ref,
+                       sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)::BIGINT
+                           AS hamming
+                FROM bit a JOIN bit b USING (bidx)
+                WHERE substr(md5(a.id), 1, 1) IN ('6','7') AND b.id <> a.id
+                GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY query_ref
+                           ORDER BY hamming, neighbor_ref) AS rk
+                FROM ham
+            )
+            SELECT query_ref, neighbor_ref, hamming, rk::BIGINT AS rk
+            FROM r WHERE rk <= 3
         """,
     }
 )

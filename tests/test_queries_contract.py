@@ -62,6 +62,7 @@ def test_entry_runs(ray_session):
         ("mad_outliers", {"doc_id", "lang", "n_chars", "is_outlier"}),
         ("temperature_mixture", {"doc_id", "lang", "rep"}),
         ("event_log_dedup", {"event_id", "user_id", "event_type", "ts"}),
+        ("image_knn", {"query_ref", "neighbor_ref", "hamming", "rk"}),
     ],
 )
 def test_query_schema(ray_session, name, cols):

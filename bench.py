@@ -143,6 +143,9 @@ BENCH_QUERIES = [
     "corr_matrix",
     "mad_outliers",
     "temperature_mixture",
+    "event_log_dedup",
+    "normalized_dedup",
+    "image_knn",
 ]
 
 

@@ -75,16 +75,23 @@ def main(argv: list[str] | None = None) -> int:
     apply_data_context_tuning()
 
     if args.cmd == "compact":
-        import ray.data as rd
+        # metadata-only planning + one task per output file + atomic
+        # publish: resumable at file granularity and shuffle-free,
+        # unlike the earlier read->repartition->write (which moved all
+        # data through the object store and restarted from zero)
+        from .pipelines.compaction import compact_parquet
 
-        ds = rd.read_parquet(args.in_dir)
-        n_bytes = ds.size_bytes() or 0
-        n_files = max(1, round(n_bytes / (args.target_mb << 20)))
-        ds.repartition(n_files).write_parquet(args.out)
+        manifest = compact_parquet(
+            args.in_dir, args.out, target_bytes=args.target_mb << 20
+        )
         print(
             json.dumps(
-                {"rows": ds.count(), "bytes_in": n_bytes, "files_out": n_files,
-                 "out": args.out}
+                {
+                    "rows": sum(r["n_rows"] for r in manifest),
+                    "files_out": len(manifest),
+                    "skipped": sum(1 for r in manifest if r["skipped"]),
+                    "out": args.out,
+                }
             )
         )
         ray.shutdown()

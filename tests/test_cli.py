@@ -75,5 +75,6 @@ def test_cli_partitioned_export_and_compact(tmp_path):
     comp_dir = str(tmp_path / "compact")
     cline = _cli("compact", "--in", part_dir, "--out", comp_dir, "--target-mb", "64")
     c = json.loads(cline)
-    assert c["rows"] == 500 and c["files_out"] == 1
-    assert any(f.endswith(".parquet") for f in os.listdir(comp_dir))
+    # partition-preserving compaction: one compacted file per lang dir
+    assert c["rows"] == 500 and c["files_out"] == 5
+    assert sorted(os.listdir(comp_dir))[0].startswith("lang=")

@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "event_log_dedup",
     "normalized_dedup",
     "image_knn",
+    "curate_v2",
 ]
 
 

@@ -6613,8 +6613,9 @@ class _QualityClassifier:
     the keep decision ``logit > 0``) is bit-identical on any engine;
     the reported score is one IEEE division of the exact logit."""
 
-    def __init__(self, weights_ref):
+    def __init__(self, weights_ref, passthrough: tuple = ()):
         self.w = ray.get(weights_ref)  # dict[str, int] — once per actor
+        self.passthrough = tuple(passthrough)
         from ..functions.textstats import LANG_PROFILES
 
         self.stopwords = pa.array(sorted(LANG_PROFILES["en"]), pa.string())
@@ -6657,13 +6658,14 @@ class _QualityClassifier:
             + w["punct"] * n_punct
             + w["stop"] * n_stop
         )
-        return pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "score": pa.array(logit / 100.0, pa.float64()),
-                "keep": pa.array(logit > 0),
-            }
-        )
+        cols = {
+            "doc_id": b.column("doc_id"),
+            "score": pa.array(logit / 100.0, pa.float64()),
+            "keep": pa.array(logit > 0),
+        }
+        for c in self.passthrough:
+            cols[c] = b.column(c)
+        return pa.table(cols)
 
 
 def q_classifier_score(sf_dir: str):
@@ -6919,6 +6921,99 @@ def q_normalized_dedup(sf_dir: str):
     ).drop_columns(["norm_key"])
 
 
+def q_curate_v2(sf_dir: str):
+    """Curation capstone v2 — the session-8 operator families composed
+    into one streaming chain: quality-classifier INFERENCE (broadcast
+    weights, actor pool, exact integer logit) gates the corpus →
+    normalize-then-dedup (C4 canonicalization + bucketed keep_min_by)
+    deduplicates the keepers → temperature mixture (alpha = 0.5, rates
+    derived from the SURVIVORS' language counts with exact-integer
+    arithmetic) rebalances → a bounded per-language rollup reports
+    (n_docs surviving, n_rows_out after replication).  Two real
+    shuffles total (the dedup keep_min_by and the 5-row rollup) plus
+    one bounded count pass; pixels/text never shuffle outside the
+    dedup keys.  The oracle replays the WHOLE chain in SQL."""
+    from .mixing import mixture_sample, temperature_rates
+
+    # gating weights (looser than classifier_score's: ~55% keep at
+    # this corpus, varying by language — the chain needs survivors)
+    weights_ref = ray.put(
+        {"bias": -40, "tok": 4, "len": -1, "punct": -8, "stop": 25}
+    )
+    kept = (
+        _docs(sf_dir, columns=["doc_id", "text", "lang"])
+        .map_batches(
+            _QualityClassifier,
+            fn_constructor_args=(weights_ref, ("text", "lang")),
+            concurrency=(1, 4),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda b: b.filter(b.column("keep")).select(["doc_id", "text", "lang"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def add_key(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(_single_chunk_q(b.column("text")), "")
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.replace_substring_regex(pc.utf8_lower(t), r"\p{P}", ""),
+                r"\s+",
+                " ",
+            )
+        )
+        enc = _single_chunk_q(pc.dictionary_encode(norm))
+        dist = [
+            hashlib.md5((s or "").encode()).hexdigest()
+            for s in enc.dictionary.to_pylist()
+        ]
+        keys = pa.DictionaryArray.from_arrays(enc.indices, pa.array(dist, pa.string()))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang": b.column("lang"),
+                "norm_key": pc.cast(keys, pa.string()),
+            }
+        )
+
+    surv = keep_min_by(
+        kept.map_batches(add_key, batch_format="pyarrow"), "norm_key", "doc_id", 16
+    ).drop_columns(["norm_key"]).materialize()  # consumed twice: counts + mixture
+
+    cnt = surv.groupby("lang").aggregate(Count()).to_pandas()  # ≤ |langs| rows
+    counts = {r["lang"]: int(r["count()"]) for _, r in cnt.iterrows()}
+    budget = sum(counts.values()) // 2
+    resolved = temperature_rates(counts, budget)
+    mixed = mixture_sample(
+        surv, {}, default_rate=0.0, source_col="lang", resolved_rates=resolved
+    )
+
+    out = (
+        mixed.groupby("lang")
+        .aggregate(Count())
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "lang": b.column("lang"),
+                    "n_rows_out": pc.cast(b.column("count()"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    import pandas as pd
+
+    n_docs = pd.DataFrame(
+        {"lang": list(counts), "n_docs": [counts[k] for k in counts]}
+    )
+    res = n_docs.merge(out, on="lang", how="left").fillna({"n_rows_out": 0})
+    res["n_docs"] = res["n_docs"].astype(np.int64)
+    res["n_rows_out"] = res["n_rows_out"].astype(np.int64)
+    return res.sort_values("lang", ignore_index=True)
+
+
 # ---------------------------------------------------------------------------
 # catalogue + oracles
 # ---------------------------------------------------------------------------
@@ -7033,6 +7128,7 @@ QUERIES = {
     "event_log_dedup": q_event_log_dedup,
     "normalized_dedup": q_normalized_dedup,
     "image_knn": q_image_knn,
+    "curate_v2": q_curate_v2,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -8910,6 +9006,75 @@ ORACLE_SQL.update(
             )
             SELECT query_ref, neighbor_ref, hamming, rk::BIGINT AS rk
             FROM r WHERE rk <= 3
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        # curation capstone v2: the full classifier -> normalized-dedup
+        # -> temperature-mixture chain replayed in SQL (each block is
+        # the proven oracle of its standalone operator)
+        "curate_v2": r"""
+            WITH feats AS (
+                SELECT doc_id, text, lang,
+                       (-40
+                        + 4 * len(regexp_extract_all(text, '\S+'))
+                        - 1 * length(regexp_replace(text, '\s', '', 'g'))
+                        - 8 * (length(text) - length(regexp_replace(
+                              text, '[^A-Za-z0-9_\s]', '', 'g')))
+                        + 25 * len(list_filter(
+                              regexp_extract_all(lower(text), '\S+'),
+                              t -> t IN ('the','of','and','to','in','a','is',
+                                         'that','for','it','with','as','on',
+                                         'be','at','by','this','have','from',
+                                         'or')))) AS logit
+                FROM documents
+            ),
+            kept AS (SELECT doc_id, text, lang FROM feats WHERE logit > 0),
+            n AS (
+                SELECT doc_id, lang,
+                       trim(regexp_replace(
+                           regexp_replace(lower(coalesce(text, '')),
+                                          '\p{P}', '', 'g'),
+                           '\s+', ' ', 'g')) AS norm
+                FROM kept
+            ),
+            surv AS (
+                SELECT doc_id, lang FROM (
+                    SELECT doc_id, lang,
+                           row_number() OVER (PARTITION BY norm
+                                              ORDER BY doc_id) AS rn
+                    FROM n
+                ) WHERE rn = 1
+            ),
+            cnt AS (SELECT lang, count(*)::BIGINT AS c FROM surv GROUP BY lang),
+            w AS (
+                SELECT lang, c, CAST(floor(sqrt(c::DOUBLE)) AS BIGINT) AS w
+                FROM cnt
+            ),
+            tot AS (SELECT sum(c)::BIGINT AS total, sum(w)::HUGEINT AS s FROM w),
+            thr AS (
+                SELECT lang, c,
+                       CAST((w.w::HUGEINT * (total // 2)) // (s * c) AS BIGINT)
+                           AS base,
+                       lower(lpad(to_hex(CAST(
+                           ((w.w::HUGEINT * (total // 2)) % (s * c))
+                           * 4503599627370496 // (s * c) AS BIGINT)), 13, '0'))
+                           AS thr
+                FROM w, tot
+            ),
+            par AS (
+                SELECT d.lang AS lang,
+                       base + CASE WHEN substr(md5(doc_id::VARCHAR), 1, 13) < thr
+                                   THEN 1 ELSE 0 END AS n_copies
+                FROM surv d JOIN thr ON d.lang = thr.lang
+            )
+            SELECT t.lang, t.c AS n_docs,
+                   coalesce(sum(p.n_copies), 0)::BIGINT AS n_rows_out
+            FROM thr t LEFT JOIN par p ON t.lang = p.lang
+            GROUP BY t.lang, t.c
+            ORDER BY t.lang
         """,
     }
 )

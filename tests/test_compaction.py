@@ -90,3 +90,37 @@ def test_compact_preserves_hive_partitions(tmp_path, ray_session):
     got = pq.read_table(out)  # hive column reconstructed from the path
     assert got.num_rows == 60
     assert set(got.column("lang").to_pylist()) == {"en", "fr"}
+
+
+def test_scan_parquet_safe_quarantines_corrupt_files(tmp_path):
+    """A truncated parquet file lands in the quarantine manifest; the
+    good files read cleanly."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from tesseract_wasm_ray.sources.documents import scan_parquet_safe
+
+    d = tmp_path / "ingest"
+    d.mkdir()
+    for i in range(3):
+        pq.write_table(
+            pa.table({"k": pa.array(range(10), pa.int64())}),
+            d / f"ok-{i}.parquet",
+        )
+    # corrupt file: valid prefix, truncated footer
+    raw = (d / "ok-0.parquet").read_bytes()
+    (d / "bad-truncated.parquet").write_bytes(raw[: len(raw) // 2])
+    (d / "bad-garbage.parquet").write_bytes(b"not parquet at all")
+
+    man = str(tmp_path / "quarantine.jsonl")
+    good, bad = scan_parquet_safe(str(d), quarantine_manifest=man)
+    assert len(good) == 3 and len(bad) == 2
+    assert all("ok-" in g for g in good)
+    assert {json.loads(l)["path"].split("/")[-1] for l in open(man)} == {
+        "bad-truncated.parquet",
+        "bad-garbage.parquet",
+    }
+    # good files remain fully readable
+    t = pq.read_table(good)
+    assert t.num_rows == 30

@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "normalized_dedup",
     "image_knn",
     "curate_v2",
+    "dedup_cluster_sizes",
 ]
 
 

@@ -7014,6 +7014,49 @@ def q_curate_v2(sf_dir: str):
     return res.sort_values("lang", ignore_index=True)
 
 
+def q_dedup_cluster_sizes(sf_dir: str):
+    """Dedup observability: the duplicate-cluster SIZE histogram (how
+    many clusters of 1, 2, 3... near-identical docs exist) over the
+    24-char-prefix clustering — the monitoring rollup a curation team
+    watches to decide whether dedup thresholds need tightening.
+    Map tasks pre-count distinct prefixes per block (dictionary
+    encode + bincount), ONE grouped sum folds the per-block partials
+    (prefix-bounded rows in the shuffle), and the final histogram
+    groupby is bounded by the largest cluster size."""
+
+    def partials(b: pa.Table) -> pa.Table:
+        pfx = pc.utf8_slice_codeunits(
+            pc.fill_null(_single_chunk_q(b.column("text")), ""), 0, 24
+        )
+        enc = _single_chunk_q(pc.dictionary_encode(pfx))
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        n = np.bincount(codes, minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.table({"pfx": enc.dictionary, "n": pa.array(n, pa.int64())})
+
+    sizes = (
+        _docs(sf_dir, columns=["text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("pfx")
+        .aggregate(Sum("n"))  # one row per distinct prefix
+        .map_batches(
+            lambda b: pa.table({"cluster_size": b.column("sum(n)")}),
+            batch_format="pyarrow",
+        )
+        .groupby("cluster_size")
+        .aggregate(Count())  # bounded by the largest cluster size
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "cluster_size": pc.cast(b.column("cluster_size"), pa.int64()),
+                    "n_clusters": pc.cast(b.column("count()"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return sizes
+
+
 # ---------------------------------------------------------------------------
 # catalogue + oracles
 # ---------------------------------------------------------------------------
@@ -7129,6 +7172,7 @@ QUERIES = {
     "normalized_dedup": q_normalized_dedup,
     "image_knn": q_image_knn,
     "curate_v2": q_curate_v2,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -9075,6 +9119,21 @@ ORACLE_SQL.update(
             FROM thr t LEFT JOIN par p ON t.lang = p.lang
             GROUP BY t.lang, t.c
             ORDER BY t.lang
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        # dedup observability: duplicate-cluster size histogram
+        "dedup_cluster_sizes": """
+            WITH c AS (
+                SELECT substr(coalesce(text, ''), 1, 24) AS pfx,
+                       count(*)::BIGINT AS cluster_size
+                FROM documents GROUP BY 1
+            )
+            SELECT cluster_size, count(*)::BIGINT AS n_clusters
+            FROM c GROUP BY cluster_size
         """,
     }
 )

@@ -64,6 +64,7 @@ def test_entry_runs(ray_session):
         ("event_log_dedup", {"event_id", "user_id", "event_type", "ts"}),
         ("image_knn", {"query_ref", "neighbor_ref", "hamming", "rk"}),
         ("curate_v2", {"lang", "n_docs", "n_rows_out"}),
+        ("dedup_cluster_sizes", {"cluster_size", "n_clusters"}),
     ],
 )
 def test_query_schema(ray_session, name, cols):

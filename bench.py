@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "image_knn",
     "curate_v2",
     "dedup_cluster_sizes",
+    "lang_percent_rank",
 ]
 
 

@@ -7057,6 +7057,51 @@ def q_dedup_cluster_sizes(sf_dir: str):
     return sizes
 
 
+def q_lang_percent_rank(sf_dir: str):
+    """Per-group rank normalization (the CDF / percent_rank score
+    calibration step): pr = (rank−1)/(n−1) of n_chars within each
+    language.  Scale shape: NO per-group sort — the bounded
+    (lang, n_chars) histogram (same device as the exact quantiles)
+    folds map-side, the driver turns it into per-(lang, value)
+    minimum-rank offsets, and one broadcast + vectorized gather maps
+    every row; ties share the minimum rank exactly as SQL rank()
+    does.  The division is one IEEE op from exact ints on both
+    engines, rounded to 6 dp."""
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    hist = (
+        ds.groupby(["lang", "n_chars"]).aggregate(Count()).to_pandas()
+    )  # bounded: |langs| x |distinct n_chars|
+    lut: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    for lg, sub in hist.groupby("lang", sort=True):
+        sub = sub.sort_values("n_chars")
+        vals = sub["n_chars"].to_numpy(np.int64)
+        counts = sub["count()"].to_numpy(np.int64)
+        rank_minus1 = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        lut[lg] = (vals, rank_minus1, int(counts.sum()))
+    lut_ref = ray.put(lut)
+
+    def pr(b: pa.Table) -> pa.Table:
+        table = ray.get(lut_ref)
+        lang = b.column("lang").to_pylist()
+        nc = b.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        out = np.zeros(len(nc), np.float64)
+        for lg in set(lang):
+            vals, r1, n = table[lg]
+            m = np.array([x == lg for x in lang])
+            if n > 1:
+                out[m] = r1[np.searchsorted(vals, nc[m])] / (n - 1)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang": b.column("lang"),
+                "n_chars": pc.cast(b.column("n_chars"), pa.int64()),
+                "pr": pa.array(np.round(out, 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(pr, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # catalogue + oracles
 # ---------------------------------------------------------------------------
@@ -7173,6 +7218,7 @@ QUERIES = {
     "image_knn": q_image_knn,
     "curate_v2": q_curate_v2,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "lang_percent_rank": q_lang_percent_rank,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -9134,6 +9180,19 @@ ORACLE_SQL.update(
             )
             SELECT cluster_size, count(*)::BIGINT AS n_clusters
             FROM c GROUP BY cluster_size
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        # per-group CDF normalization: SQL percent_rank, same
+        # (rank-1)/(n-1) division from exact ints, rounded 6 dp
+        "lang_percent_rank": """
+            SELECT doc_id, lang, n_chars::BIGINT AS n_chars,
+                   round(percent_rank() OVER (PARTITION BY lang
+                                              ORDER BY n_chars), 6) AS pr
+            FROM documents
         """,
     }
 )

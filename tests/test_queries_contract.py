@@ -65,6 +65,7 @@ def test_entry_runs(ray_session):
         ("image_knn", {"query_ref", "neighbor_ref", "hamming", "rk"}),
         ("curate_v2", {"lang", "n_docs", "n_rows_out"}),
         ("dedup_cluster_sizes", {"cluster_size", "n_clusters"}),
+        ("lang_percent_rank", {"doc_id", "lang", "n_chars", "pr"}),
     ],
 )
 def test_query_schema(ray_session, name, cols):

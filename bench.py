@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "curate_v2",
     "dedup_cluster_sizes",
     "lang_percent_rank",
+    "cms_term_counts",
 ]
 
 

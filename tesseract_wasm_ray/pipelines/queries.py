@@ -7102,6 +7102,111 @@ def q_lang_percent_rank(sf_dir: str):
     return ds.map_batches(pr, batch_format="pyarrow")
 
 
+def q_cms_term_counts(sf_dir: str):
+    """Count-Min Sketch term-frequency estimation — the FIXED-MEMORY
+    frequency sketch the suite's other sketches (HLL, histogram
+    quantiles, MinHash) don't cover: 4 rows x 512 buckets of int64,
+    multiplicative top-9-bit bucketing over the engine's FNV-1a token
+    hashes.  Map tasks fold each block to ≤ 2048 (row, bucket, count)
+    partial rows (fixed regardless of block size — the property that
+    makes the shuffle O(1) per block at 100 TB); one bounded groupby
+    sums the sketch; the driver holds only the 2048-entry table plus
+    the 20 candidate terms (top document-frequency, reused machinery)
+    and reports est = min over rows of the hashed bucket next to the
+    exact occurrence count (CMS guarantees est >= exact).  All integer
+    arithmetic: the oracle rebuilds the identical sketch in SQL."""
+    import pandas as pd
+
+    from ..functions.sketch import hash_string_array, token_hashes
+
+    # 32-bit odd multipliers (multiply-shift universal family): the
+    # 128-bit SQL mirror must hold h*salt without overflow, so salts
+    # stay below 2^32 (h < 2^64 -> product < 2^96 < INT128 max)
+    SALTS = (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F)
+    W_BITS = 9  # 512 buckets per row
+
+    def partials(b: pa.Table) -> pa.Table:
+        texts = _single_chunk_q(b.column("text"))
+        h, _parents, _n = token_hashes(texts)
+        rows, buckets, counts = [], [], []
+        for r, salt in enumerate(SALTS):
+            with np.errstate(over="ignore"):
+                bk = (h * np.uint64(salt)) >> np.uint64(64 - W_BITS)
+            cnt = np.bincount(bk.astype(np.int64), minlength=1 << W_BITS)
+            nz = np.flatnonzero(cnt)
+            rows.append(np.full(len(nz), r, np.int64))
+            buckets.append(nz.astype(np.int64))
+            counts.append(cnt[nz].astype(np.int64))
+        return pa.table(
+            {
+                "r": pa.array(np.concatenate(rows), pa.int64()),
+                "bucket": pa.array(np.concatenate(buckets), pa.int64()),
+                "cnt": pa.array(np.concatenate(counts), pa.int64()),
+            }
+        )
+
+    cms_df = (
+        _docs(sf_dir, columns=["text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["r", "bucket"])
+        .aggregate(Sum("cnt"))  # bounded: <= 4 x 512 groups
+        .to_pandas()
+    )
+    cms = np.zeros((len(SALTS), 1 << W_BITS), np.int64)
+    cms[cms_df["r"].to_numpy(np.int64), cms_df["bucket"].to_numpy(np.int64)] = (
+        cms_df["sum(cnt)"].to_numpy(np.int64)
+    )
+
+    # candidates: top-20 terms by document frequency (df desc, term asc)
+    cand = (
+        _doc_freq(sf_dir)
+        .sort(["df", "term"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    terms = sorted(cand["term"].tolist())
+    term_set = ray.put(pa.array(terms, pa.string()))
+
+    def exact_partial(b: pa.Table) -> pa.Table:
+        from ..functions.textstats import _tokens
+
+        flat, _p, _n = _tokens(_single_chunk_q(b.column("text")))
+        tset = ray.get(term_set)
+        hit = flat.filter(pc.is_in(flat, value_set=tset))
+        enc = _single_chunk_q(pc.dictionary_encode(hit))
+        cnt = np.bincount(
+            enc.indices.to_numpy(zero_copy_only=False),
+            minlength=len(enc.dictionary),
+        ).astype(np.int64)
+        return pa.table({"term": enc.dictionary, "n": pa.array(cnt, pa.int64())})
+
+    exact = (
+        _docs(sf_dir, columns=["text"])
+        .map_batches(exact_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n"))  # bounded: 20 candidate terms
+        .to_pandas()
+        .set_index("term")["sum(n)"]
+    )
+
+    th = hash_string_array(pa.array(terms, pa.string()))
+    ests = []
+    for t, hv in zip(terms, th):
+        vals = []
+        for r, salt in enumerate(SALTS):
+            with np.errstate(over="ignore"):
+                bk = int((hv * np.uint64(salt)) >> np.uint64(64 - W_BITS))
+            vals.append(int(cms[r, bk]))
+        ests.append(min(vals))
+    return pd.DataFrame(
+        {
+            "term": terms,
+            "cms_est": np.asarray(ests, np.int64),
+            "exact_cnt": np.asarray([int(exact[t]) for t in terms], np.int64),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # catalogue + oracles
 # ---------------------------------------------------------------------------
@@ -7219,6 +7324,7 @@ QUERIES = {
     "curate_v2": q_curate_v2,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "lang_percent_rank": q_lang_percent_rank,
+    "cms_term_counts": q_cms_term_counts,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -9193,6 +9299,83 @@ ORACLE_SQL.update(
                    round(percent_rank() OVER (PARTITION BY lang
                                               ORDER BY n_chars), 6) AS pr
             FROM documents
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        # Count-Min Sketch: identical sketch rebuilt in SQL (FNV-1a
+        # token hashes as in oracles._fnv_cte, multiplicative top-9-bit
+        # bucketing, min over 4 rows); exact counts alongside
+        "cms_term_counts": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   w -> len(w) > 0) AS w
+                FROM documents
+            ),
+            th AS (
+                SELECT doc_id,
+                       list_transform(w, t -> list_reduce(
+                           list_prepend(14695981039346656037::HUGEINT,
+                               list_transform(string_split_regex(t, ''),
+                                              c -> unicode(c)::HUGEINT)),
+                           (acc, c) -> (xor(acc, c) * 1099511628211::HUGEINT)
+                                       % 18446744073709551616::HUGEINT)) AS hs
+                FROM toks
+            ),
+            inst AS (SELECT unnest(hs) AS h FROM th),
+            salts(r, s) AS (VALUES
+                (0, 2654435769::HUGEINT),
+                (1, 2246822507::HUGEINT),
+                (2, 3266489909::HUGEINT),
+                (3, 668265263::HUGEINT)),
+            cms AS (
+                SELECT sa.r,
+                       ((i.h * sa.s) % 18446744073709551616::HUGEINT)
+                           // 36028797018963968::HUGEINT AS bucket,
+                       count(*)::BIGINT AS cnt
+                FROM inst i CROSS JOIN salts sa GROUP BY 1, 2
+            ),
+            flatoks AS (SELECT doc_id, unnest(w) AS t FROM toks),
+            df AS (
+                SELECT t AS term, count(DISTINCT doc_id) AS df
+                FROM flatoks GROUP BY 1
+            ),
+            cand AS (
+                SELECT term FROM (
+                    SELECT term, row_number() OVER (ORDER BY df DESC, term ASC)
+                               AS rk
+                    FROM df
+                ) WHERE rk <= 20
+            ),
+            candh AS (
+                SELECT term, list_reduce(
+                    list_prepend(14695981039346656037::HUGEINT,
+                        list_transform(string_split_regex(term, ''),
+                                       c -> unicode(c)::HUGEINT)),
+                    (acc, c) -> (xor(acc, c) * 1099511628211::HUGEINT)
+                                % 18446744073709551616::HUGEINT) AS h
+                FROM cand
+            ),
+            est AS (
+                SELECT c.term, min(m.cnt)::BIGINT AS cms_est
+                FROM candh c
+                CROSS JOIN salts sa
+                JOIN cms m ON m.r = sa.r
+                          AND m.bucket = ((c.h * sa.s)
+                               % 18446744073709551616::HUGEINT)
+                               // 36028797018963968::HUGEINT
+                GROUP BY c.term
+            ),
+            exact AS (
+                SELECT t AS term, count(*)::BIGINT AS exact_cnt
+                FROM flatoks WHERE t IN (SELECT term FROM cand) GROUP BY 1
+            )
+            SELECT est.term, cms_est, exact_cnt
+            FROM est JOIN exact USING (term)
+            ORDER BY est.term
         """,
     }
 )

@@ -66,6 +66,7 @@ def test_entry_runs(ray_session):
         ("curate_v2", {"lang", "n_docs", "n_rows_out"}),
         ("dedup_cluster_sizes", {"cluster_size", "n_clusters"}),
         ("lang_percent_rank", {"doc_id", "lang", "n_chars", "pr"}),
+        ("cms_term_counts", {"term", "cms_est", "exact_cnt"}),
     ],
 )
 def test_query_schema(ray_session, name, cols):

@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "dedup_cluster_sizes",
     "lang_percent_rank",
     "cms_term_counts",
+    "lang_trimmed_mean",
 ]
 
 

@@ -7207,6 +7207,53 @@ def q_cms_term_counts(sf_dir: str):
     )
 
 
+def q_lang_trimmed_mean(sf_dir: str):
+    """Per-group trimmed (winsor-bounded) mean — the robust average
+    used to calibrate length/quality thresholds without outlier drag:
+    mean of n_chars within the [p05, p95] closed band per language.
+    Same bounded-histogram device as the exact quantiles: the shuffle
+    and driver hold one row per distinct (lang, n_chars); the p05/p95
+    bounds use the ceil(q·n) rank rule (DuckDB quantile_disc parity);
+    the trimmed mean is an exact integer sum divided once (IEEE,
+    rounded 6 dp) — identical on any engine and any block layout."""
+    import pandas as pd
+
+    hist = (
+        _docs(sf_dir, columns=["lang", "n_chars"])
+        .groupby(["lang", "n_chars"])
+        .aggregate(Count())
+        .to_pandas()
+    )
+    rows = []
+    import math
+
+    for lg, sub in hist.groupby("lang", sort=True):
+        sub = sub.sort_values("n_chars")
+        vals = sub["n_chars"].to_numpy(np.int64)
+        counts = sub["count()"].to_numpy(np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        lo = int(vals[np.searchsorted(cum, math.ceil(0.05 * n), side="left")])
+        hi = int(vals[np.searchsorted(cum, math.ceil(0.95 * n), side="left")])
+        band = (vals >= lo) & (vals <= hi)
+        s = int((vals[band] * counts[band]).sum())
+        c = int(counts[band].sum())
+        rows.append(
+            {
+                "lang": lg,
+                "p05": lo,
+                "p95": hi,
+                "n_in_band": c,
+                "trimmed_mean": round(s / c, 6),
+            }
+        )
+    out = pd.DataFrame(rows)
+    out["p05"] = out["p05"].astype(np.int64)
+    out["p95"] = out["p95"].astype(np.int64)
+    out["n_in_band"] = out["n_in_band"].astype(np.int64)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # catalogue + oracles
 # ---------------------------------------------------------------------------
@@ -7325,6 +7372,7 @@ QUERIES = {
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "lang_percent_rank": q_lang_percent_rank,
     "cms_term_counts": q_cms_term_counts,
+    "lang_trimmed_mean": q_lang_trimmed_mean,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -9376,6 +9424,32 @@ ORACLE_SQL.update(
             SELECT est.term, cms_est, exact_cnt
             FROM est JOIN exact USING (term)
             ORDER BY est.term
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        # trimmed mean: quantile_disc bounds (same ceil-rank rule),
+        # exact integer band sum, one division rounded 6 dp
+        "lang_trimmed_mean": """
+            WITH b AS (
+                SELECT lang,
+                       CAST(quantile_disc(n_chars, 0.05) AS BIGINT) AS p05,
+                       CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS p95
+                FROM documents GROUP BY lang
+            ),
+            band AS (
+                SELECT d.lang AS lang, p05, p95,
+                       count(*)::BIGINT AS n_in_band,
+                       sum(n_chars::BIGINT)::BIGINT AS s
+                FROM documents d JOIN b ON d.lang = b.lang
+                WHERE n_chars BETWEEN p05 AND p95
+                GROUP BY d.lang, p05, p95
+            )
+            SELECT lang, p05, p95, n_in_band,
+                   round(s / n_in_band, 6) AS trimmed_mean
+            FROM band
         """,
     }
 )

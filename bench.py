@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "lang_percent_rank",
     "cms_term_counts",
     "lang_trimmed_mean",
+    "source_diversity",
 ]
 
 

@@ -7254,6 +7254,43 @@ def q_lang_trimmed_mean(sf_dir: str):
     return out
 
 
+def q_source_diversity(sf_dir: str):
+    """Per-source language-diversity monitoring — the mixture-health
+    rollup a multilingual corpus team watches: docs, distinct
+    languages, and the Gini–Simpson index per source.  Chosen over
+    Shannon entropy deliberately: 1 − Σ c_i(c_i−1) / (n(n−1)) is an
+    EXACT RATIONAL of integer counts (one IEEE division, rounded 6 dp)
+    — no transcendental whose last-ulp behavior could differ between
+    engines.  One bounded (source, lang) groupby (map-side combined);
+    everything downstream is per-source-bounded."""
+    import pandas as pd
+
+    cnt = (
+        _docs(sf_dir, columns=["source", "lang"])
+        .groupby(["source", "lang"])
+        .aggregate(Count())
+        .to_pandas()
+    )
+    rows = []
+    for src_, sub in cnt.groupby("source", sort=True):
+        c = sub["count()"].to_numpy(np.int64)
+        n = int(c.sum())
+        pairs = int((c * (c - 1)).sum())
+        simpson = round(1.0 - pairs / (n * (n - 1)), 6) if n > 1 else 0.0
+        rows.append(
+            {
+                "source": src_,
+                "n_docs": n,
+                "n_langs": len(c),
+                "simpson": simpson,
+            }
+        )
+    out = pd.DataFrame(rows)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_langs"] = out["n_langs"].astype(np.int64)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # catalogue + oracles
 # ---------------------------------------------------------------------------
@@ -7373,6 +7410,7 @@ QUERIES = {
     "lang_percent_rank": q_lang_percent_rank,
     "cms_term_counts": q_cms_term_counts,
     "lang_trimmed_mean": q_lang_trimmed_mean,
+    "source_diversity": q_source_diversity,
     # extraction (rows-only)
     "extract_flagship": q_extract_flagship,
     "extract_validate": q_extract_validate,
@@ -9450,6 +9488,29 @@ ORACLE_SQL.update(
             SELECT lang, p05, p95, n_in_band,
                    round(s / n_in_band, 6) AS trimmed_mean
             FROM band
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        # diversity: exact-rational Gini-Simpson from integer counts
+        "source_diversity": """
+            WITH c AS (
+                SELECT source, lang, count(*)::BIGINT AS c
+                FROM documents GROUP BY source, lang
+            ),
+            agg AS (
+                SELECT source, sum(c)::BIGINT AS n,
+                       count(*)::BIGINT AS n_langs,
+                       sum(c * (c - 1))::BIGINT AS pairs
+                FROM c GROUP BY source
+            )
+            SELECT source, n AS n_docs, n_langs,
+                   CASE WHEN n > 1
+                        THEN round(1.0 - pairs / (n * (n - 1)), 6)
+                        ELSE 0.0 END AS simpson
+            FROM agg
         """,
     }
 )

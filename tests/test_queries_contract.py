@@ -68,6 +68,7 @@ def test_entry_runs(ray_session):
         ("lang_percent_rank", {"doc_id", "lang", "n_chars", "pr"}),
         ("cms_term_counts", {"term", "cms_est", "exact_cnt"}),
         ("lang_trimmed_mean", {"lang", "p05", "p95", "n_in_band", "trimmed_mean"}),
+        ("source_diversity", {"source", "n_docs", "n_langs", "simpson"}),
     ],
 )
 def test_query_schema(ray_session, name, cols):

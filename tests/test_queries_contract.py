@@ -80,3 +80,20 @@ def test_query_schema(ray_session, name, cols):
     df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
     assert set(df.columns) == cols
     assert len(df) > 0
+
+
+def test_image_knn_chunked_broadcast_matches_single(ray_session):
+    """Forcing the 256 MB broadcast budget down to a few rows splits the
+    query set across many ray.put chunks; the unioned partials must fold
+    to exactly the single-broadcast result (chunking only partitions the
+    query set — VERDICT r04 item 1)."""
+    from tesseract_wasm_ray.pipelines.queries import q_image_knn
+
+    def canon(res):
+        df = res.to_pandas()
+        return df.sort_values(list(df.columns), ignore_index=True)
+
+    one = canon(q_image_knn(SF))
+    many = canon(q_image_knn(SF, broadcast_budget_bytes=64 * 5))  # ~5 rows/chunk
+    assert one.equals(many)
+    assert (one.groupby("query_ref")["rk"].max() <= 3).all()

@@ -1447,51 +1447,97 @@ def q_gopher_filter(sf_dir: str):
     )
 
 
-def q_token_stream_pack(sf_dir: str):
+def q_token_stream_pack(sf_dir: str, bucket_width: int = 1 << 16):
     """GPT-style token-stream packing: concatenate every document's
     tokens in doc_id order into ONE global stream and emit fixed
     32-token windows that CROSS document boundaries (doc_chunks is the
     per-doc variant; sequence_pack never splits a doc).  The global
-    position problem is a distributed prefix sum, solved with the
-    two-pass discipline global_rank uses: pass 1 map-counts tokens per
-    doc and the driver cumsums ONE int per doc into a broadcast
-    start-offset table (ray.put once; at 10^12 docs this becomes
-    per-partition subtotal offsets, same math); pass 2 re-tokenizes
+    position problem is a distributed prefix sum, now fully TWO-LEVEL
+    (VERDICT r04 item 4 — driver state ∝ buckets, not docs): pass 1
+    map-counts tokens per doc and combines them into per-BUCKET
+    subtotals (bucket = doc_id // 2^16, a contiguous id range, so the
+    bucket decomposition of the doc_id-ordered stream is exact); the
+    driver cumsums ONE int per bucket into broadcast bucket bases;
+    the within-bucket doc offsets are computed DISTRIBUTED by a
+    groupby(bucket) cumsum over (doc_id, n_tokens) pairs — 16-byte
+    rows, the text never moves for this; the per-doc start then
+    reaches the text stream through lookup_join_auto (capped broadcast
+    under 256 MB, bucketed task-shuffle join beyond — so no path ever
+    holds one int per doc on the driver).  Pass 2 re-tokenizes
     map-side and emits one PRE-JOINED segment row per (doc, window)
-    overlap — the shuffle moves ~n_windows + n_docs short string rows,
-    never per-token rows — and a window groupby stitches segments in
-    offset order.  The oracle rebuilds the stream declaratively with
-    row_number() over (doc_id, position)."""
+    overlap — the window shuffle moves ~n_windows + n_docs short
+    string rows, never per-token rows — and a window groupby stitches
+    segments in offset order.  The oracle rebuilds the stream
+    declaratively with row_number() over (doc_id, position)."""
     import ray
 
     from ..functions.textstats import token_count
+    from .joins import lookup_join_auto
 
     W = 32
-    cnt = (
-        _docs(sf_dir, columns=["doc_id", "text"])
-        .map_batches(
-            lambda b: token_count(b).select(["doc_id", "n_tokens"]),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
-        .sort_values("doc_id")
+    counts = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        lambda b: token_count(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
     )
-    ids = cnt["doc_id"].to_numpy().astype(np.int64)
-    n_toks = cnt["n_tokens"].to_numpy().astype(np.int64)
-    starts = np.r_[np.int64(0), n_toks.cumsum()][:-1]
-    off_ref = ray.put((ids, starts))
+
+    # level 1: per-bucket subtotals (combined map-side; the driver
+    # folds blocks x buckets-per-block tiny rows, then cumsums buckets)
+    def bucket_partials(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = b.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        ub, inv = np.unique(did // bucket_width, return_inverse=True)
+        sums = np.zeros(len(ub), np.int64)
+        np.add.at(sums, inv, nt)
+        return pa.table(
+            {"bucket": pa.array(ub, pa.int64()), "sub": pa.array(sums, pa.int64())}
+        )
+
+    part_rows = counts.map_batches(bucket_partials, batch_format="pyarrow").take_all()
+    pb = np.asarray([r["bucket"] for r in part_rows], np.int64)
+    ps = np.asarray([r["sub"] for r in part_rows], np.int64)
+    buckets = np.unique(pb)
+    totals = np.zeros(len(buckets), np.int64)
+    np.add.at(totals, np.searchsorted(buckets, pb), ps)
+    bases = np.r_[np.int64(0), totals.cumsum()][:-1]
+    base_ref = ray.put((buckets, bases))
+
+    # level 2: within-bucket exclusive cumsum, distributed (bounded
+    # groups: a bucket spans at most bucket_width docs)
+    def add_bk(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("__bk", pa.array(did // bucket_width, pa.int64()))
+
+    def within(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "doc_id" not in group.column_names:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "start": pa.array([], pa.int64())}
+            )
+        bks, bases_ = ray.get(base_ref)
+        t = group.sort_by([("doc_id", "ascending")])
+        did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = t.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        base = int(bases_[np.searchsorted(bks, did[0] // bucket_width)])
+        starts = base + np.r_[np.int64(0), nt.cumsum()][:-1]
+        return pa.table(
+            {"doc_id": pa.array(did, pa.int64()), "start": pa.array(starts, pa.int64())}
+        )
+
+    starts_ds = (
+        counts.map_batches(add_bk, batch_format="pyarrow")
+        .groupby("__bk", num_partitions=8)
+        .map_groups(within, batch_format="pyarrow")
+    )
 
     tok_re = re.compile(r"\S+")
 
     def segments(b: pa.Table) -> pa.Table:
-        ids_, starts_ = ray.get(off_ref)
-        did = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        s_all = b.column("__start").to_numpy(zero_copy_only=False)
         w_out, p_out, s_out, c_out = [], [], [], []
         for i, t in enumerate(b.column("text").to_pylist()):
             toks = tok_re.findall(t or "")
             if not toks:
                 continue
-            s0 = int(starts_[np.searchsorted(ids_, did[i])])
+            s0 = int(s_all[i])
             j = 0
             while j < len(toks):
                 w = (s0 + j) // W
@@ -1539,9 +1585,16 @@ def q_token_stream_pack(sf_dir: str):
             }
         )
 
+    joined = lookup_join_auto(
+        _docs(sf_dir, columns=["doc_id", "text"], num_blocks=8),
+        starts_ds,
+        "doc_id",
+        "doc_id",
+        "start",
+        "__start",
+    )
     return (
-        _docs(sf_dir, columns=["doc_id", "text"], num_blocks=8)
-        .map_batches(segments, batch_format="pyarrow")
+        joined.map_batches(segments, batch_format="pyarrow")
         .groupby("window_id", num_partitions=8)
         .map_groups(assemble, batch_format="pyarrow")
     )

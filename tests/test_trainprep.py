@@ -423,3 +423,75 @@ def test_token_stream_pack_reconstructs_corpus(ray_session):
     tok = re.compile(r"\S+")
     want = " ".join(t for txt in docs["text"] for t in tok.findall(txt or ""))
     assert stream == want
+
+
+def test_token_stream_pack_two_level_prefix_sum_1m_docs(ray_session, tmp_path):
+    """The VERDICT r04 item-4 gate: a >=1M-doc corpus runs through the
+    two-level prefix sum with a small bucket width (forcing thousands
+    of driver-side bucket bases but NEVER one int per doc on the
+    driver) and the token stream still reconstructs exactly.  Checks
+    totals plus exact window content at the head, the tail, and around
+    several bucket boundaries."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from tesseract_wasm_ray.pipelines.queries import q_token_stream_pack
+
+    n = 1_000_000
+    ids = np.arange(n, dtype=np.int64)
+    # deterministic variable-length texts: 1-4 short tokens per doc
+    ntok = (ids % 4 + 1).astype(np.int64)
+    texts = [
+        " ".join(f"t{(7 * i + j) % 97}" for j in range(k))
+        for i, k in zip(ids, ntok)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    W = 32
+    got = (
+        q_token_stream_pack(str(tmp_path), bucket_width=4096)
+        .to_pandas()
+        .sort_values("window_id", ignore_index=True)
+    )
+    total = int(ntok.sum())
+    assert int(got["n_tokens"].sum()) == total
+    assert len(got) == -(-total // W)
+    assert (got["n_tokens"][:-1] == W).all()
+    assert (got["window_id"].to_numpy() == np.arange(len(got))).all()
+
+    # exact content spot-checks: global token positions are a closed
+    # form (cumsum of ntok), so any window is independently derivable
+    starts = np.r_[np.int64(0), ntok.cumsum()]
+    tok = re.compile(r"\S+")
+
+    def window_want(w):
+        lo, hi = w * W, min((w + 1) * W, total)
+        # docs overlapping [lo, hi)
+        d0 = int(np.searchsorted(starts, lo, side="right") - 1)
+        out = []
+        d, p = d0, lo
+        while p < hi:
+            within = p - int(starts[d])
+            toks = tok.findall(texts[d])
+            take = toks[within : within + (hi - p)]
+            out.extend(take)
+            p += len(take)
+            d += 1
+        return " ".join(out)
+
+    probe = [0, 1, len(got) - 1]
+    # windows straddling bucket boundaries (doc_id 4096k edges)
+    for bk in (1, 7, 123, 200):
+        probe.append(int(starts[bk * 4096] // W))
+    for w in probe:
+        assert got.loc[w, "text"] == window_want(w), w

@@ -65,20 +65,14 @@ def _step_nibble(pred: np.ndarray, index: np.ndarray, nibble: np.ndarray):
     return pred, index
 
 
-def encode_adpcm_mono(samples: np.ndarray, block_align: int = 256) -> bytes:
-    """Mono int16 samples -> IMA ADPCM block stream.  The final partial
-    block is padded by repeating the last sample (decoders trim via the
-    WAV ``fact`` chunk's true length)."""
-    if samples.ndim != 1 or samples.size == 0:
-        raise ValueError("encode_adpcm_mono wants a non-empty (n,) int16 array")
-    spb = samples_per_block(block_align)
-    s = samples.astype(np.int64)
-    n = len(s)
-    nb = -(-n // spb)
-    if nb * spb != n:
-        s = np.concatenate([s, np.full(nb * spb - n, s[-1], np.int64)])
-    grid = s.reshape(nb, spb)
-
+def _encode_grid(grid: np.ndarray, block_align: int) -> np.ndarray:
+    """Core encoder recurrence over an ALREADY-BLOCKED sample grid
+    (nb, spb) int64 -> (nb, block_align) uint8 block rows.  Blocks are
+    independent, so callers may stack blocks from MANY clips and pay
+    the spb-step loop once for the whole batch (the per-position
+    recurrence cost is what dominated per-clip encodes — VERDICT r04
+    item 5)."""
+    nb, spb = grid.shape
     pred = grid[:, 0].copy()
     index = np.zeros(nb, np.int64)
     nibbles = np.empty((nb, spb - 1), np.uint8)
@@ -108,21 +102,56 @@ def encode_adpcm_mono(samples: np.ndarray, block_align: int = 256) -> bytes:
     # header step index is 0 for every block (blocks are independent);
     # byte 3 reserved
     out[:, 4:] = packed
-    return out.tobytes()
+    return out
 
 
-def decode_adpcm_mono(
-    data: bytes, block_align: int, n_samples: int | None = None
-) -> np.ndarray:
-    """IMA ADPCM block stream -> mono int16 samples.  ``n_samples``
-    (from the WAV ``fact`` chunk) trims encoder padding."""
+def _blocked(samples: np.ndarray, spb: int) -> np.ndarray:
+    """(n,) int64 samples -> (nb, spb) grid, final partial block padded
+    by repeating the last sample (decoders trim via the WAV ``fact``
+    chunk's true length)."""
+    s = samples.astype(np.int64)
+    n = len(s)
+    nb = -(-n // spb)
+    if nb * spb != n:
+        s = np.concatenate([s, np.full(nb * spb - n, s[-1], np.int64)])
+    return s.reshape(nb, spb)
+
+
+def encode_adpcm_mono(samples: np.ndarray, block_align: int = 256) -> bytes:
+    """Mono int16 samples -> IMA ADPCM block stream."""
+    if samples.ndim != 1 or samples.size == 0:
+        raise ValueError("encode_adpcm_mono wants a non-empty (n,) int16 array")
     spb = samples_per_block(block_align)
-    usable = len(data) // block_align * block_align
-    if usable == 0:
-        raise ValueError("ADPCM stream shorter than one block")
-    raw = np.frombuffer(data[:usable], np.uint8).reshape(-1, block_align)
-    nb = raw.shape[0]
+    return _encode_grid(_blocked(samples, spb), block_align).tobytes()
 
+
+def encode_adpcm_many(
+    samples_list: list[np.ndarray], block_align: int = 256
+) -> list[bytes]:
+    """Batched encoder: stacks every clip's blocks into ONE grid and
+    runs the spb-step recurrence once for the whole batch — identical
+    bytes to per-clip :func:`encode_adpcm_mono` (blocks never share
+    state), ~batch-size-times fewer numpy dispatches."""
+    spb = samples_per_block(block_align)
+    grids = []
+    for s in samples_list:
+        if s.ndim != 1 or s.size == 0:
+            raise ValueError("encode_adpcm_many wants non-empty (n,) int16 arrays")
+        grids.append(_blocked(s, spb))
+    if not grids:
+        return []
+    nbs = np.array([g.shape[0] for g in grids])
+    out = _encode_grid(np.concatenate(grids, axis=0), block_align)
+    bounds = np.r_[0, np.cumsum(nbs)]
+    return [out[bounds[i] : bounds[i + 1]].tobytes() for i in range(len(grids))]
+
+
+def _decode_blocks(raw: np.ndarray, spb: int) -> np.ndarray:
+    """Core decoder recurrence over stacked (nb, block_align) uint8
+    block rows -> (nb, spb) int64 samples.  Blocks are independent, so
+    callers may stack MANY clips' blocks and run the spb-step loop
+    once for the whole batch."""
+    nb = raw.shape[0]
     pred = raw[:, 0].astype(np.int64) | (raw[:, 1].astype(np.int64) << 8)
     pred -= (pred & 0x8000) << 1  # sign-extend the int16 header predictor
     index = np.clip(raw[:, 2].astype(np.int64), 0, 88)
@@ -137,7 +166,17 @@ def decode_adpcm_mono(
     for j in range(1, spb):
         pred, index = _step_nibble(pred, index, nibbles[:, j - 1].astype(np.int64))
         out[:, j] = pred
-    flat = out.reshape(-1).astype(np.int16)
+    return out
+
+
+def _usable_blocks(data: bytes, block_align: int) -> np.ndarray:
+    usable = len(data) // block_align * block_align
+    if usable == 0:
+        raise ValueError("ADPCM stream shorter than one block")
+    return np.frombuffer(data[:usable], np.uint8).reshape(-1, block_align)
+
+
+def _trim(flat: np.ndarray, n_samples: int | None) -> np.ndarray:
     if n_samples is not None:
         if n_samples > len(flat):
             raise ValueError(
@@ -145,3 +184,42 @@ def decode_adpcm_mono(
             )
         flat = flat[:n_samples]
     return flat
+
+
+def decode_adpcm_mono(
+    data: bytes, block_align: int, n_samples: int | None = None
+) -> np.ndarray:
+    """IMA ADPCM block stream -> mono int16 samples.  ``n_samples``
+    (from the WAV ``fact`` chunk) trims encoder padding."""
+    spb = samples_per_block(block_align)
+    raw = _usable_blocks(data, block_align)
+    flat = _decode_blocks(raw, spb).reshape(-1).astype(np.int16)
+    return _trim(flat, n_samples)
+
+
+def decode_adpcm_many(
+    datas: list[bytes],
+    block_align: int,
+    n_samples_list: list[int | None],
+) -> list[np.ndarray]:
+    """Batched decoder: validates each clip's stream length UP FRONT
+    (so one bad clip raises before any work, never poisoning the
+    batch), stacks every clip's blocks into one grid, runs the
+    spb-step recurrence once, and splits/trims per clip.  Identical
+    samples to per-clip :func:`decode_adpcm_mono`."""
+    spb = samples_per_block(block_align)
+    raws = [_usable_blocks(d, block_align) for d in datas]
+    for d, want in zip(raws, n_samples_list):
+        if want is not None and want > d.shape[0] * spb:
+            raise ValueError(
+                f"fact chunk claims {want} samples but stream holds {d.shape[0] * spb}"
+            )
+    if not raws:
+        return []
+    nbs = np.array([r.shape[0] for r in raws])
+    out = _decode_blocks(np.concatenate(raws, axis=0), spb)
+    bounds = np.r_[0, np.cumsum(nbs)]
+    return [
+        _trim(out[bounds[i] : bounds[i + 1]].reshape(-1).astype(np.int16), n_samples_list[i])
+        for i in range(len(raws))
+    ]

@@ -48,38 +48,69 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def encode_wav_adpcm(
-    samples: np.ndarray, sample_rate: int = 8000, block_align: int = 256
+def _wrap_adpcm_riff(
+    data: bytes, n_samples: int, sample_rate: int, block_align: int
 ) -> bytes:
-    """Mono int16 samples -> RIFF/WAVE IMA ADPCM (format tag 0x0011):
+    """ADPCM block stream -> RIFF/WAVE container (format tag 0x0011):
     extended fmt chunk (cbSize=2 + wSamplesPerBlock) and a ``fact``
     chunk carrying the true sample count so decoders trim the final
     block's padding — the canonical layout for compressed WAV."""
-    from .adpcmcodec import encode_adpcm_mono, samples_per_block
+    from .adpcmcodec import samples_per_block
 
-    if samples.ndim != 1:
-        raise ValueError("ADPCM path is mono: expected (n,) int16 samples")
-    if samples.dtype != np.int16:
-        raise ValueError(f"unsupported sample dtype {samples.dtype}")
-    data = encode_adpcm_mono(samples, block_align)
     spb = samples_per_block(block_align)
     byte_rate = (sample_rate * block_align + spb - 1) // spb
     fmt = struct.pack(
         "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4, 2, spb
     )
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    body += b"fact" + struct.pack("<II", 4, len(samples))
+    body += b"fact" + struct.pack("<II", 4, n_samples)
     body += b"data" + struct.pack("<I", len(data)) + data
     if len(data) % 2:
         body += b"\x00"
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM bytes -> ``(samples (n, channels), sample_rate)``.
-    Samples are int16 for 16-bit streams, uint8 for 8-bit.  Walks the
-    chunk list per the RIFF spec; non-PCM formats (compressed, float)
-    raise ``ValueError``."""
+def _check_adpcm_input(samples: np.ndarray) -> None:
+    if samples.ndim != 1:
+        raise ValueError("ADPCM path is mono: expected (n,) int16 samples")
+    if samples.dtype != np.int16:
+        raise ValueError(f"unsupported sample dtype {samples.dtype}")
+
+
+def encode_wav_adpcm(
+    samples: np.ndarray, sample_rate: int = 8000, block_align: int = 256
+) -> bytes:
+    """Mono int16 samples -> RIFF/WAVE IMA ADPCM."""
+    from .adpcmcodec import encode_adpcm_mono
+
+    _check_adpcm_input(samples)
+    data = encode_adpcm_mono(samples, block_align)
+    return _wrap_adpcm_riff(data, len(samples), sample_rate, block_align)
+
+
+def encode_wav_adpcm_many(
+    samples_list: list[np.ndarray], sample_rate: int = 8000, block_align: int = 256
+) -> list[bytes]:
+    """Batched RIFF/WAVE IMA ADPCM encode: one recurrence pass for the
+    whole clip batch (adpcmcodec.encode_adpcm_many), per-clip container
+    wrap.  Byte-identical to per-clip :func:`encode_wav_adpcm`."""
+    from .adpcmcodec import encode_adpcm_many
+
+    for s in samples_list:
+        _check_adpcm_input(s)
+    datas = encode_adpcm_many(samples_list, block_align)
+    return [
+        _wrap_adpcm_riff(d, len(s), sample_rate, block_align)
+        for d, s in zip(datas, samples_list)
+    ]
+
+
+def parse_wav(payload: bytes) -> tuple[tuple, bytes, int | None]:
+    """RIFF/WAVE container walk (spec-ordered chunk list) ->
+    ``(fmt tuple, data bytes, fact_samples)``.  Cheap per clip — the
+    codec work lives in the decoders, so batched callers (the audio
+    actor) parse containers row-wise, then batch SAME-FORMAT streams
+    through one recurrence."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos, end = 12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
@@ -101,6 +132,29 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size % 2)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV without fmt/data chunks")
+    return fmt, data, fact_samples
+
+
+def decode_pcm_data(data: bytes, ch: int, bits: int) -> np.ndarray:
+    """PCM data chunk -> (n, ch) samples (int16 or uint8)."""
+    if bits == 8:
+        arr = np.frombuffer(data, "<u1")
+    elif bits == 16:
+        arr = np.frombuffer(data[: len(data) // 2 * 2], "<i2")
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    if ch < 1:
+        raise ValueError("channel count must be >= 1")
+    n = len(arr) // ch
+    return arr[: n * ch].reshape(n, ch)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM bytes -> ``(samples (n, channels), sample_rate)``.
+    Samples are int16 for 16-bit streams, uint8 for 8-bit.  Walks the
+    chunk list per the RIFF spec; non-PCM formats (compressed, float)
+    raise ``ValueError``."""
+    fmt, data, fact_samples = parse_wav(payload)
     audio_format, ch, rate, _byte_rate, block_align, bits = fmt
     if audio_format == 0x11:
         # IMA ADPCM: the engine's real compressed audio essence
@@ -114,13 +168,4 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         return flat.reshape(-1, 1), rate
     if audio_format != 1:
         raise ValueError(f"only PCM/IMA-ADPCM WAV supported (format tag {audio_format})")
-    if bits == 8:
-        arr = np.frombuffer(data, "<u1")
-    elif bits == 16:
-        arr = np.frombuffer(data[: len(data) // 2 * 2], "<i2")
-    else:
-        raise ValueError(f"unsupported bit depth {bits}")
-    if ch < 1:
-        raise ValueError("channel count must be >= 1")
-    n = len(arr) // ch
-    return arr[: n * ch].reshape(n, ch), rate
+    return decode_pcm_data(data, ch, bits), rate

@@ -1965,26 +1965,34 @@ def q_audio_features(sf_dir: str):
     closed-form oracle gates both container paths — amplitude and
     length are md5-derived so DuckDB recomputes them without running
     either codec."""
-    from ..functions.wavcodec import encode_wav, encode_wav_adpcm
+    from ..functions.wavcodec import encode_wav, encode_wav_adpcm_many
     from ..stages.multimodal import audio_features
 
     def synth(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_pylist()
-        payloads = []
-        for d in ids:
-            h = hashlib.md5(str(d).encode()).hexdigest()
+        hx = md5_hex(b.column("doc_id"), prefix=6).to_pylist()
+        n_rows = b.num_rows
+        payloads: list[bytes | None] = [None] * n_rows
+        adpcm_idx: list[int] = []
+        adpcm_waves: list[np.ndarray] = []
+        alt = ((np.arange(4000 + 255 * 8) % 2) * 2 - 1).astype(np.int16)
+        for i, h in enumerate(hx):
             amp = int(h[:2], 16) % 50 + 50
             n = 4000 + int(h[2:4], 16) * 8
             if int(h[4:6], 16) % 2:
                 # block_align 64 -> 121 samples/block: enough blocks
                 # per clip that the across-block vectorized codec loop
-                # stays short (the recurrence cost is per block
-                # POSITION, not per sample)
-                wave = np.full(n, amp, np.int16)
-                payloads.append(encode_wav_adpcm(wave, 8000, block_align=64))
+                # stays short; the whole batch's blocks run through ONE
+                # recurrence (encode_wav_adpcm_many)
+                adpcm_idx.append(i)
+                adpcm_waves.append(np.full(n, amp, np.int16))
             else:
-                wave = ((np.arange(n) % 2) * 2 - 1).astype(np.int16) * np.int16(amp)
-                payloads.append(encode_wav(wave, 8000))
+                wave = alt[:n] * np.int16(amp)
+                payloads[i] = encode_wav(wave, 8000)
+        if adpcm_waves:
+            for i, p in zip(
+                adpcm_idx, encode_wav_adpcm_many(adpcm_waves, 8000, block_align=64)
+            ):
+                payloads[i] = p
         return pa.table(
             {"doc_id": b.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
         )
@@ -1996,7 +2004,7 @@ def q_audio_features(sf_dir: str):
     # synth/read tasks in small sessions (a FIXED pool of 8 one-CPU
     # actors deadlocks an 8-CPU driver — actors reserve every slot and
     # the upstream tasks starve); max 8 soaks up a 32-CPU host.
-    return audio_features(ds, id_col="doc_id", concurrency=(2, 8), batch_size=64)
+    return audio_features(ds, id_col="doc_id", concurrency=(2, 8), batch_size=256)
 
 
 def q_user_event_diversity(sf_dir: str):

@@ -564,15 +564,17 @@ class AudioFeatureActor:
     column-wise Arrow output."""
 
     def __init__(self, id_col: str = "media_ref", on_error: str = "raise"):
-        from ..functions.wavcodec import decode_wav
+        from ..functions import wavcodec
 
         if on_error not in ("raise", "quarantine"):
             raise ValueError(f"on_error must be raise|quarantine, got {on_error!r}")
-        self._decode = decode_wav
+        self._wav = wavcodec
         self.id_col = id_col
         self.on_error = on_error
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.adpcmcodec import decode_adpcm_many, samples_per_block
+
         payloads = _single_chunk(batch.column("payload"))
         n = batch.num_rows
         rate = np.zeros(n, np.int64)
@@ -581,18 +583,58 @@ class AudioFeatureActor:
         rms = np.zeros(n, np.float64)
         peak = np.zeros(n, np.int64)
         errors: list[str | None] = [None] * n
+        decoded: list[np.ndarray | None] = [None] * n
+        # pass 1: per-clip container walk (cheap); PCM decodes inline
+        # (one frombuffer view), ADPCM clips are VALIDATED here then
+        # grouped by block_align so the spb-step recurrence runs once
+        # per group, not once per clip (the per-position numpy dispatch
+        # dominated per-clip decodes — VERDICT r04 item 5)
+        adpcm: dict[int, list[tuple[int, bytes, int | None]]] = {}
         for i in range(n):
             try:
-                samples, r = self._decode(payloads[i].as_py())
+                fmt, data, fact = self._wav.parse_wav(payloads[i].as_py())
+                audio_format, ch, r, _br, block_align, bits = fmt
+                if audio_format == 0x11:
+                    if ch != 1:
+                        raise ValueError("IMA ADPCM decode supports mono streams only")
+                    if bits != 4:
+                        raise ValueError(f"IMA ADPCM requires 4 bits/sample, got {bits}")
+                    spb = samples_per_block(block_align)
+                    nb = len(data) // block_align
+                    if nb == 0:
+                        raise ValueError("ADPCM stream shorter than one block")
+                    if fact is not None and fact > nb * spb:
+                        raise ValueError(
+                            f"fact chunk claims {fact} samples but stream holds {nb * spb}"
+                        )
+                    adpcm.setdefault(block_align, []).append((i, data, fact))
+                    rate[i] = r
+                elif audio_format == 1:
+                    decoded[i] = self._wav.decode_pcm_data(data, ch, bits)
+                    rate[i] = r
+                else:
+                    raise ValueError(
+                        f"only PCM/IMA-ADPCM WAV supported (format tag {audio_format})"
+                    )
             except Exception as ex:  # noqa: BLE001 — dead-letter, don't die
                 if self.on_error == "raise":
                     raise
                 # quarantine: one corrupt clip poisons ONE row (error
                 # column set, zeroed features), not the whole task
                 errors[i] = f"{type(ex).__name__}: {ex}"
+        # pass 2: one batched recurrence per block_align group (every
+        # clip in a group was validated above, so the batch cannot fail)
+        for ba, items in adpcm.items():
+            outs = decode_adpcm_many(
+                [d for _, d, _ in items], ba, [f for _, _, f in items]
+            )
+            for (idx, _, _), s in zip(items, outs):
+                decoded[idx] = s.reshape(-1, 1)
+        for i in range(n):
+            samples = decoded[i]
+            if samples is None:
                 continue
             f = samples.astype(np.float64)
-            rate[i] = r
             n_samples[i], n_ch[i] = samples.shape
             rms[i] = float(np.sqrt(np.mean(f * f))) if samples.size else 0.0
             peak[i] = int(np.abs(f).max()) if samples.size else 0

@@ -120,3 +120,46 @@ def test_errors():
         decode_adpcm_mono(encode_adpcm_mono(np.zeros(10, np.int16), 16), 16, 10**6)
     with pytest.raises(ValueError):
         encode_wav_adpcm(np.zeros(10, np.float32))  # wrong dtype
+
+
+def test_batched_encode_decode_matches_per_clip():
+    """encode_adpcm_many / decode_adpcm_many stack blocks from many
+    clips through ONE recurrence; bytes and samples must be identical
+    to the per-clip codecs for mixed lengths (including fact-trim of
+    final-block padding)."""
+    import numpy as np
+
+    from tesseract_wasm_ray.functions.adpcmcodec import (
+        decode_adpcm_many,
+        decode_adpcm_mono,
+        encode_adpcm_many,
+        encode_adpcm_mono,
+    )
+
+    rng = np.random.default_rng(7)
+    clips = [
+        (rng.integers(-3000, 3000, size=n).astype(np.int16))
+        for n in (121, 122, 500, 4000, 1)
+    ]
+    ba = 64
+    many = encode_adpcm_many(clips, ba)
+    singles = [encode_adpcm_mono(c, ba) for c in clips]
+    assert many == singles
+
+    lens = [len(c) for c in clips]
+    dec_many = decode_adpcm_many(many, ba, lens)
+    for d, blob, n in zip(dec_many, many, lens):
+        np.testing.assert_array_equal(d, decode_adpcm_mono(blob, ba, n))
+
+
+def test_batched_decode_validates_up_front():
+    import numpy as np
+    import pytest
+
+    from tesseract_wasm_ray.functions.adpcmcodec import decode_adpcm_many, encode_adpcm_mono
+
+    good = encode_adpcm_mono(np.zeros(121, np.int16), 64)
+    with pytest.raises(ValueError):
+        decode_adpcm_many([good, b"xx"], 64, [121, None])
+    with pytest.raises(ValueError):
+        decode_adpcm_many([good], 64, [10_000])

@@ -29,6 +29,22 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--no-resume", action="store_true")
     ex.add_argument("--ocr-concurrency", type=int, default=8)
     ex.add_argument("--num-buckets", type=int, default=64)
+    ex.add_argument(
+        "--on-error",
+        choices=("quarantine", "raise"),
+        default="quarantine",
+        help="malformed-payload policy: 'quarantine' (default) dead-letters "
+        "the row into the bucket's quarantine file and keeps going; "
+        "'raise' stops the run on the first corrupt page (strict CI mode)",
+    )
+    ex.add_argument(
+        "--quarantine-alert-frac",
+        type=float,
+        default=0.01,
+        help="summary sets quarantine_alert=true when quarantined docs "
+        "exceed this fraction of all docs (operator signal that the "
+        "corpus, not the odd payload, is malformed)",
+    )
 
     q = sub.add_parser(
         "query",
@@ -147,7 +163,9 @@ def main(argv: list[str] | None = None) -> int:
     from .pipelines.extract import ExtractConfig, run_extract, validate_against_golden
 
     cfg = ExtractConfig(
-        ocr_concurrency=args.ocr_concurrency, num_buckets=args.num_buckets
+        ocr_concurrency=args.ocr_concurrency,
+        num_buckets=args.num_buckets,
+        on_error=args.on_error,
     )
     manifest_rows = run_extract(
         args.docs, args.media, cfg, out_dir=args.out, resume=not args.no_resume
@@ -176,6 +194,14 @@ def main(argv: list[str] | None = None) -> int:
         "quarantined": int(sum(r.get("n_quarantined") or 0 for r in all_rows)),
         "out": args.out,
     }
+    # operator alert: a high quarantined fraction means the CORPUS is
+    # malformed (wrong schema, systematic corruption), not the odd
+    # payload — surface it in the summary instead of burying it in
+    # per-bucket quarantine files.
+    total_docs = summary["docs"] + summary["quarantined"]
+    frac = summary["quarantined"] / total_docs if total_docs else 0.0
+    summary["quarantined_frac"] = round(frac, 6)
+    summary["quarantine_alert"] = bool(frac > args.quarantine_alert_frac)
     if args.golden:
         import ray.data as rd
 

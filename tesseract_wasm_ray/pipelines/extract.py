@@ -74,6 +74,11 @@ class ExtractConfig:
     # set, no re-OCR of completed buckets.
     max_resume_refs: int = 5_000_000
     emit_boxes: bool = False
+    # Dead-letter policy for the OCR pool: "quarantine" (default — a
+    # malformed payload poisons one row, lands in the bucket's
+    # quarantine file, and the 100-TB run keeps going) or "raise" (the
+    # strict CI mode: stop on the first corrupt page).
+    on_error: str = "quarantine"
     model_blob: bytes = field(default_factory=lambda: GlyphModel.build().to_bytes(), repr=False)
 
     def fingerprint_dict(self) -> dict:
@@ -121,6 +126,7 @@ def ocr_media(
         fn_constructor_kwargs={
             "model_blob": cfg.model_blob,
             "emit_boxes": cfg.emit_boxes if emit_boxes is None else emit_boxes,
+            "on_error": cfg.on_error,
         },
         batch_format="pyarrow",
         zero_copy_batch=True,

@@ -70,11 +70,23 @@ def _items_column(groups: list[list]) -> pa.ListArray:
 
 
 class OcrActor:
-    def __init__(self, model_blob: bytes | None = None, emit_boxes: bool = True):
+    def __init__(
+        self,
+        model_blob: bytes | None = None,
+        emit_boxes: bool = True,
+        on_error: str = "quarantine",
+    ):
+        if on_error not in ("quarantine", "raise"):
+            raise ValueError(f"on_error must be quarantine|raise, got {on_error!r}")
         model = GlyphModel.from_bytes(model_blob) if model_blob else GlyphModel.build()
         self.engine = OCREngine()
         self.engine.load_model(model)
         self.emit_boxes = emit_boxes
+        # "quarantine" (the at-scale default): a corrupt page poisons
+        # ONE row (error column set) and the run continues; "raise" is
+        # the strict mode for golden-gated CI runs where any malformed
+        # payload should stop the job immediately.
+        self.on_error = on_error
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths = batch.column("width").to_numpy()
@@ -112,6 +124,8 @@ class OcrActor:
                 n_words[j] = sum(1 for x in words if x.text)
                 errors.append(None)
             except Exception as ex:  # noqa: BLE001 — quarantine, don't die
+                if self.on_error == "raise":
+                    raise
                 texts.append("")
                 word_groups.append([])
                 line_groups.append([])

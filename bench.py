@@ -12,11 +12,12 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
 
 ``--scaling``: the sandbox stand-in for the N vs 4N node criterion —
 runs the headline pipeline in FRESH subprocesses as
-``TWR_SCALING_PAIRS`` (default 4) back-to-back lo/hi CPU pairs
+``TWR_SCALING_PAIRS`` (default 6) back-to-back lo/hi CPU pairs
 (default 2 and 8 cpus, see run_scaling for why not 8/32 on this SMT
 host), computes per-pair efficiency = (docs/s hi / docs/s lo) / (hi/lo)
-inside one host window with a per-pair CPU-spin health reading, and
-reports the MEDIAN pair efficiency plus every pair.
+inside one host window with a per-pair CPU-spin health reading (a
+sub-0.9 reading triggers ONE declared re-run of that pair), and
+reports the MEDIAN and MIN pair efficiency plus every pair.
 
 Synthetic-corpus generation is cached under /tmp/twr_fixtures and runs
 BEFORE timing starts.
@@ -417,7 +418,7 @@ def run_scaling(sf_dir: str, cpus_lo: int | None = None, cpus_hi: int | None = N
     if cpus_lo is None or cpus_hi is None:
         lo_hi = os.environ.get("TWR_SCALING_CPUS", "2,8").split(",")
         cpus_lo, cpus_hi = int(lo_hi[0]), int(lo_hi[1])
-    n_pairs = int(os.environ.get("TWR_SCALING_PAIRS", "4"))
+    n_pairs = int(os.environ.get("TWR_SCALING_PAIRS", "6"))
     n_docs = int(os.environ.get("TWR_SCALING_DOCS", "240000"))
     # Pre-generate the corpus once so neither timed process pays for it.
     _init_ray(32)
@@ -464,26 +465,48 @@ def run_scaling(sf_dir: str, cpus_lo: int | None = None, cpus_hi: int | None = N
     # pairs keep each quotient inside one host window, every pair gets
     # its OWN spin-health reading taken immediately after it, and the
     # median over pairs drops outlier windows by construction.
-    pairs = []
-    for i in range(n_pairs):
+    # Retry rule, DECLARED UP FRONT (r04 verdict item 7): a pair whose
+    # post-pair spin-health reading is below 0.9 ran inside a dirty
+    # host window and is re-run AT MOST ONCE; the re-run replaces it
+    # regardless of which efficiency is higher.  The trigger is the
+    # independent hardware health probe, never the efficiency itself —
+    # so the rule cannot cherry-pick results.
+    def run_pair(i: int) -> dict:
         print(f"[scaling] pair {i + 1}/{n_pairs}: lo={cpus_lo} cpus ...", file=sys.stderr)
         lo = run_one(cpus_lo)
         print(f"[scaling] pair {i + 1}/{n_pairs}: hi={cpus_hi} cpus ...", file=sys.stderr)
         hi = run_one(cpus_hi)
         spin = _spin_scale(cpus_lo, cpus_hi)
         eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (cpus_hi / cpus_lo)
-        pairs.append(
-            {
-                "efficiency": round(eff, 4),
-                "docs_per_sec_lo": lo["docs_per_sec"],
-                "docs_per_sec_hi": hi["docs_per_sec"],
-                "wall_sec_lo": lo["wall_sec"],
-                "wall_sec_hi": hi["wall_sec"],
-                "host_spin_health": spin,
-                "clean": spin >= 0.9,
-            }
+        return {
+            "efficiency": round(eff, 4),
+            "docs_per_sec_lo": lo["docs_per_sec"],
+            "docs_per_sec_hi": hi["docs_per_sec"],
+            "wall_sec_lo": lo["wall_sec"],
+            "wall_sec_hi": hi["wall_sec"],
+            "host_spin_health": spin,
+            "clean": spin >= 0.9,
+        }
+
+    pairs = []
+    n_retried = 0
+    for i in range(n_pairs):
+        p = run_pair(i)
+        if not p["clean"]:
+            print(
+                f"[scaling] pair {i + 1}: spin_health={p['host_spin_health']} < 0.9 "
+                "(dirty host window) — one declared re-run",
+                file=sys.stderr,
+            )
+            p = run_pair(i)
+            p["retried"] = True
+            n_retried += 1
+        pairs.append(p)
+        print(
+            f"[scaling] pair {i + 1}: eff={p['efficiency']:.4f} "
+            f"spin_health={p['host_spin_health']}",
+            file=sys.stderr,
         )
-        print(f"[scaling] pair {i + 1}: eff={eff:.4f} spin_health={spin}", file=sys.stderr)
 
     effs = sorted(p["efficiency"] for p in pairs)
     median = effs[len(effs) // 2] if len(effs) % 2 else round(
@@ -502,6 +525,8 @@ def run_scaling(sf_dir: str, cpus_lo: int | None = None, cpus_hi: int | None = N
         "sf": float(sf_of(sf_dir)),
         "num_cpus": cpus_hi,
         "scaling_efficiency": median,
+        "min_pair_efficiency": effs[0],
+        "pairs_retried_dirty_window": n_retried,
         "pair_efficiencies": [p["efficiency"] for p in pairs],
         "pairs": pairs,
         "docs_per_sec_lo": best_lo["docs_per_sec_lo"],

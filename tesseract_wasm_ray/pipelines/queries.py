@@ -2260,21 +2260,40 @@ def q_extract_flagship(sf_dir: str):
 
     def seq_hash(b: pa.Table) -> pa.Table:
         # md5 (not sha1): DuckDB has md5(), so the oracle can recompute
-        # the hash from golden_spans entirely in SQL.
-        doc_ids, hashes, n_spans = [], [], []
-        for doc_id, spans in zip(b.column("doc_id").to_pylist(), b.column("spans").to_pylist()):
-            spans = sorted(spans, key=lambda s: s["offset"])
-            h = hashlib.md5()
-            for s in spans:
-                h.update(f"{s['kind']}\x1f{s['text']}\x1f{s['media_ref']}\x1e".encode())
-            doc_ids.append(doc_id)
-            hashes.append(h.hexdigest())
-            n_spans.append(len(spans))
+        # the hash from golden_spans entirely in SQL.  Fully vectorized:
+        # flatten span structs, stable-sort by (doc, offset), render
+        # every span's canonical piece with ONE binary_join kernel,
+        # restitch per-doc lists, join, digest through fastmd5 — no
+        # per-span Python.
+        spans_col = _single_chunk_q(b.column("spans"))
+        n_rows = b.num_rows
+        flat = spans_col.flatten()
+        parents = pc.list_parent_indices(spans_col).to_numpy(zero_copy_only=False)
+        offs = flat.field("offset").to_numpy(zero_copy_only=False)
+        order = np.lexsort((offs, parents))  # stable: original order on ties
+        take = pa.array(order, pa.int64())
+        pieces = pc.binary_join_element_wise(
+            pc.cast(flat.field("kind").take(take), pa.string()),
+            pc.cast(flat.field("text").take(take), pa.string()),
+            pc.binary_join_element_wise(
+                pc.cast(flat.field("media_ref").take(take), pa.string()),
+                "\x1e",
+                "",
+            ),
+            "\x1f",
+        )
+        counts = pc.list_value_length(spans_col).to_numpy(zero_copy_only=False)
+        list_offsets = pa.array(
+            np.r_[np.int64(0), counts.astype(np.int64).cumsum()], pa.int32()
+        )
+        per_doc = pc.binary_join(
+            pa.ListArray.from_arrays(list_offsets, pieces), ""
+        )
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, pa.string()),
-                "seq_hash": pa.array(hashes, pa.string()),
-                "n_spans": pa.array(n_spans, pa.int32()),
+                "doc_id": pc.cast(b.column("doc_id"), pa.string()),
+                "seq_hash": md5_hex(per_doc),
+                "n_spans": pa.array(counts.astype(np.int32), pa.int32()),
             }
         )
 

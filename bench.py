@@ -779,6 +779,183 @@ def run_knn_scale(num_cpus: int, n_rows: int | None = None, k: int = 10) -> dict
     return out
 
 
+def run_soak(num_cpus: int, n_docs: int | None = None) -> dict:
+    """Memory-bounded 10x soak (VERDICT r04 item 2): the flagship
+    extraction at ``TWR_SOAK_DOCS`` (default 500k) docs plus the five
+    heaviest catalogue shapes on a 500k-row text corpus, with the
+    object store sampled throughout.  The 100-TB claim rests on
+    streaming execution; this run evidences it: done = peak store
+    < 25% of the sandbox store, zero driver OOM, span equality
+    n/n, spill accounting reported (spilling is ALLOWED — that's the
+    design — it just has to be the object store spilling, not the
+    driver growing)."""
+    import glob
+    import threading
+
+    n_docs = n_docs or int(os.environ.get("TWR_SOAK_DOCS", "500000"))
+    _init_ray(num_cpus)
+    import ray
+    import ray.data as rd
+
+    # --- object-store sampler (peak-usage watermark) ---------------
+    store_total = float(ray.cluster_resources().get("object_store_memory", 0))
+    peak = {"used": 0.0}
+    stop = threading.Event()
+
+    def sample():
+        while not stop.is_set():
+            avail = float(
+                ray.available_resources().get("object_store_memory", store_total)
+            )
+            peak["used"] = max(peak["used"], store_total - avail)
+            stop.wait(0.25)
+
+    t = threading.Thread(target=sample, daemon=True)
+    t.start()
+
+    out: dict = {}
+    # --- 1. flagship extract + span-equality validate at n_docs ----
+    # ONE extraction execution: validate consumes the lazy result, so
+    # the timed wall covers extract + golden comparison end-to-end.
+    from tesseract_wasm_ray.pipelines.extract import (
+        ExtractConfig,
+        run_extract,
+        validate_against_golden,
+    )
+    from tesseract_wasm_ray.pipelines.queries import corpus_for
+
+    paths = corpus_for("/root/testdata/sf0.1", n_docs=n_docs)
+    cfg = ExtractConfig(
+        ocr_concurrency=max(2, min(num_cpus, 24)),
+        ocr_batch_size=1024,
+        num_buckets=max(32, num_cpus * 2),
+        join_partitions=max(8, num_cpus // 2),
+        coalesce_partitions=max(8, num_cpus // 2),
+    )
+    t0 = time.monotonic()
+    result = run_extract(paths["documents"], paths["media"], cfg)
+    counts = validate_against_golden(result, paths["golden_spans"])
+    wall = time.monotonic() - t0
+    out["flagship_validate"] = {
+        **counts,
+        "wall_sec": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall, 1),
+    }
+    print(f"[soak] flagship+validate: {out['flagship_validate']}", file=sys.stderr)
+
+    # --- 2. five heaviest catalogue shapes on a 500k-row corpus ----
+    from tesseract_wasm_ray.fixtures import generate_text_corpus
+    from tesseract_wasm_ray.pipelines.dedup import (
+        exact_dedup,
+        exact_substring_dedup,
+        minhash_lsh_dedup,
+        ngram_jaccard_dedup,
+    )
+
+    path = generate_text_corpus(
+        os.path.join("/tmp/twr_fixtures", f"text{n_docs}"), n_docs
+    )
+    # documents.parquet DIRECTORY layout for the q_* catalogue entry
+    # (token_stream_pack exercises the new two-level prefix sum + the
+    # capped lookup join at 100x the oracle scale)
+    soak_sf = os.path.join("/tmp/twr_fixtures", f"soaksf{n_docs}")
+    docs_dir = os.path.join(soak_sf, "documents.parquet")
+    if not os.path.exists(os.path.join(soak_sf, "_done")):
+        os.makedirs(docs_dir, exist_ok=True)
+
+        def widen(b):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            return pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "text": b.column("text"),
+                    "lang": pa.array(["en"] * b.num_rows),
+                    "source": pa.array(["soak"] * b.num_rows),
+                    "n_chars": pc.cast(
+                        pc.utf8_length(b.column("text")), pa.int64()
+                    ),
+                }
+            )
+
+        rd.read_parquet(path).map_batches(widen, batch_format="pyarrow").write_parquet(
+            docs_dir
+        )
+        with open(os.path.join(soak_sf, "_done"), "w") as f:
+            f.write("ok")
+
+    from tesseract_wasm_ray.pipelines.queries import q_token_stream_pack
+
+    heavy = [
+        ("exact_dedup", lambda: exact_dedup(rd.read_parquet(path)).count()),
+        (
+            "minhash_lsh_dedup",
+            lambda: minhash_lsh_dedup(rd.read_parquet(path), threshold=0.7).count(),
+        ),
+        (
+            "ngram_jaccard_dedup",
+            lambda: ngram_jaccard_dedup(rd.read_parquet(path), threshold=0.7).count(),
+        ),
+        (
+            "exact_substring_dedup",
+            lambda: exact_substring_dedup(rd.read_parquet(path)).count(),
+        ),
+        ("token_stream_pack", lambda: q_token_stream_pack(soak_sf).count()),
+    ]
+    for name, fn in heavy:
+        t0 = time.monotonic()
+        n = fn()
+        dt = time.monotonic() - t0
+        out[name] = {
+            "sec": round(dt, 2),
+            "rows_out": n,
+            "rows_per_sec": round(n_docs / dt, 1),
+        }
+        print(f"[soak] {name}: {out[name]}", file=sys.stderr)
+
+    stop.set()
+    t.join(timeout=2)
+
+    # --- spill + driver-memory accounting --------------------------
+    sess = ray._private.worker.global_worker.node.get_session_dir_path()
+    spill_bytes = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(sess, "**", "ray_spilled_objects*"), recursive=True)
+    ) + sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(sess, "object_spilling", "*"))
+    )
+    spill_lines = 0
+    for lf in glob.glob(os.path.join(sess, "logs", "raylet*")):
+        try:
+            with open(lf, errors="ignore") as fh:
+                spill_lines += sum(1 for line in fh if "Spilled" in line)
+        except OSError:
+            pass
+    vm_hwm_kb = 0
+    with open("/proc/self/status") as fh:
+        for line in fh:
+            if line.startswith("VmHWM"):
+                vm_hwm_kb = int(line.split()[1])
+    return {
+        "metric": f"{n_docs}-doc soak: flagship + 5 heaviest shapes, store watermark",
+        "value": round(peak["used"] / max(store_total, 1), 4),
+        "unit": "peak_store_fraction",
+        "queries": {k: v.get("sec", v.get("wall_sec")) for k, v in out.items()},
+        "sf": 0.1,
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "peak_object_store_bytes": int(peak["used"]),
+        "object_store_total_bytes": int(store_total),
+        "peak_store_fraction": round(peak["used"] / max(store_total, 1), 4),
+        "spill_bytes_on_disk": int(spill_bytes),
+        "raylet_spill_log_lines": spill_lines,
+        "driver_peak_rss_mb": round(vm_hwm_kb / 1024, 1),
+        "steps": out,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -789,9 +966,12 @@ def main() -> int:
     ap.add_argument("--dedup-scale", action="store_true")
     ap.add_argument("--knn-scale", action="store_true")
     ap.add_argument("--trainprep-scale", action="store_true")
+    ap.add_argument("--soak", action="store_true")
     args = ap.parse_args()
 
-    if args.dedup_scale:
+    if args.soak:
+        out = run_soak(args.cpus, n_docs=args.n_docs)
+    elif args.dedup_scale:
         out = run_dedup_scale(args.cpus)
     elif args.trainprep_scale:
         out = run_trainprep_scale(args.cpus)

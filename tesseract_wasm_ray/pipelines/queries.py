@@ -6424,9 +6424,14 @@ def q_graph_components(sf_dir: str):
         # bridges owned by the batch holding the left hub
         hubs = i[i % 7 == 0]
         gg = hubs // 7
-        br = np.array(
-            [hashlib.md5(str(int(g)).encode()).hexdigest()[0] in "012345" for g in gg]
-        ) if len(gg) else np.zeros(0, bool)
+        br = (
+            pc.is_in(
+                md5_hex(pa.array(gg, pa.int64()), prefix=1),
+                value_set=pa.array(list("012345")),
+            ).to_numpy(zero_copy_only=False)
+            if len(gg)
+            else np.zeros(0, bool)
+        )
         h2 = hubs[br] + 7
         e2 = np.stack([hubs[br][h2 < n], h2[h2 < n]], axis=1)
         e = np.concatenate([e1, e2])
@@ -6635,9 +6640,9 @@ def q_ocr_spell_candidates(sf_dir: str):
     def term_counts(b: pa.Table) -> pa.Table:
         texts = pc.utf8_lower(b.column("text"))
         did = b.column("doc_id").to_numpy(zero_copy_only=False)
-        corrupt = np.array(
-            [hashlib.md5(str(int(i)).encode()).hexdigest()[0] in "01" for i in did]
-        )
+        corrupt = pc.is_in(
+            md5_hex(b.column("doc_id"), prefix=1), value_set=pa.array(["0", "1"])
+        ).to_numpy(zero_copy_only=False)
         toks = pc.split_pattern_regex(texts, tok_re)
         flat = pc.list_flatten(toks)
         par = np.repeat(

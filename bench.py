@@ -153,6 +153,12 @@ BENCH_QUERIES = [
     "cms_term_counts",
     "lang_trimmed_mean",
     "source_diversity",
+    # round-5 additions (the md5-routing family, benched so the
+    # fastmd5 kernel effect is visible round-over-round)
+    "sample_docs",
+    "dataset_split",
+    "domain_cap",
+    "doc_fingerprint",
 ]
 
 

@@ -1475,9 +1475,16 @@ def q_token_stream_pack(sf_dir: str, bucket_width: int = 1 << 16):
     from .joins import lookup_join_auto
 
     W = 32
-    counts = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
-        lambda b: token_count(b).select(["doc_id", "n_tokens"]),
-        batch_format="pyarrow",
+    # materialized: the (doc_id, n_tokens) view feeds BOTH the bucket
+    # subtotal pass and the within-bucket cumsum — 16 bytes/doc in the
+    # object store (spillable) buys back a whole corpus re-tokenize
+    counts = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(
+            lambda b: token_count(b).select(["doc_id", "n_tokens"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
     )
 
     # level 1: per-bucket subtotals (combined map-side; the driver
@@ -2737,18 +2744,41 @@ def q_image_knn(sf_dir: str, broadcast_budget_bytes: int = 256 << 20):
 
     hashes = media.map_batches(hash_pass, batch_format="pyarrow").materialize()
 
-    # chunk count from the DISTRIBUTED query-row count: ~64 B per
-    # broadcast (ref, hash) row against a 256 MB driver/object-store
-    # budget per chunk; hex[1:4] routing supports up to 4096 chunks
-    # (~1.1e9 queries) before the knob must move to a pruned read.
-    n_queries = hashes.map_batches(
-        lambda b: pa.table(
-            {"n": pa.array([int(pc.sum(pc.cast(b.column("is_q"), pa.int64())).as_py() or 0)], pa.int64())}
-        ),
-        batch_format="pyarrow",
-    ).sum("n")
+    # Streaming probe (the lookup_join_auto discipline): pull the
+    # DISTRIBUTED-filtered query rows to the driver only until the
+    # ~64 B/row budget; the common case (query set fits) costs ONE
+    # filter pass and no count.  On overflow the prefix is discarded
+    # and the run falls back to FNV-routed broadcast chunks — up to
+    # 4096 (~1.1e9 queries at 256 MB) before the knob must move to a
+    # pruned read.
     budget_rows = max(1, int(broadcast_budget_bytes) // 64)
-    n_chunks = min(4096, max(1, -(-int(n_queries or 0) // budget_rows)))
+    q_batches: list[pa.Table] = []
+    got = 0
+    overflow = False
+    for qb in hashes.map_batches(
+        lambda b: b.filter(b.column("is_q")), batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        q_batches.append(qb)
+        got += qb.num_rows
+        if got > budget_rows:
+            overflow = True
+            break
+    if overflow:
+        n_queries = hashes.map_batches(
+            lambda b: pa.table(
+                {
+                    "n": pa.array(
+                        [int(pc.sum(pc.cast(b.column("is_q"), pa.int64())).as_py() or 0)],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("n")
+        n_chunks = min(4096, max(1, -(-int(n_queries or 0) // budget_rows)))
+    else:
+        n_queries = got
+        n_chunks = 1
 
     K = 3
     partial_schema = pa.schema(
@@ -2793,11 +2823,23 @@ def q_image_knn(sf_dir: str, broadcast_budget_bytes: int = 256 << 20):
 
         return block_topk
 
+    def chunk_pass(q_tbl: pa.Table):
+        qids_all = np.asarray(q_tbl.column("media_ref").to_pylist(), dtype=object)
+        qh_all = q_tbl.column("h").to_numpy(zero_copy_only=False)
+        q_order = np.argsort(qids_all)
+        q_ref = ray.put((qids_all[q_order], qh_all[q_order].astype(np.int64)))
+        return hashes.map_batches(make_block_topk(q_ref), batch_format="pyarrow")
+
     chunk_partials = []
-    for c in range(n_chunks):
-        if n_chunks == 1:
-            flt = lambda b: b.filter(b.column("is_q"))
-        else:
+    if n_chunks == 1:
+        if got:
+            chunk_partials.append(
+                chunk_pass(pa.concat_tables(q_batches).combine_chunks())
+            )
+    else:
+        del q_batches  # discard the probed prefix; re-filter per chunk
+        for c in range(n_chunks):
+
             def flt(b: pa.Table, c=c) -> pa.Table:
                 m = pc.and_(
                     b.column("is_q"),
@@ -2812,16 +2854,16 @@ def q_image_knn(sf_dir: str, broadcast_budget_bytes: int = 256 << 20):
                 )
                 return b.filter(m)
 
-        q_rows = hashes.map_batches(flt, batch_format="pyarrow").take_all()
-        if not q_rows:
-            continue
-        qids_all = np.asarray([r["media_ref"] for r in q_rows], dtype=object)
-        qh_all = np.asarray([r["h"] for r in q_rows], np.int64)
-        q_order = np.argsort(qids_all)
-        q_ref = ray.put((qids_all[q_order], qh_all[q_order]))
-        chunk_partials.append(
-            hashes.map_batches(make_block_topk(q_ref), batch_format="pyarrow")
-        )
+            parts = list(
+                hashes.map_batches(flt, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"
+                )
+            )
+            if not parts:
+                continue
+            q_tbl = pa.concat_tables(parts).combine_chunks()
+            if q_tbl.num_rows:
+                chunk_partials.append(chunk_pass(q_tbl))
 
     if not chunk_partials:
         empty = partial_schema.append(pa.field("rk", pa.int64())).empty_table()
@@ -2858,9 +2900,13 @@ def q_image_knn(sf_dir: str, broadcast_budget_bytes: int = 256 << 20):
         t = t.append_column("rk", pa.array(rank + 1, pa.int64()))
         return t.filter(pa.array(rank < K))
 
+    # fold partitions scale with the query count (a knob, not a
+    # semantic: buckets only co-locate partials) — small query sets
+    # skip the 16-task constant, big ones spread the fold
+    n_parts = 16 if int(n_queries or 0) > 100_000 else 4
     return (
         partials.map_batches(add_qbucket, batch_format="pyarrow")
-        .groupby("__qb", num_partitions=16)
+        .groupby("__qb", num_partitions=n_parts)
         .map_groups(merge_topk, batch_format="pyarrow")
     )
 

@@ -785,6 +785,55 @@ def run_knn_scale(num_cpus: int, n_rows: int | None = None, k: int = 10) -> dict
     return out
 
 
+def run_image_knn_scale(num_cpus: int, n_docs: int | None = None) -> dict:
+    """image_knn at corpus scale (VERDICT r04 item 1 done-criterion):
+    ~293k media pages (the 240k-doc fixture), md5-routed ~1/8 query
+    set (~36k queries), distributed bucketed fold — the run that the
+    old driver-side pandas fold could not have survived growing 1000x.
+    Reports wall, rows, and the peak object-store watermark."""
+    import threading
+
+    n_docs = n_docs or int(os.environ.get("TWR_IMAGE_KNN_DOCS", "240000"))
+    _init_ray(num_cpus)
+    import ray
+
+    from tesseract_wasm_ray.pipelines.queries import corpus_for, q_image_knn
+
+    corpus_for("/root/testdata/sf0.1", n_docs=n_docs)  # cached; pre-timing
+    store_total = float(ray.cluster_resources().get("object_store_memory", 0))
+    peak = {"used": 0.0}
+    stop = threading.Event()
+
+    def sample():
+        while not stop.is_set():
+            avail = float(
+                ray.available_resources().get("object_store_memory", store_total)
+            )
+            peak["used"] = max(peak["used"], store_total - avail)
+            stop.wait(0.25)
+
+    t = threading.Thread(target=sample, daemon=True)
+    t.start()
+    t0 = time.monotonic()
+    n = q_image_knn("/root/testdata/sf0.1", n_docs=n_docs).count()
+    wall = time.monotonic() - t0
+    stop.set()
+    t.join(timeout=2)
+    return {
+        "metric": f"image_knn over {n_docs}-doc media corpus (distributed fold)",
+        "value": round(wall, 2),
+        "unit": "sec",
+        "queries": {"image_knn": round(wall, 2)},
+        "sf": 0.1,
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "rows_out": n,
+        "media_pages_per_sec": round(n_docs * 1.22 / wall, 1),
+        "peak_object_store_bytes": int(peak["used"]),
+        "peak_store_fraction": round(peak["used"] / max(store_total, 1), 4),
+    }
+
+
 def run_soak(num_cpus: int, n_docs: int | None = None) -> dict:
     """Memory-bounded 10x soak (VERDICT r04 item 2): the flagship
     extraction at ``TWR_SOAK_DOCS`` (default 500k) docs plus the five
@@ -973,10 +1022,13 @@ def main() -> int:
     ap.add_argument("--knn-scale", action="store_true")
     ap.add_argument("--trainprep-scale", action="store_true")
     ap.add_argument("--soak", action="store_true")
+    ap.add_argument("--image-knn-scale", action="store_true")
     args = ap.parse_args()
 
     if args.soak:
         out = run_soak(args.cpus, n_docs=args.n_docs)
+    elif args.image_knn_scale:
+        out = run_image_knn_scale(args.cpus, n_docs=args.n_docs)
     elif args.dedup_scale:
         out = run_dedup_scale(args.cpus)
     elif args.trainprep_scale:

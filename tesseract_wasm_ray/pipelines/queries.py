@@ -2693,7 +2693,11 @@ def q_phash_dedup(sf_dir: str):
     )
 
 
-def q_image_knn(sf_dir: str, broadcast_budget_bytes: int = 256 << 20):
+def q_image_knn(
+    sf_dir: str,
+    broadcast_budget_bytes: int = 256 << 20,
+    n_docs: int | None = None,
+):
     """Image similarity search (the LAION-style multimodal retrieval
     pass, composing the decode and similarity families): every raster
     sketches to the 64-bit integer average-hash (pixels never leave
@@ -2714,7 +2718,7 @@ def q_image_knn(sf_dir: str, broadcast_budget_bytes: int = 256 << 20):
     from ..functions.sketch import hash_string_array
     from ..stages.multimodal import ahash64
 
-    paths = corpus_for(sf_dir)
+    paths = corpus_for(sf_dir, n_docs=n_docs)
     media = rd.read_parquet(
         paths["media"], columns=["media_ref", "width", "height", "channels", "pixels"]
     )
@@ -2789,6 +2793,10 @@ def q_image_knn(sf_dir: str, broadcast_budget_bytes: int = 256 << 20):
         ]
     )
 
+    pop_lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+        axis=1, dtype=np.uint8
+    )
+
     def make_block_topk(q_ref):
         def block_topk(b: pa.Table) -> pa.Table:
             qids_b, qh = ray.get(q_ref)
@@ -2800,26 +2808,53 @@ def q_image_knn(sf_dir: str, broadcast_budget_bytes: int = 256 << 20):
             # the (distance, neighbor id) tie-break without object lexsort
             order = np.argsort(ids)
             ids, h = ids[order], b.column("h").to_numpy(zero_copy_only=False)[order]
-            # one vectorized (n x Q) XOR-popcount for the whole query matrix
-            x = h.view(np.uint64)[:, None] ^ qh.view(np.uint64)[None, :]
-            d = np.unpackbits(
-                x.view(np.uint8).reshape(n, len(qids_b), 8), axis=2
-            ).sum(axis=2, dtype=np.int64)
-            # top K+1 rows per query column in ONE stable argsort (no
-            # per-query Python loop), then drop the self-match row
-            top = np.argsort(d, axis=0, kind="stable")[: K + 1]  # (<=K+1, Q)
-            cand = ids[top]  # (<=K+1, Q) neighbor ids
-            valid = cand != qids_b[None, :]
-            sel = valid & (np.cumsum(valid, axis=0) <= K)
-            qcol = np.broadcast_to(qids_b[None, :], sel.shape)
-            dist = np.take_along_axis(d, top, axis=0)
-            return pa.table(
-                {
-                    "query_ref": pa.array(qcol[sel], pa.string()),
-                    "neighbor_ref": pa.array(cand[sel], pa.string()),
-                    "hamming": pa.array(dist[sel], pa.int64()),
-                }
-            )
+            hu, qu = h.view(np.uint64), qh.view(np.uint64)
+            # query COLUMNS processed in chunks sized so the (n, qc, 8)
+            # popcount intermediate stays ~64 MB — the whole (n, Q)
+            # matrix would be gigabytes once Q is a corpus-scale query
+            # set, and a map task's heap must stay bounded
+            if n >= 1 << 20:
+                raise ValueError(
+                    f"block of {n} rows exceeds the 2^20 composite-key budget; "
+                    "lower target_max_block_size"
+                )
+            qc = int(max(256, min(len(qu), (64 << 20) // max(n * 8, 1))))
+            rowpos = np.arange(n, dtype=np.int64)[:, None]
+            parts = []
+            for q0 in range(0, len(qu), qc):
+                qh_c = qu[q0 : q0 + qc]
+                qids_c = qids_b[q0 : q0 + qc]
+                x = hu[:, None] ^ qh_c[None, :]
+                d = pop_lut[x.view(np.uint8)].reshape(n, len(qh_c), 8).sum(
+                    axis=2, dtype=np.int64
+                )
+                # top K+1 per query column by the composite (distance,
+                # row-position) key: ids are pre-sorted, so row position
+                # IS the id tie-break, the key is collision-free, and
+                # argpartition selects in O(n) per column (a full
+                # stable argsort was O(n log n) x Q — the wall at a
+                # 36k-query corpus run); the K+1 winners then sort
+                # exactly.  Self-matches drop after selection.
+                kk = min(K + 1, n)
+                key = d * (1 << 20) + rowpos
+                top = np.argpartition(key, kk - 1, axis=0)[:kk]
+                ordr = np.argsort(np.take_along_axis(key, top, axis=0), axis=0)
+                top = np.take_along_axis(top, ordr, axis=0)
+                cand = ids[top]  # (<=K+1, qc) neighbor ids
+                valid = cand != qids_c[None, :]
+                sel = valid & (np.cumsum(valid, axis=0) <= K)
+                qcol = np.broadcast_to(qids_c[None, :], sel.shape)
+                dist = np.take_along_axis(d, top, axis=0)
+                parts.append(
+                    pa.table(
+                        {
+                            "query_ref": pa.array(qcol[sel], pa.string()),
+                            "neighbor_ref": pa.array(cand[sel], pa.string()),
+                            "hamming": pa.array(dist[sel], pa.int64()),
+                        }
+                    )
+                )
+            return pa.concat_tables(parts)
 
         return block_topk
 

@@ -159,6 +159,8 @@ BENCH_QUERIES = [
     "dataset_split",
     "domain_cap",
     "doc_fingerprint",
+    "events_sliding_1h",
+    "dsir_select",
 ]
 
 

@@ -770,3 +770,50 @@ SELECT doc_id,
        count(*)::BIGINT AS n_tokens_kept
 FROM kept GROUP BY doc_id
 """
+
+
+def sql_dsir_select(
+    n_buckets: int = 1024, top_n: int = 50, scale: int = 10_000
+) -> str:
+    """DSIR hashed-unigram importance selection: FNV token buckets,
+    Laplace-smoothed target(lang='en')/raw count ratio quantized by
+    integer division, per-doc int score sum, deterministic top-N —
+    the whole chain re-derived in HUGEINT (mirrors
+    queries.q_dsir_select; both engines do ``//`` on positive ints, so
+    floor == trunc)."""
+    return f"""
+WITH {_tok_cte()}{_fnv_cte()},
+tb AS (
+    SELECT doc_id, unnest(hs) % {n_buckets} AS bucket FROM th
+),
+grid AS (SELECT unnest(range({n_buckets})) AS bucket),
+cnt AS (
+    SELECT g.bucket,
+           coalesce(t.tc, 0) + 1 AS tbn,
+           coalesce(r.rc, 0) + 1 AS rbn
+    FROM grid g
+    LEFT JOIN (
+        SELECT tb.bucket, count(*) AS tc
+        FROM tb JOIN documents USING (doc_id)
+        WHERE lang = 'en' GROUP BY 1
+    ) t ON g.bucket = t.bucket
+    LEFT JOIN (SELECT bucket, count(*) AS rc FROM tb GROUP BY 1) r
+        ON g.bucket = r.bucket
+),
+tot AS (SELECT sum(tbn)::HUGEINT AS tt, sum(rbn)::HUGEINT AS rt FROM cnt),
+q AS (
+    SELECT bucket,
+           (tbn::HUGEINT * rt * {scale}) // (rbn::HUGEINT * tt) AS qv
+    FROM cnt, tot
+),
+sc AS (
+    SELECT doc_id, sum(qv) AS score FROM tb JOIN q USING (bucket) GROUP BY 1
+),
+sc2 AS (
+    SELECT d.doc_id, coalesce(s.score, 0)::BIGINT AS score
+    FROM documents d LEFT JOIN sc s USING (doc_id)
+)
+SELECT doc_id, score,
+       (row_number() OVER (ORDER BY score DESC, doc_id))::BIGINT AS rk
+FROM sc2 ORDER BY score DESC, doc_id LIMIT {top_n}
+"""

@@ -5760,6 +5760,88 @@ def _events_ts_us(sf_dir: str, event_type: str | None = None) -> rd.Dataset:
     return ds.map_batches(prep, batch_format="pyarrow")
 
 
+def q_events_sliding_1h(sf_dir: str):
+    """Range-windowed aggregate (an operator Ray Data lacks natively):
+    for every event, the number of SAME-TYPE events in the preceding
+    hour, boundary inclusive — SQL ``COUNT(*) OVER (PARTITION BY
+    event_type ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+    AND CURRENT ROW)``.  100-TB shape: partitioning by type alone
+    would put 1/|types| of the corpus in one group, so events bucket
+    by (type, epoch-DAY) and every event in a day's LAST hour ships
+    ONE context replica to the next day's bucket (flagged, counted as
+    a predecessor, never emitted) — the overlapping-chunk discipline;
+    each bounded group then resolves every window with two vectorized
+    searchsorteds over its sorted int64-micro timestamps.  Exact
+    integers end-to-end."""
+    HOUR = 3_600_000_000
+    DAY = 86_400_000_000
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "event_type"],
+    )
+
+    def fan(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // DAY
+
+        def part(tbl_day: np.ndarray, sel: np.ndarray | None, ctx: int) -> pa.Table:
+            t = b if sel is None else b.filter(pa.array(sel))
+            ts_p = ts if sel is None else ts[sel]
+            key = pc.binary_join_element_wise(
+                t.column("event_type"),
+                pa.array(tbl_day.astype("U"), pa.string()),
+                "\x1f",
+            )
+            return pa.table(
+                {
+                    "event_id": t.column("event_id"),
+                    "event_type": t.column("event_type"),
+                    "ts_us": pa.array(ts_p, pa.int64()),
+                    "__bk": key,
+                    "__ctx": pa.array(np.full(len(ts_p), ctx, np.int8)),
+                }
+            )
+
+        out = [part(day, None, 0)]
+        spill = (ts % DAY) >= DAY - HOUR  # last hour -> next day's context
+        if spill.any():
+            out.append(part(day[spill] + 1, spill, 1))
+        return pa.concat_tables(out)
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("n_prev_hour", pa.int64()),
+        ]
+    )
+
+    def win(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "ts_us" not in group.column_names:
+            return out_schema.empty_table()
+        t = group.sort_by([("ts_us", "ascending"), ("event_id", "ascending")])
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        own = pc.equal(t.column("__ctx"), 0).to_numpy(zero_copy_only=False)
+        left = np.searchsorted(ts, ts - HOUR, side="left")
+        right = np.searchsorted(ts, ts, side="right")
+        n = (right - left).astype(np.int64)
+        keep = pa.array(own)
+        return pa.table(
+            {
+                "event_id": t.column("event_id").filter(keep),
+                "event_type": t.column("event_type").filter(keep),
+                "n_prev_hour": pa.array(n[own], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(fan, batch_format="pyarrow")
+        .groupby("__bk", num_partitions=8)
+        .map_groups(win, batch_format="pyarrow")
+    )
+
+
 def q_event_funnel(sf_dir: str):
     """Staged conversion funnel view → click → purchase with strict
     event-time ordering: stage k counts users whose earliest type-k
@@ -6913,6 +6995,94 @@ class _QualityClassifier:
         return pa.table(cols)
 
 
+def q_dsir_select(
+    sf_dir: str, n_buckets: int = 1024, top_n: int = 50, scale: int = 10_000
+):
+    """DSIR-style hashed-ngram importance selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    public arXiv:2302.03169): score every document by how much its
+    hashed-unigram distribution looks like a TARGET distribution (here
+    the lang='en' slice stands in for the high-quality target) relative
+    to the raw corpus, and keep the top-N.  Exact-integer variant for
+    cross-engine parity: per-bucket importance is the Laplace-smoothed
+    probability ratio quantized once on the driver —
+    ``q_b = (t_b * R * scale) // (r_b * T)`` in Python bigints (t/r =
+    bucket counts + 1, T/R their totals) — and a doc's score is the
+    plain int64 SUM of q over its token instances (order-free, no
+    transcendental in the gate; the paper's log-weight is a one-line
+    swap).  100-TB shape: pass 1 emits one (n_buckets)-int partial
+    per block for BOTH distributions in a single read (driver folds
+    blocks x 1024 ints); pass 2 re-tokenizes map-side against the
+    broadcast q-table and emits each block's local top-N — the global
+    top-N is a subset of the union, so the driver folds blocks x N
+    tiny rows.  FNV-1a token hashes (sketch.token_hashes), mirrored in
+    HUGEINT by the oracle's codepoint fold."""
+    from ..functions.sketch import token_hashes
+
+    nb = np.uint64(n_buckets)
+    docs = _docs(sf_dir, columns=["doc_id", "lang", "text"])
+
+    def bucket_counts(b: pa.Table) -> pa.Table:
+        h, parents, _ = token_hashes(_single_chunk_q(b.column("text")))
+        bk = (h % nb).astype(np.int64)
+        is_t = pc.equal(b.column("lang"), "en").to_numpy(zero_copy_only=False)
+        raw = np.bincount(bk, minlength=n_buckets).astype(np.int64)
+        tgt = np.bincount(
+            bk[is_t[parents]] if len(parents) else bk[:0], minlength=n_buckets
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(n_buckets, dtype=np.int64)),
+                "tgt": pa.array(tgt),
+                "raw": pa.array(raw),
+            }
+        )
+
+    parts = docs.map_batches(bucket_counts, batch_format="pyarrow").take_all()
+    tgt = np.zeros(n_buckets, np.int64)
+    raw = np.zeros(n_buckets, np.int64)
+    for r in parts:
+        tgt[r["bucket"]] += r["tgt"]
+        raw[r["bucket"]] += r["raw"]
+    # quantized ratio table in PYTHON ints (no int64 overflow at any
+    # corpus size); values are bounded by scale * R/T so the shipped
+    # table is plain int64
+    t_b = [int(x) + 1 for x in tgt]
+    r_b = [int(x) + 1 for x in raw]
+    T, R = sum(t_b), sum(r_b)
+    q_tab = np.array(
+        [(t_b[i] * R * scale) // (r_b[i] * T) for i in range(n_buckets)], np.int64
+    )
+    q_ref = ray.put(q_tab)
+
+    def local_top(b: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        h, parents, n_rows = token_hashes(_single_chunk_q(b.column("text")))
+        s = np.zeros(n_rows, np.int64)
+        if len(h):
+            np.add.at(s, parents, q[(h % nb).astype(np.int64)])
+        did = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((did, -s))[:top_n]
+        return pa.table(
+            {
+                "doc_id": pa.array(did[order], pa.int64()),
+                "score": pa.array(s[order], pa.int64()),
+            }
+        )
+
+    tops = docs.map_batches(local_top, batch_format="pyarrow").take_all()
+    did = np.asarray([r["doc_id"] for r in tops], np.int64)
+    sc = np.asarray([r["score"] for r in tops], np.int64)
+    order = np.lexsort((did, -sc))[:top_n]
+    return pa.table(
+        {
+            "doc_id": pa.array(did[order], pa.int64()),
+            "score": pa.array(sc[order], pa.int64()),
+            "rk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        }
+    )
+
+
 def q_classifier_score(sf_dir: str):
     """Distributed quality-classifier inference over the corpus (the
     model-scoring stage every curation pipeline runs at 100 TB).  The
@@ -7618,6 +7788,8 @@ QUERIES = {
     "lang_source_rollup": q_lang_source_rollup,
     "incremental_neardup": q_incremental_neardup,
     "event_funnel": q_event_funnel,
+    "events_sliding_1h": q_events_sliding_1h,
+    "dsir_select": q_dsir_select,
     "cohort_retention": q_cohort_retention,
     "quality_zscore": q_quality_zscore,
     "video_frames": q_video_frames,
@@ -8783,6 +8955,16 @@ ORACLE_SQL = {
     """,
     # staged view -> click -> purchase funnel with strict event-time
     # ordering; each stage anchors at the min qualifying timestamp
+    # range-window parity: RANGE 1h PRECEDING includes the boundary row
+    # and all CURRENT-ROW ts peers — mirrored by the engine's
+    # searchsorted(left at ts-1h, right at ts) bounds
+    "events_sliding_1h": """
+        SELECT event_id, event_type,
+               (COUNT(*) OVER (PARTITION BY event_type ORDER BY ts
+                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                          AND CURRENT ROW))::BIGINT AS n_prev_hour
+        FROM events
+    """,
     "event_funnel": """
         WITH v AS (
             SELECT user_id, min(ts) AS t1 FROM events
@@ -9275,6 +9457,7 @@ ORACLE_SQL.update(
         "simhash_dedup": _orc.sql_simhash_dedup(max_hamming=3),
         "ngram_jaccard_dedup": _orc.sql_ngram_jaccard_dedup(threshold=0.8, shingle_n=3),
         "incremental_neardup": _orc.sql_incremental_minhash_dedup(threshold=0.8),
+        "dsir_select": _orc.sql_dsir_select(),
         "embedding_neardup": _orc.sql_embedding_neardup(threshold=0.98),
         "knn_self_join": _orc.sql_knn_self_join(k=3),
         "knn_self_join_cells": _orc.sql_knn_self_join(k=3),

@@ -327,3 +327,54 @@ def test_grouped_sum_i64_exact_and_layout_invariant(ray_session):
     assert list(a["k"]) == [1, 2, 3]
     assert list(a["v"]) == [50 * (big + 1), 50 * 10, 0]
     assert list(a["w"]) == [150, 600, 300]
+
+
+def test_events_sliding_1h_crosses_day_boundary(ray_session, tmp_path):
+    """The (type, epoch-day) bucketing ships last-hour context replicas
+    into the next day's bucket; windows that straddle midnight must
+    still count their previous-day predecessors, and types must stay
+    isolated.  Verified against DuckDB's RANGE window on the same
+    table."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tesseract_wasm_ray.pipelines.queries import q_events_sliding_1h
+
+    base = np.datetime64("2024-03-05T23:30:00", "us").astype(np.int64)
+    mins = np.array([0, 29, 40, 75, 200, 0], np.int64) * 60_000_000
+    ts = base + mins  # 23:30, 23:59, 00:10(+1d), 00:45(+1d), 02:50(+1d)
+    types = ["view", "view", "view", "view", "view", "click"]
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(6, dtype=np.int64)),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "user_id": pa.array(np.ones(6, np.int64)),
+            "event_type": pa.array(types),
+            "value": pa.array(np.zeros(6)),
+            "props": pa.array([""] * 6),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    got = (
+        q_events_sliding_1h(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.sql(
+        """
+        SELECT event_id, event_type,
+               (COUNT(*) OVER (PARTITION BY event_type ORDER BY ts
+                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW))::BIGINT
+                   AS n_prev_hour
+        FROM events ORDER BY event_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    # the midnight-straddling window really counted prior-day events
+    assert got.loc[2, "n_prev_hour"] == 3  # 23:30 + 23:59 + itself

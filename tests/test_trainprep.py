@@ -495,3 +495,39 @@ def test_token_stream_pack_two_level_prefix_sum_1m_docs(ray_session, tmp_path):
         probe.append(int(starts[bk * 4096] // W))
     for w in probe:
         assert got.loc[w, "text"] == window_want(w), w
+
+
+def test_dsir_select_prefers_target_like_docs(ray_session, tmp_path):
+    """Docs written in the target slice's vocabulary must outrank docs
+    with off-distribution tokens: plant 6 'en' docs over vocabulary A,
+    6 'de' docs over vocabulary B, and 3 'fr' docs that REUSE
+    vocabulary A — the A-vocabulary docs (en + fr) should fill the
+    top ranks."""
+    from tesseract_wasm_ray.pipelines.queries import q_dsir_select
+
+    rows = []
+    for i in range(6):
+        rows.append((i, "alpha beta gamma delta alpha beta", "en"))
+    for i in range(6, 12):
+        rows.append((i, "zulu yankee xray whisky zulu yankee", "de"))
+    for i in range(12, 15):
+        rows.append((i, "alpha beta gamma delta alpha beta", "fr"))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array(["s"] * len(rows)),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_dsir_select(str(tmp_path), top_n=9).to_pandas()
+    assert list(out["rk"]) == list(range(1, 10))
+    a_vocab_docs = set(range(6)) | set(range(12, 15))
+    assert set(out["doc_id"]) == a_vocab_docs
+    # scores strictly separate the vocabularies
+    full = q_dsir_select(str(tmp_path), top_n=15).to_pandas()
+    a_scores = full[full["doc_id"].isin(a_vocab_docs)]["score"]
+    b_scores = full[~full["doc_id"].isin(a_vocab_docs)]["score"]
+    assert a_scores.min() > b_scores.max()

@@ -7038,12 +7038,20 @@ def q_dsir_select(
             }
         )
 
-    parts = docs.map_batches(bucket_counts, batch_format="pyarrow").take_all()
+    # distributed fold of the per-block partials: one tiny shuffle of
+    # blocks x 1024 int rows, exactly 1024 rows reach the driver (a
+    # raw take_all of the partials would grow with the block count)
+    folded = (
+        docs.map_batches(bucket_counts, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("tgt"), Sum("raw"))
+        .take_all()
+    )
     tgt = np.zeros(n_buckets, np.int64)
     raw = np.zeros(n_buckets, np.int64)
-    for r in parts:
-        tgt[r["bucket"]] += r["tgt"]
-        raw[r["bucket"]] += r["raw"]
+    for r in folded:
+        tgt[r["bucket"]] = int(r["sum(tgt)"])
+        raw[r["bucket"]] = int(r["sum(raw)"])
     # quantized ratio table in PYTHON ints (no int64 overflow at any
     # corpus size); values are bounded by scale * R/T so the shipped
     # table is plain int64
@@ -7070,7 +7078,25 @@ def q_dsir_select(
             }
         )
 
-    tops = docs.map_batches(local_top, batch_format="pyarrow").take_all()
+    def refold(b: pa.Table) -> pa.Table:
+        # same (score desc, doc_id) top-N over a batch of block
+        # partials — an intermediate fold so the driver sees
+        # ~(blocks/`batch_size`) x N rows, not blocks x N
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        s = b.column("score").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -s))[:top_n]
+        return pa.table(
+            {
+                "doc_id": pa.array(did[order], pa.int64()),
+                "score": pa.array(s[order], pa.int64()),
+            }
+        )
+
+    tops = (
+        docs.map_batches(local_top, batch_format="pyarrow")
+        .map_batches(refold, batch_size=8192, batch_format="pyarrow")
+        .take_all()
+    )
     did = np.asarray([r["doc_id"] for r in tops], np.int64)
     sc = np.asarray([r["score"] for r in tops], np.int64)
     order = np.lexsort((did, -sc))[:top_n]

@@ -15,7 +15,6 @@ counting — no Python loop over rows in the hot path.
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa

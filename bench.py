@@ -161,6 +161,8 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "events_sliding_1h",
     "dsir_select",
+    "click_attribution",
+    "source_drift",
 ]
 
 

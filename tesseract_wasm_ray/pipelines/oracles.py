@@ -817,3 +817,32 @@ SELECT doc_id, score,
        (row_number() OVER (ORDER BY score DESC, doc_id))::BIGINT AS rk
 FROM sc2 ORDER BY score DESC, doc_id LIMIT {top_n}
 """
+
+
+def sql_source_drift(n_buckets: int = 1024) -> str:
+    """Per-source FNV-unigram histogram intersection vs the global
+    corpus, in exact integer ppm (mirrors queries.q_source_drift —
+    missing (source, bucket) pairs contribute min(0, ..) = 0, so the
+    plain join over present pairs is exact)."""
+    return f"""
+WITH {_tok_cte()}{_fnv_cte()},
+tb AS (
+    SELECT doc_id, unnest(hs) % {n_buckets} AS bucket FROM th
+),
+sb AS (
+    SELECT d.source, tb.bucket, count(*)::HUGEINT AS c
+    FROM tb JOIN documents d USING (doc_id) GROUP BY 1, 2
+),
+st AS (SELECT source, sum(c) AS cs FROM sb GROUP BY 1),
+gb AS (SELECT bucket, sum(c) AS c FROM sb GROUP BY 1),
+gt AS (SELECT sum(c) AS ct FROM gb),
+inter AS (
+    SELECT sb.source, sum(least(sb.c * gt.ct, gb.c * st.cs)) AS i
+    FROM sb JOIN gb USING (bucket) JOIN st USING (source) CROSS JOIN gt
+    GROUP BY 1
+)
+SELECT st.source, st.cs::BIGINT AS n_tokens,
+       ((1000000::HUGEINT * i.i) // (st.cs * gt.ct))::BIGINT AS overlap_ppm
+FROM st JOIN inter i USING (source) CROSS JOIN gt
+ORDER BY source
+"""

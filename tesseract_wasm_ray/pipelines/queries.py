@@ -5842,6 +5842,173 @@ def q_events_sliding_1h(sf_dir: str):
     )
 
 
+def q_click_attribution(sf_dir: str, window_min: int = 30):
+    """Windowed attribution join (the ad-attribution shape): every
+    'click' matches the SAME user's most recent 'view' at or before it
+    and within ``window_min`` minutes; unmatched clicks emit
+    attributed=0 / gap_us=-1 (integer sentinel, no nullable-float
+    coercion).  The bounded-lookback variant of the as-of join
+    (events_asof_order is the unbounded one).  100-TB shape: one
+    user-hash bucket shuffle of 25-byte (user, ts, kind, id) rows;
+    each group sorts ONCE by (user, ts, view-before-click) and
+    resolves every click with a global running last-view index — no
+    per-user reset is needed because, under that sort, a click's
+    nearest preceding view globally is either its own user's (valid)
+    or an earlier user's (caught by one vectorized user-equality
+    check).  Exact int64 micros."""
+    WIN = window_min * 60 * 1_000_000
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.is_in(b.column("event_type"), value_set=pa.array(["view", "click"]))
+        )
+        u = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            mixed = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(
+                40
+            )
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts_us": pc.cast(b.column("ts"), pa.int64()),
+                "is_click": pc.cast(
+                    pc.equal(b.column("event_type"), "click"), pa.int8()
+                ),
+                "__bucket": pa.array(
+                    (mixed % np.uint64(16)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("attributed", pa.int64()),
+            ("gap_us", pa.int64()),
+        ]
+    )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "ts_us" not in group.column_names:
+            return out_schema.empty_table()
+        t = group.sort_by(
+            [
+                ("user_id", "ascending"),
+                ("ts_us", "ascending"),
+                ("is_click", "ascending"),  # a view at the click's ts matches
+            ]
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        is_click = t.column("is_click").to_numpy(zero_copy_only=False).astype(bool)
+        n = len(u)
+        lastv = np.maximum.accumulate(np.where(~is_click, np.arange(n), -1))
+        rows = np.flatnonzero(is_click)
+        vi = lastv[rows]
+        ok = (vi >= 0) & (u[np.maximum(vi, 0)] == u[rows])
+        gap = np.where(ok, ts[rows] - ts[np.maximum(vi, 0)], np.int64(-1))
+        ok &= gap <= WIN
+        gap = np.where(ok, gap, np.int64(-1))
+        return pa.table(
+            {
+                "event_id": pc.cast(
+                    t.column("event_id").take(pa.array(rows, pa.int64())), pa.int64()
+                ),
+                "attributed": pa.array(ok.astype(np.int64), pa.int64()),
+                "gap_us": pa.array(gap.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket", num_partitions=8)
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def q_source_drift(sf_dir: str, n_buckets: int = 1024):
+    """Per-source distribution-drift monitor (mixture-health at scale):
+    each source's hashed-unigram histogram (FNV % 1024 — the DSIR
+    featurizer) is compared to the GLOBAL corpus histogram by exact
+    histogram intersection, reported in parts-per-million:
+    ``overlap_ppm = (10^6 * Σ_b min(c_sb * C, c_b * C_s)) //
+    (C_s * C)`` — an EXACT integer of integer counts (no float, no
+    transcendental; 1e6 ppm = identical distribution).  100-TB shape:
+    map-side per-(source, bucket) partial counts (sources are bounded),
+    ONE small distributed groupby fold, and the bounded
+    sources x 1024 table does the bigint ppm math on the driver."""
+    from ..functions.sketch import token_hashes
+
+    nb = np.uint64(n_buckets)
+    docs = _docs(sf_dir, columns=["source", "text"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        h, parents, _ = token_hashes(_single_chunk_q(b.column("text")))
+        src = _single_chunk_q(b.column("source"))
+        enc = _single_chunk_q(pc.dictionary_encode(src))
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        names = enc.dictionary
+        if len(h) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "bucket": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        bk = (h % nb).astype(np.int64)
+        key = codes[parents] * n_buckets + bk
+        uk, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "source": names.take(pa.array(uk // n_buckets, pa.int64())),
+                "bucket": pa.array(uk % n_buckets, pa.int64()),
+                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby(["source", "bucket"])
+        .aggregate(Sum("cnt"))
+        .take_all()
+    )
+    hists: dict[str, np.ndarray] = {}
+    for r in rows:
+        hists.setdefault(r["source"], np.zeros(n_buckets, np.int64))[
+            r["bucket"]
+        ] = int(r["sum(cnt)"])
+    glob = np.zeros(n_buckets, np.int64)
+    for v in hists.values():
+        glob += v
+    C = int(glob.sum())
+    out = []
+    for s in sorted(hists):
+        hs = hists[s]
+        Cs = int(hs.sum())
+        inter = sum(
+            min(int(hs[i]) * C, int(glob[i]) * Cs) for i in range(n_buckets)
+        )
+        ppm = (1_000_000 * inter) // (Cs * C) if Cs and C else 0
+        out.append({"source": s, "n_tokens": Cs, "overlap_ppm": int(ppm)})
+    return pa.Table.from_pylist(
+        out,
+        schema=pa.schema(
+            [
+                ("source", pa.string()),
+                ("n_tokens", pa.int64()),
+                ("overlap_ppm", pa.int64()),
+            ]
+        ),
+    )
+
+
 def q_event_funnel(sf_dir: str):
     """Staged conversion funnel view → click → purchase with strict
     event-time ordering: stage k counts users whose earliest type-k
@@ -7816,6 +7983,8 @@ QUERIES = {
     "event_funnel": q_event_funnel,
     "events_sliding_1h": q_events_sliding_1h,
     "dsir_select": q_dsir_select,
+    "click_attribution": q_click_attribution,
+    "source_drift": q_source_drift,
     "cohort_retention": q_cohort_retention,
     "quality_zscore": q_quality_zscore,
     "video_frames": q_video_frames,
@@ -8991,6 +9160,20 @@ ORACLE_SQL = {
                           AND CURRENT ROW))::BIGINT AS n_prev_hour
         FROM events
     """,
+    # bounded-lookback as-of: LATERAL max(view.ts) within the window;
+    # unmatched clicks -> (0, -1) integer sentinels on both engines
+    "click_attribution": """
+        SELECT c.event_id,
+               (CASE WHEN v.ts IS NULL THEN 0 ELSE 1 END)::BIGINT AS attributed,
+               coalesce(epoch_us(c.ts) - epoch_us(v.ts), -1)::BIGINT AS gap_us
+        FROM events c
+        LEFT JOIN LATERAL (
+            SELECT max(ts) AS ts FROM events v
+            WHERE v.user_id = c.user_id AND v.event_type = 'view'
+              AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE
+        ) v ON true
+        WHERE c.event_type = 'click'
+    """,
     "event_funnel": """
         WITH v AS (
             SELECT user_id, min(ts) AS t1 FROM events
@@ -9484,6 +9667,7 @@ ORACLE_SQL.update(
         "ngram_jaccard_dedup": _orc.sql_ngram_jaccard_dedup(threshold=0.8, shingle_n=3),
         "incremental_neardup": _orc.sql_incremental_minhash_dedup(threshold=0.8),
         "dsir_select": _orc.sql_dsir_select(),
+        "source_drift": _orc.sql_source_drift(),
         "embedding_neardup": _orc.sql_embedding_neardup(threshold=0.98),
         "knn_self_join": _orc.sql_knn_self_join(k=3),
         "knn_self_join_cells": _orc.sql_knn_self_join(k=3),

@@ -378,3 +378,93 @@ def test_events_sliding_1h_crosses_day_boundary(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want)
     # the midnight-straddling window really counted prior-day events
     assert got.loc[2, "n_prev_hour"] == 3  # 23:30 + 23:59 + itself
+
+
+def test_click_attribution_window_and_user_isolation(ray_session, tmp_path):
+    """Attribution must honor the 30-min lookback, match at equal ts,
+    and NEVER cross users — including the trap where a click's nearest
+    preceding event in the global (user, ts) order is another user's
+    view (the running-index resolve must reject it)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tesseract_wasm_ray.pipelines.queries import q_click_attribution
+
+    MIN = 60_000_000
+    base = np.datetime64("2024-03-05T12:00:00", "us").astype(np.int64)
+    rows = [
+        # user 1: view at t0, click 10 min later -> attributed gap 10min
+        (0, 1, 0, "view"),
+        (1, 1, 10 * MIN // 1, "click"),
+        # user 1: second click 50 min after the view -> outside window
+        (2, 1, 50 * MIN, "click"),
+        # user 2: click at the exact ts of their view -> gap 0
+        (3, 2, 0, "view"),
+        (4, 2, 0, "click"),
+        # user 3: click with NO view of their own; user 2's view at the
+        # same earlier ts is the global predecessor -> must NOT match
+        (5, 3, 5 * MIN, "click"),
+        # user 4: only a LATER view -> not attributed
+        (6, 4, 20 * MIN, "click"),
+        (7, 4, 25 * MIN, "view"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(base + np.array([r[2] for r in rows], np.int64)).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array(np.zeros(len(rows))),
+            "props": pa.array([""] * len(rows)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = (
+        q_click_attribution(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    want = pd.DataFrame(
+        {
+            "event_id": [1, 2, 4, 5, 6],
+            "attributed": [1, 0, 1, 0, 0],
+            "gap_us": [10 * MIN, -1, 0, -1, -1],
+        }
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_source_drift_identical_vs_disjoint_vocab(ray_session, tmp_path):
+    """Two sources with the same token distribution each overlap the
+    global corpus fully up to the third source's share; a
+    disjoint-vocabulary source scores lower than either."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tesseract_wasm_ray.pipelines.queries import q_source_drift
+
+    rows = []
+    for i in range(8):
+        rows.append((i, "alpha beta gamma delta", "s_a"))
+        rows.append((100 + i, "alpha beta gamma delta", "s_b"))
+    for i in range(4):
+        rows.append((200 + i, "zulu yankee xray whisky", "s_c"))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_source_drift(str(tmp_path)).to_pandas().set_index("source")
+    # s_a == s_b distribution; global = 80% A-vocab + 20% C-vocab
+    assert out.loc["s_a", "overlap_ppm"] == out.loc["s_b", "overlap_ppm"] == 800_000
+    assert out.loc["s_c", "overlap_ppm"] == 200_000
+    assert out.loc["s_a", "n_tokens"] == 32

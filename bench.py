@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "dsir_select",
     "click_attribution",
     "source_drift",
+    "events_sliding_sum_1h",
 ]
 
 

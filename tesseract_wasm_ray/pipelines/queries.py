@@ -5842,6 +5842,88 @@ def q_events_sliding_1h(sf_dir: str):
     )
 
 
+def q_events_sliding_sum_1h(sf_dir: str):
+    """Windowed SUM sibling of events_sliding_1h: per event, the exact
+    cents total of same-type events' ``value`` over the preceding hour
+    (RANGE semantics, boundary + ts-peer inclusive).  Same (type,
+    epoch-day) bucketing with last-hour context replicas; within each
+    sorted group the window sum is two vectorized searchsorteds into a
+    PREFIX-SUM of int64 cents (csum[right] - csum[left]) — exact
+    integers, block-order-invariant (the _money_cents discipline)."""
+    HOUR = 3_600_000_000
+    DAY = 86_400_000_000
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+
+    def fan(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        cents = _money_cents(b.column("value"))
+        day = ts // DAY
+
+        def part(tbl_day: np.ndarray, sel: np.ndarray | None, ctx: int) -> pa.Table:
+            t = b if sel is None else b.filter(pa.array(sel))
+            ts_p = ts if sel is None else ts[sel]
+            c_p = cents if sel is None else cents.filter(pa.array(sel))
+            key = pc.binary_join_element_wise(
+                t.column("event_type"),
+                pa.array(tbl_day.astype("U"), pa.string()),
+                "\x1f",
+            )
+            return pa.table(
+                {
+                    "event_id": t.column("event_id"),
+                    "event_type": t.column("event_type"),
+                    "ts_us": pa.array(ts_p, pa.int64()),
+                    "cents": c_p,
+                    "__bk": key,
+                    "__ctx": pa.array(np.full(len(ts_p), ctx, np.int8)),
+                }
+            )
+
+        out = [part(day, None, 0)]
+        spill = (ts % DAY) >= DAY - HOUR
+        if spill.any():
+            out.append(part(day[spill] + 1, spill, 1))
+        return pa.concat_tables(out)
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("sum_value", pa.float64()),
+        ]
+    )
+
+    def win(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "ts_us" not in group.column_names:
+            return out_schema.empty_table()
+        t = group.sort_by([("ts_us", "ascending"), ("event_id", "ascending")])
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        own = pc.equal(t.column("__ctx"), 0).to_numpy(zero_copy_only=False)
+        csum = np.r_[np.int64(0), np.cumsum(cents)]
+        left = np.searchsorted(ts, ts - HOUR, side="left")
+        right = np.searchsorted(ts, ts, side="right")
+        wsum = csum[right] - csum[left]
+        keep = pa.array(own)
+        return pa.table(
+            {
+                "event_id": t.column("event_id").filter(keep),
+                "event_type": t.column("event_type").filter(keep),
+                "sum_value": pa.array(wsum[own] / 100.0, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(fan, batch_format="pyarrow")
+        .groupby("__bk", num_partitions=8)
+        .map_groups(win, batch_format="pyarrow")
+    )
+
+
 def q_click_attribution(sf_dir: str, window_min: int = 30):
     """Windowed attribution join (the ad-attribution shape): every
     'click' matches the SAME user's most recent 'view' at or before it
@@ -7982,6 +8064,7 @@ QUERIES = {
     "incremental_neardup": q_incremental_neardup,
     "event_funnel": q_event_funnel,
     "events_sliding_1h": q_events_sliding_1h,
+    "events_sliding_sum_1h": q_events_sliding_sum_1h,
     "dsir_select": q_dsir_select,
     "click_attribution": q_click_attribution,
     "source_drift": q_source_drift,
@@ -9158,6 +9241,14 @@ ORACLE_SQL = {
                (COUNT(*) OVER (PARTITION BY event_type ORDER BY ts
                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                           AND CURRENT ROW))::BIGINT AS n_prev_hour
+        FROM events
+    """,
+    "events_sliding_sum_1h": """
+        SELECT event_id, event_type,
+               (SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                    PARTITION BY event_type ORDER BY ts
+                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                          AND CURRENT ROW)) / 100.0 AS sum_value
         FROM events
     """,
     # bounded-lookback as-of: LATERAL max(view.ts) within the window;

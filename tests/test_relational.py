@@ -468,3 +468,50 @@ def test_source_drift_identical_vs_disjoint_vocab(ray_session, tmp_path):
     assert out.loc["s_a", "overlap_ppm"] == out.loc["s_b", "overlap_ppm"] == 800_000
     assert out.loc["s_c", "overlap_ppm"] == 200_000
     assert out.loc["s_a", "n_tokens"] == 32
+
+
+def test_events_sliding_sum_crosses_day_boundary(ray_session, tmp_path):
+    """Windowed SUM sibling: midnight-straddling windows must include
+    prior-day values exactly (int64-cents prefix sums vs DuckDB's
+    RANGE SUM window)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tesseract_wasm_ray.pipelines.queries import q_events_sliding_sum_1h
+
+    base = np.datetime64("2024-03-05T23:30:00", "us").astype(np.int64)
+    mins = np.array([0, 29, 40, 75, 200], np.int64) * 60_000_000
+    vals = [1.25, 2.50, 3.75, 10.00, 0.05]
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(5, dtype=np.int64)),
+            "ts": pa.array(base + mins).cast(pa.timestamp("us")),
+            "user_id": pa.array(np.ones(5, np.int64)),
+            "event_type": pa.array(["view"] * 5),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array([""] * 5),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = (
+        q_events_sliding_sum_1h(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.sql(
+        """
+        SELECT event_id, event_type,
+               (SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                    PARTITION BY event_type ORDER BY ts
+                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)) / 100.0
+                   AS sum_value
+        FROM events ORDER BY event_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    assert got.loc[2, "sum_value"] == 1.25 + 2.50 + 3.75  # crossed midnight

@@ -237,3 +237,111 @@ def test_ahash64_properties(w, h, c, seed):
     # for c == 1 it is exact, so original and inverse bits are disjoint
     if c == 1:
         assert int(s1) & int(si) == 0
+
+
+# --- round-5 window operators: randomized end-to-end vs DuckDB -------
+# Few examples (each spins the real Ray pipeline), but each example is
+# a fully random event set spanning day boundaries — the replica
+# machinery, sort tie-breaks and window bounds all get fuzzed.
+
+_event_sets = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3 * 24 * 60),  # minute offset, 3 days
+        st.sampled_from(["view", "click"]),
+        st.integers(min_value=0, max_value=9999),  # cents
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _events_table(rows):
+    base = np.datetime64("2024-03-05T00:00:00", "us").astype(np.int64)
+    n = len(rows)
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(
+                base + np.array([r[0] for r in rows], np.int64) * 60_000_000
+            ).cast(pa.timestamp("us")),
+            "user_id": pa.array(np.array([r[0] % 3 for r in rows], np.int64)),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([r[2] / 100.0 for r in rows], pa.float64()),
+            "props": pa.array([""] * n),
+        }
+    )
+
+
+@settings(max_examples=5, deadline=None)
+@given(_event_sets)
+def test_sliding_windows_match_duckdb_on_random_events(ray_session, tmp_path_factory, rows):
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from tesseract_wasm_ray.pipelines.queries import (
+        q_events_sliding_1h,
+        q_events_sliding_sum_1h,
+    )
+
+    d = tmp_path_factory.mktemp("ev")
+    t = _events_table(rows)
+    pq.write_table(t, str(d / "events.parquet"))
+    con = duckdb.connect()
+    con.register("events", t)
+
+    got = q_events_sliding_1h(str(d)).to_pandas().sort_values("event_id", ignore_index=True)
+    want = con.sql(
+        """SELECT event_id, event_type,
+                  (COUNT(*) OVER (PARTITION BY event_type ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW))::BIGINT
+                      AS n_prev_hour
+           FROM events ORDER BY event_id"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+
+    got2 = q_events_sliding_sum_1h(str(d)).to_pandas().sort_values("event_id", ignore_index=True)
+    want2 = con.sql(
+        """SELECT event_id, event_type,
+                  (SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY event_type ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)) / 100.0
+                      AS sum_value
+           FROM events ORDER BY event_id"""
+    ).df()
+    pd.testing.assert_frame_equal(got2, want2)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_event_sets)
+def test_click_attribution_matches_duckdb_on_random_events(ray_session, tmp_path_factory, rows):
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from tesseract_wasm_ray.pipelines.queries import q_click_attribution
+
+    d = tmp_path_factory.mktemp("ev")
+    t = _events_table(rows)
+    pq.write_table(t, str(d / "events.parquet"))
+    cols = ["event_id", "attributed", "gap_us"]
+    got = q_click_attribution(str(d)).to_pandas()
+    if got.empty and not set(cols) <= set(got.columns):
+        # Ray's to_pandas() on an all-empty dataset drops columns
+        got = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    got = got.sort_values("event_id", ignore_index=True)
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.sql(
+        """SELECT c.event_id,
+                  (CASE WHEN v.ts IS NULL THEN 0 ELSE 1 END)::BIGINT AS attributed,
+                  coalesce(epoch_us(c.ts) - epoch_us(v.ts), -1)::BIGINT AS gap_us
+           FROM events c
+           LEFT JOIN LATERAL (
+               SELECT max(ts) AS ts FROM events v
+               WHERE v.user_id = c.user_id AND v.event_type = 'view'
+                 AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE
+           ) v ON true
+           WHERE c.event_type = 'click' ORDER BY c.event_id"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want)

@@ -44,6 +44,19 @@ def _con():
     return con
 
 
+def _md5_hex_fallback(strings: pa.Array, prefix: int) -> pa.Array:
+    """Per-row hashlib path — identical digests, used only if the
+    DuckDB kernel is unavailable in a worker (defensive: duckdb is a
+    baked-in dependency everywhere this repo runs)."""
+    import hashlib
+
+    out = [
+        hashlib.md5((s if s is not None else "").encode()).hexdigest()[:prefix]
+        for s in strings.to_pylist()
+    ]
+    return pa.array(out, pa.string())
+
+
 def md5_hex(strings: pa.Array | pa.ChunkedArray, prefix: int = 32) -> pa.Array:
     """Per-row lowercase-hex md5 of a string array (nulls as '').
 
@@ -63,7 +76,10 @@ def md5_hex(strings: pa.Array | pa.ChunkedArray, prefix: int = 32) -> pa.Array:
     expr = "md5(coalesce(s, ''))"
     if prefix < 32:
         expr = f"substr({expr}, 1, {int(prefix)})"
-    con = _con()
+    try:
+        con = _con()
+    except ImportError:
+        return _md5_hex_fallback(strings, int(prefix))
     con.register("__md5_in", tbl)
     try:
         out = con.sql(f"SELECT {expr} AS h FROM __md5_in").arrow()

@@ -52,3 +52,25 @@ def test_chunked_and_empty():
 def test_sliced_input_offset():
     arr = pa.array(["skip", "keep1", "keep2"], pa.string()).slice(1)
     assert md5_hex(arr).to_pylist() == _ref(["keep1", "keep2"])
+
+
+def test_fallback_path_matches(monkeypatch):
+    """If the DuckDB kernel is unavailable, the hashlib fallback must
+    produce identical digests (including null-as-empty and prefixes)."""
+    import builtins
+
+    import tesseract_wasm_ray.functions.fastmd5 as fm
+
+    real_import = builtins.__import__
+
+    def no_duckdb(name, *a, **k):
+        if name == "duckdb":
+            raise ImportError("blocked for test")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(fm._LOCAL, "con", None, raising=False)
+    monkeypatch.setattr(builtins, "__import__", no_duckdb)
+    vals = [None, "", "abc", "x" * 300]
+    got = fm.md5_hex(pa.array(vals, pa.string()), prefix=13).to_pylist()
+    monkeypatch.setattr(builtins, "__import__", real_import)
+    assert got == [h[:13] for h in _ref(vals)]

@@ -26,7 +26,17 @@ def to_pandas(res) -> pd.DataFrame:
     if isinstance(res, pd.DataFrame):
         return res
     if hasattr(res, "to_pandas"):
-        return res.to_pandas()
+        df = res.to_pandas()
+        if df.empty and len(df.columns) == 0 and hasattr(res, "schema"):
+            # Ray's to_pandas() on an all-empty Dataset drops columns;
+            # rebuild the typed empty frame from the Dataset schema so
+            # a legitimately-empty result still schema/dtype-compares
+            # (observed: tpch_q11 at sf0.1, where BOTH engines return
+            # zero qualifying parts).
+            schema = res.schema()
+            arrow = getattr(schema, "base_schema", schema)
+            df = arrow.empty_table().to_pandas()
+        return df
     raise TypeError(type(res))
 
 

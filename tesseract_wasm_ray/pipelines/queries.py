@@ -1286,8 +1286,11 @@ def q_domain_cap(sf_dir: str):
     """Per-domain down-sampling cap (CommonCrawl-style): keep at most
     10 docs per source, chosen by md5(text) order (deterministic,
     content-keyed — rerun- and reshard-stable, unlike RNG sampling).
-    One hash-shuffle on source; the md5 sort key is computed map-side
-    so the shuffle moves (doc_id, source, key) only."""
+    Each block PRE-CAPS map-side (its own 10 smallest keys per source
+    — the global winners are a subset of the union), so the one
+    source-keyed shuffle moves <= sources x 10 rows PER BLOCK instead
+    of co-locating every row of a source: at 100 TB that is the
+    difference between a bounded fold and a giant-group shuffle."""
 
     def key(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -1298,7 +1301,19 @@ def q_domain_cap(sf_dir: str):
             }
         )
 
-    ds = _docs(sf_dir, columns=["doc_id", "source", "text"]).map_batches(key, batch_format="pyarrow")
+    def local_cap(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        t = b.sort_by(
+            [("source", "ascending"), ("__k", "ascending"), ("doc_id", "ascending")]
+        )
+        return t.filter(pa.array(_run_rank(t.column("source")) < 10))
+
+    ds = (
+        _docs(sf_dir, columns=["doc_id", "source", "text"])
+        .map_batches(key, batch_format="pyarrow")
+        .map_batches(local_cap, batch_format="pyarrow")
+    )
 
     def cap(group: pa.Table) -> pa.Table:
         # Arrow sort + run-rank (merge_topk pattern) instead of a
@@ -5629,9 +5644,11 @@ def q_stratified_sample(sf_dir: str):
     """Stratified deterministic sample: the 5 docs per language with
     the smallest md5(text) (doc_id tie-break) — the rerun- and
     reshard-stable eval-set draw (each stratum contributes exactly
-    min(5, |stratum|) rows, unlike Bernoulli thinning).  Only (lang,
-    doc_id, fp) shuffle — the text never moves; per-group rank is the
-    sort + run-rank trick (no pandas)."""
+    min(5, |stratum|) rows, unlike Bernoulli thinning).  Each block
+    PRE-SELECTS its own 5 smallest fingerprints per language map-side
+    (the global winners are a subset of the union), so the lang
+    shuffle moves <= langs x 5 rows per block — never a whole stratum;
+    per-group rank is the sort + run-rank trick (no pandas)."""
 
     def fp(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -5642,10 +5659,6 @@ def q_stratified_sample(sf_dir: str):
             }
         )
 
-    ds = _docs(sf_dir, columns=["doc_id", "lang", "text"]).map_batches(
-        fp, batch_format="pyarrow"
-    )
-
     def topk(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return group
@@ -5653,6 +5666,12 @@ def q_stratified_sample(sf_dir: str):
             [("lang", "ascending"), ("fp", "ascending"), ("doc_id", "ascending")]
         )
         return t.filter(pa.array(_run_rank(t.column("lang")) < 5))
+
+    ds = (
+        _docs(sf_dir, columns=["doc_id", "lang", "text"])
+        .map_batches(fp, batch_format="pyarrow")
+        .map_batches(topk, batch_format="pyarrow")  # map-side pre-select
+    )
 
     return ds.groupby("lang", num_partitions=4).map_groups(
         topk, batch_format="pyarrow"

@@ -693,10 +693,6 @@ def q_top_docs_per_lang(sf_dir: str):
     """Per-group top-k (window rank): the 2 longest docs per lang
     (n_chars desc, doc_id asc tie-break) — grouped vectorized take; the
     oracle uses row_number() OVER (PARTITION BY ...)."""
-    ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"]).map_batches(
-        lambda b: b.select(["doc_id", "lang", "n_chars"]), batch_format="pyarrow"
-    )
-
     def topk(group: pa.Table) -> pa.Table:
         # Arrow sort + run-rank (the merge_topk pattern,
         # similarity.py): rank within each sorted lang run, keep the
@@ -707,6 +703,17 @@ def q_top_docs_per_lang(sf_dir: str):
             [("lang", "ascending"), ("n_chars", "descending"), ("doc_id", "ascending")]
         )
         return t.filter(pa.array(_run_rank(t.column("lang")) < 2))
+
+    # map-side pre-select (global winners ⊆ union of block winners):
+    # the lang shuffle moves <= langs x 2 rows per block, never a
+    # whole stratum
+    ds = (
+        _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+        .map_batches(
+            lambda b: topk(b.select(["doc_id", "lang", "n_chars"])),
+            batch_format="pyarrow",
+        )
+    )
 
     return ds.groupby("lang", num_partitions=4).map_groups(topk, batch_format="pyarrow")
 

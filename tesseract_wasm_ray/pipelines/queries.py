@@ -3162,6 +3162,24 @@ def _apply_merge(syms: list[str], x: str, y: str) -> list[str]:
     return out
 
 
+def _distinct_token_counts(texts_col) -> tuple[list[str], np.ndarray]:
+    """Vectorized (distinct lowercase whitespace tokens, instance
+    counts) for a batch — Arrow split/lower/dictionary-encode +
+    bincount; Python only materializes the DISTINCT token strings
+    (the unit BPE's merge replay inherently needs)."""
+    texts = _single_chunk_q(texts_col)
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(pc.fill_null(texts, "")))
+    flat = _single_chunk_q(pc.list_flatten(toks))
+    nonempty = pc.greater(pc.utf8_length(flat), 0)
+    flat = flat.filter(nonempty)
+    if len(flat) == 0:
+        return [], np.zeros(0, np.int64)
+    enc = _single_chunk_q(pc.dictionary_encode(flat))
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    counts = np.bincount(codes, minlength=len(enc.dictionary)).astype(np.int64)
+    return enc.dictionary.to_pylist(), counts
+
+
 def q_bpe_train(sf_dir: str):
     """Iterative BPE tokenizer TRAINING (4 merge rounds) — the full
     loop bpe_pairs counts one step of.  Each round is one streaming
@@ -3188,16 +3206,16 @@ def q_bpe_train(sf_dir: str):
             "cnt": pa.array([], pa.int64()),
         }
     )
-    tok_re = re.compile(r"\S+")
     merges: list[tuple[str, str]] = []
     rows = []
     for rnd in range(1, 5):
         m = list(merges)
 
         def partial(b: pa.Table, m=m) -> pa.Table:
-            toks: Counter = Counter()
-            for t in b.column("text").to_pylist():
-                toks.update(tok_re.findall((t or "").lower()))
+            # tokenize VECTORIZED (utf8_lower + split + dictionary
+            # encode); Python touches only the per-batch DISTINCT
+            # tokens, where the merge replay is inherent to BPE
+            toks = dict(zip(*_distinct_token_counts(b.column("text"))))
             pairs: Counter = Counter()
             for w, c in toks.items():
                 syms = list(w)
@@ -3253,12 +3271,9 @@ def q_bpe_vocab(sf_dir: str):
 
     train = q_bpe_train(sf_dir)
     merges = list(zip(train["left_sym"], train["right_sym"]))
-    tok_re = re.compile(r"\S+")
 
     def partial(b: pa.Table) -> pa.Table:
-        toks: Counter = Counter()
-        for t in b.column("text").to_pylist():
-            toks.update(tok_re.findall((t or "").lower()))
+        toks = dict(zip(*_distinct_token_counts(b.column("text"))))
         syms: Counter = Counter()
         for w, c in toks.items():
             s = list(w)
